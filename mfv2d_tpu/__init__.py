@@ -1,0 +1,35 @@
+"""mfv2d_tpu: a TPU-native 2D mimetic spectral element method framework.
+
+A from-scratch rebuild of the capabilities of the ``mfv2d`` reference solver
+(https://github.com/j4nr0th/mfv2d) designed for TPU hardware: the k-form DSL
+compiles to traced JAX computations, element assembly runs as batched MXU
+GEMMs over all elements of an order bucket at once, and the global solve is
+either a dense on-device factorization or matrix-free Krylov with
+element-local matvecs plus constraint gather/scatter.
+"""
+
+from mfv2d_tpu import config as _config  # noqa: F401  (enables x64)
+
+# Examples
+from mfv2d_tpu import examples as examples
+
+# Mesh
+from mfv2d_tpu.mesh.manifold import GeoID as GeoID
+from mfv2d_tpu.mesh.manifold import Line as Line
+from mfv2d_tpu.mesh.manifold import Manifold2D as Manifold2D
+from mfv2d_tpu.mesh.manifold import Surface as Surface
+from mfv2d_tpu.mesh.quadtree import Mesh as Mesh
+from mfv2d_tpu.mimetic import mesh_create as mesh_create
+from mfv2d_tpu.mimetic import integrate_over_elements as integrate_over_elements
+
+# K-forms
+from mfv2d_tpu.kform import KEquation as KEquation
+from mfv2d_tpu.kform import KFormUnknown as KFormUnknown
+from mfv2d_tpu.kform import KWeight as KWeight
+from mfv2d_tpu.kform import UnknownFormOrder as UnknownFormOrder
+
+# System / compiler
+from mfv2d_tpu.system import ElementFormSpecification as ElementFormSpecification
+from mfv2d_tpu.system import KFormSystem as KFormSystem
+from mfv2d_tpu.compiler import CompiledSystem as CompiledSystem
+from mfv2d_tpu.compiler import system_as_string as system_as_string

@@ -1,0 +1,32 @@
+"""Global configuration for the TPU-native MSEM framework.
+
+The solver path defaults to float64 (required for the 1e-10 parity targets of the
+reference mfv2d examples, see BASELINE.md).  On TPU hardware float64 matmuls are
+emulated and slow, so the batched assembly kernels can optionally run in float32
+or bfloat16 for throughput benchmarks; correctness tests always use float64.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+# Enable 64-bit mode before any arrays are created.  This is a deliberate,
+# documented side effect of importing the package: a mimetic spectral solver
+# without f64 cannot hit the reference tolerances.
+jax.config.update("jax_enable_x64", True)
+
+
+class _Config:
+    """Runtime configuration knobs."""
+
+    def __init__(self) -> None:
+        # dtype used for the solve path (residuals, factorizations).
+        self.solver_dtype = "float64"
+        # dtype used for batched element assembly; override with
+        # MFV2D_TPU_ASSEMBLY_DTYPE=float32 for TPU throughput runs.
+        self.assembly_dtype = os.environ.get("MFV2D_TPU_ASSEMBLY_DTYPE", "float64")
+
+
+config = _Config()

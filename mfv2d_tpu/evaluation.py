@@ -1,0 +1,462 @@
+"""Batched evaluation of compiled k-form systems.
+
+The reference executes a bytecode block per element inside a C interpreter
+(src/evaluation/element_eval.c:399-479, element_system.c:13-212).  Here the
+same op semantics run at *JAX trace time* over an ``[E, ...]`` batch of
+same-order elements, so XLA sees one fused computation (batched GEMMs on the
+MXU) for the entire mesh bucket instead of ``n_elem x n_forms^2`` interpreter
+calls.
+
+Lazy-composition rules mirror the C ``matrix_t`` union: identities and
+incidence matrices stay symbolic until a dense matrix forces materialization
+(element_eval.c:117-177).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from mfv2d_tpu.compiler import (
+    BlockOps,
+    Identity,
+    Incidence,
+    InterProd,
+    MassMat,
+    Push,
+    Scale,
+    Sum,
+    SystemBlocks,
+)
+from mfv2d_tpu.kform import UnknownFormOrder
+from mfv2d_tpu.ops.basis import Basis2D
+from mfv2d_tpu.ops.geometry import physical_coordinates
+from mfv2d_tpu.ops.incidence import (
+    INCIDENCE_E10,
+    INCIDENCE_E10_T,
+    INCIDENCE_E21,
+    INCIDENCE_E21_T,
+    incidence_matrix,
+)
+from mfv2d_tpu.ops.mass import (
+    TensorBasis,
+    batch_jacobian,
+    mass_edge,
+    mass_edge_double,
+    mass_edge_surf,
+    mass_node,
+    mass_node_double,
+    mass_node_edge,
+    mass_surf,
+    mass_surf_double,
+    tensor_basis,
+)
+from mfv2d_tpu.system import ElementFormSpecification
+
+
+class ElementBatch:
+    """A batch of elements sharing basis orders and integration rules.
+
+    Holds the per-batch geometry (Jacobian terms at quadrature points) and
+    memoizes mass matrices/inverses.  When used inside ``jax.jit`` the memo
+    is per-trace; when used eagerly the arrays are concrete device buffers
+    reused across Newton iterations (the reference's per-element lazy mass
+    cache, element_fem_space.c:445-469, amortized over the whole batch).
+    """
+
+    def __init__(self, basis: Basis2D, corners) -> None:
+        self.basis = basis
+        self.tb: TensorBasis = tensor_basis(basis)
+        self.corners = jnp.asarray(corners)
+        if self.corners.ndim == 2:
+            self.corners = self.corners[None]
+        self.n_elements = self.corners.shape[0]
+        self.jac = batch_jacobian(self.tb, self.corners)
+        self._mass: dict[tuple[int, bool], jnp.ndarray] = {}
+
+    @property
+    def orders(self) -> tuple[int, int]:
+        return (self.tb.p1, self.tb.p2)
+
+    @property
+    def n_quad(self) -> int:
+        return self.tb.w.size
+
+    def quad_points(self):
+        """Physical (x, y) of quadrature points, each ``[E, nq]``."""
+        x, y = physical_coordinates(
+            self.corners, self.tb.nodes_xi[None, :], self.tb.nodes_eta[:, None]
+        )
+        return x.reshape(self.n_elements, -1), y.reshape(self.n_elements, -1)
+
+    def mass(self, order: UnknownFormOrder, inv: bool) -> jnp.ndarray:
+        """Memoized batched mass matrix (or inverse) of the given form order."""
+        key = (int(order), bool(inv))
+        if key not in self._mass:
+            if not inv:
+                if order == UnknownFormOrder.FORM_ORDER_0:
+                    m = mass_node(self.tb, self.jac)
+                elif order == UnknownFormOrder.FORM_ORDER_1:
+                    m = mass_edge(self.tb, self.jac)
+                elif order == UnknownFormOrder.FORM_ORDER_2:
+                    m = mass_surf(self.tb, self.jac)
+                else:
+                    raise ValueError(f"Invalid mass order {order}.")
+            else:
+                m = jnp.linalg.inv(self.mass(order, False))
+            self._mass[key] = m
+        return self._mass[key]
+
+    def reconstruct_one_form(self, dofs):
+        """Physical (x, y) components of a 1-form at quadrature points.
+
+        ``dofs`` is ``[E, n1]`` in the [h, v] layout; returns ``[E, nq, 2]``
+        (the on-device equivalent of integrating_fields.c:13-353 /
+        mimetic2d.reconstruct for 1-forms).
+        """
+        tb = self.tb
+        n_h = tb.bh.shape[0]
+        c_h = dofs[:, :n_h]
+        c_v = dofs[:, n_h:]
+        out_eta = jnp.einsum("hq,eh->eq", jnp.asarray(tb.bh, dofs.dtype), c_h)
+        out_xi = jnp.einsum("vq,ev->eq", jnp.asarray(tb.bv, dofs.dtype), c_v)
+        jac = self.jac
+        fx = (out_xi * jac.j00 + out_eta * jac.j10) / jac.det
+        fy = (out_xi * jac.j01 + out_eta * jac.j11) / jac.det
+        return jnp.stack([fx, fy], axis=-1)
+
+
+def _incidence_for(batch: ElementBatch, begin: UnknownFormOrder, transpose) -> np.ndarray:
+    kind = {
+        (int(UnknownFormOrder.FORM_ORDER_0), False): INCIDENCE_E10,
+        (int(UnknownFormOrder.FORM_ORDER_1), False): INCIDENCE_E21,
+        (int(UnknownFormOrder.FORM_ORDER_0), True): INCIDENCE_E10_T,
+        (int(UnknownFormOrder.FORM_ORDER_1), True): INCIDENCE_E21_T,
+    }[(int(begin), bool(transpose))]
+    return incidence_matrix(kind, batch.tb.p1, batch.tb.p2)
+
+
+def _interprod_matrix(
+    batch: ElementBatch, op: InterProd, fields: dict
+) -> tuple[jnp.ndarray, float]:
+    """Field-weighted interior-product matrix and its sign coefficient.
+
+    Matches element_eval.c:311-397: starting order 1 -> node_edge with +1,
+    starting order 2 -> edge_surf with -1.
+    """
+    field = fields[op.field]
+    if op.starting_order == UnknownFormOrder.FORM_ORDER_1:
+        return mass_node_edge(batch.tb, batch.jac, field, op.transpose), +1.0
+    if op.starting_order == UnknownFormOrder.FORM_ORDER_2:
+        return mass_edge_surf(batch.tb, batch.jac, field, op.transpose), -1.0
+    raise ValueError(
+        f"InterProd starting order must be 1- or 2-form, got {op.starting_order}."
+    )
+
+
+class _State:
+    """Lazy 'current matrix' of the stack machine.
+
+    kind: 'invalid' | 'identity' | 'incidence' | 'full'
+    For vectors the full payload is ``[E, n]``; for matrices ``[E, r, c]``.
+    """
+
+    __slots__ = ("kind", "coef", "payload", "inc")
+
+    def __init__(self, kind="invalid", coef=0.0, payload=None, inc=None):
+        self.kind = kind
+        self.coef = coef
+        self.payload = payload
+        self.inc = inc  # (begin_order, transpose) for incidence
+
+    def copy(self) -> "_State":
+        return _State(self.kind, self.coef, self.payload, self.inc)
+
+
+def _left_apply_const(mat_const: np.ndarray, state: _State, batch: ElementBatch) -> _State:
+    """Left-multiply the state by a constant (non-batched) matrix."""
+    m = jnp.asarray(mat_const)
+    if state.kind in ("invalid", "identity"):
+        coef = state.coef if state.kind == "identity" else 1.0
+        e = batch.n_elements
+        arr = jnp.broadcast_to(m, (e,) + m.shape)
+        return _State("full", coef, arr)
+    if state.kind == "incidence":
+        e_mat = _incidence_for(batch, *state.inc)
+        return _State("full", state.coef, jnp.broadcast_to(m @ e_mat, (batch.n_elements,) + (m.shape[0], e_mat.shape[1])))
+    if state.kind == "full":
+        if state.payload.ndim == 2:  # vector [E, n]
+            return _State("full", state.coef, jnp.einsum("ij,ej->ei", m, state.payload))
+        return _State("full", state.coef, jnp.einsum("ij,ejk->eik", m, state.payload))
+    raise RuntimeError(f"Bad state {state.kind}")
+
+
+def _left_apply_batched(mat: jnp.ndarray, state: _State, batch: ElementBatch) -> _State:
+    """Left-multiply the state by a batched ``[E, r, c]`` matrix."""
+    if state.kind in ("invalid", "identity"):
+        coef = state.coef if state.kind == "identity" else 1.0
+        return _State("full", coef, mat)
+    if state.kind == "incidence":
+        e_mat = jnp.asarray(_incidence_for(batch, *state.inc), mat.dtype)
+        return _State("full", state.coef, jnp.einsum("eij,jk->eik", mat, e_mat))
+    if state.kind == "full":
+        if state.payload.ndim == 2:
+            return _State("full", state.coef, jnp.einsum("eij,ej->ei", mat, state.payload))
+        return _State("full", state.coef, jnp.einsum("eij,ejk->eik", mat, state.payload))
+    raise RuntimeError(f"Bad state {state.kind}")
+
+
+def _materialize(
+    state: _State,
+    batch: ElementBatch,
+    n_cols: int,
+    vector: bool,
+    initial,
+) -> jnp.ndarray:
+    """Turn the lazy state into a dense ``[E, r, c]`` matrix or ``[E, n]`` vector."""
+    e = batch.n_elements
+    if state.kind == "invalid":
+        raise RuntimeError("Block evaluated to an invalid state.")
+    if state.kind == "identity":
+        if vector:
+            return state.coef * initial
+        eye = jnp.eye(n_cols)
+        return state.coef * jnp.broadcast_to(eye, (e, n_cols, n_cols))
+    if state.kind == "incidence":
+        e_mat = jnp.asarray(_incidence_for(batch, *state.inc))
+        if vector:
+            return state.coef * jnp.einsum("ij,ej->ei", e_mat, initial)
+        return state.coef * jnp.broadcast_to(e_mat, (e,) + e_mat.shape)
+    arr = state.payload
+    if state.coef != 1.0:
+        arr = state.coef * arr
+    return arr
+
+
+def evaluate_block(
+    ops: Sequence,
+    batch: ElementBatch,
+    fields: dict,
+    n_cols: int,
+    initial=None,
+) -> jnp.ndarray:
+    """Evaluate one bytecode block over the batch.
+
+    With ``initial`` (an ``[E, n_cols]`` vector) the result is the block
+    applied to that vector (``compute_element_vector`` semantics, each Push
+    re-seeds with the initial operand); otherwise the dense block matrix.
+    """
+    vector = initial is not None
+
+    def fresh() -> _State:
+        if vector:
+            return _State("full", 1.0, initial)
+        return _State("invalid", 0.0)
+
+    current = fresh()
+    stack: list[_State] = []
+
+    for op in ops:
+        t = type(op)
+        if t is Identity:
+            if current.kind == "invalid":
+                current = _State("identity", 1.0)
+        elif t is Scale:
+            if current.kind == "invalid":
+                current = _State("identity", op.k)
+            else:
+                current = current.copy()
+                current.coef = current.coef * op.k
+        elif t is Push:
+            stack.append(current)
+            current = fresh()
+        elif t is Incidence:
+            if current.kind in ("invalid", "identity"):
+                coef = current.coef if current.kind == "identity" else 1.0
+                current = _State("incidence", coef, inc=(op.begin, bool(op.transpose)))
+            else:
+                e_mat = _incidence_for(batch, op.begin, bool(op.transpose))
+                current = _left_apply_const(e_mat, current, batch)
+        elif t is MassMat:
+            m = batch.mass(op.order, op.inv)
+            current = _left_apply_batched(m, current, batch)
+        elif t is InterProd:
+            m, sign = _interprod_matrix(batch, op, fields)
+            current = _left_apply_batched(m, current, batch)
+            current = current.copy()
+            current.coef = current.coef * sign
+        elif t is Sum:
+            total = _materialize(current, batch, n_cols, vector, initial)
+            for _ in range(op.count):
+                other = stack.pop()
+                total = total + _materialize(other, batch, n_cols, vector, initial)
+            current = _State("full", 1.0, total)
+        else:
+            raise TypeError(f"Unknown op {op}.")
+
+    return _materialize(current, batch, n_cols, vector, initial)
+
+
+def compute_fields(
+    batch: ElementBatch,
+    field_keys: Sequence,
+    form_spec: ElementFormSpecification | None = None,
+    dofs=None,
+    static_fields: dict | None = None,
+) -> dict:
+    """Resolve interior-product fields to ``[E, nq, 2]`` arrays.
+
+    Callable fields must be supplied pre-evaluated through ``static_fields``
+    (host-evaluated once with NumPy; see :func:`evaluate_static_fields`).
+    String fields name unknown 1-forms and are reconstructed from ``dofs``
+    inside the trace (the nonlinear advection coupling).
+    """
+    out: dict = {}
+    for key in field_keys:
+        if isinstance(key, str):
+            assert form_spec is not None and dofs is not None
+            idx = form_spec.index((key, UnknownFormOrder.FORM_ORDER_1))
+            p1, p2 = batch.orders
+            off = form_spec.form_offset(idx, p1, p2)
+            size = form_spec.form_size(idx, p1, p2)
+            out[key] = batch.reconstruct_one_form(dofs[:, off : off + size])
+        else:
+            if static_fields is None or key not in static_fields:
+                raise KeyError(
+                    f"Static field {getattr(key, '__name__', key)} was not "
+                    "pre-evaluated; call evaluate_static_fields first."
+                )
+            out[key] = static_fields[key]
+    return out
+
+
+def evaluate_static_fields(batch: ElementBatch, field_keys: Sequence) -> dict:
+    """Host-evaluate callable fields at the quadrature points (NumPy).
+
+    User callables are arbitrary NumPy code, so they run on the host over the
+    whole batch at once and the results ship to the device as inputs.
+    """
+    callables = [k for k in field_keys if not isinstance(k, str)]
+    if not callables:
+        return {}
+    corners = np.asarray(batch.corners)
+    tb = batch.tb
+    xi = tb.nodes_xi[None, :]
+    eta = tb.nodes_eta[:, None]
+    from mfv2d_tpu.ops.geometry import physical_coordinates as _pc
+
+    x, y = _pc(corners, xi, eta)
+    x = np.asarray(x).reshape(corners.shape[0], -1)
+    y = np.asarray(y).reshape(corners.shape[0], -1)
+    out = {}
+    for fn in callables:
+        vals = np.asarray(fn(x, y), np.float64)
+        if vals.shape != x.shape + (2,):
+            raise ValueError(
+                f"Vector field {getattr(fn, '__name__', fn)} must return shape"
+                f" {(x.shape + (2,))}, got {vals.shape}."
+            )
+        out[fn] = jnp.asarray(vals)
+    return out
+
+
+def compute_element_matrices(
+    form_spec: ElementFormSpecification,
+    blocks: SystemBlocks,
+    batch: ElementBatch,
+    dofs=None,
+    static_fields: dict | None = None,
+    field_keys: Sequence | None = None,
+) -> jnp.ndarray:
+    """Full element system matrices ``[E, N, N]`` for the batch.
+
+    The batched analogue of the reference ``compute_element_matrix``
+    (element_system.c:13-212).
+    """
+    p1, p2 = batch.orders
+    sizes = form_spec.form_sizes(p1, p2)
+    if field_keys is None:
+        from mfv2d_tpu.compiler import collect_fields
+
+        field_keys = collect_fields(blocks)
+    fields = compute_fields(batch, field_keys, form_spec, dofs, static_fields)
+
+    rows = []
+    for i, row in enumerate(blocks):
+        cols = []
+        for j, block in enumerate(row):
+            if block is None:
+                cols.append(
+                    jnp.zeros((batch.n_elements, sizes[i], sizes[j]))
+                )
+            else:
+                cols.append(evaluate_block(block, batch, fields, sizes[j]))
+        rows.append(jnp.concatenate(cols, axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
+def compute_element_vectors(
+    form_spec: ElementFormSpecification,
+    blocks: SystemBlocks,
+    batch: ElementBatch,
+    dofs,
+    static_fields: dict | None = None,
+    field_keys: Sequence | None = None,
+) -> jnp.ndarray:
+    """Element residual/forcing vectors ``[E, N]``: blocks applied to DoFs.
+
+    Batched analogue of ``compute_element_vector`` (element_system.c:245-440):
+    each block is seeded with the current solution slice of its column form.
+    """
+    p1, p2 = batch.orders
+    sizes = form_spec.form_sizes(p1, p2)
+    offsets = form_spec.form_offsets(p1, p2)
+    if field_keys is None:
+        from mfv2d_tpu.compiler import collect_fields
+
+        field_keys = collect_fields(blocks)
+    fields = compute_fields(batch, field_keys, form_spec, dofs, static_fields)
+
+    rows = []
+    for i, row in enumerate(blocks):
+        acc = None
+        for j, block in enumerate(row):
+            if block is None:
+                continue
+            seed = dofs[:, offsets[j] : offsets[j + 1]]
+            val = evaluate_block(block, batch, fields, sizes[j], initial=seed)
+            acc = val if acc is None else acc + val
+        if acc is None:
+            acc = jnp.zeros((batch.n_elements, sizes[i]), dofs.dtype)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=1)
+
+
+def compute_element_projector(
+    form_spec: ElementFormSpecification,
+    batch_in: ElementBatch,
+    batch_out: ElementBatch,
+) -> list[jnp.ndarray]:
+    """Per-form L2 projection matrices from ``batch_in`` to ``batch_out``.
+
+    ``P = M_out^{-1} @ M_cross`` with cross-space mass matrices evaluated on
+    the shared integration grid (element_system.c:480-560).  Returns one
+    ``[E, n_out, n_in]`` array per form.
+    """
+    if batch_in.basis.integration_orders != batch_out.basis.integration_orders:
+        raise ValueError("Input and output integration rules must match.")
+    out: list[jnp.ndarray] = []
+    jac = batch_in.jac
+    for _, order in form_spec:
+        if order == UnknownFormOrder.FORM_ORDER_0:
+            cross = mass_node_double(batch_in.tb, batch_out.tb, jac)
+        elif order == UnknownFormOrder.FORM_ORDER_1:
+            cross = mass_edge_double(batch_in.tb, batch_out.tb, jac)
+        elif order == UnknownFormOrder.FORM_ORDER_2:
+            cross = mass_surf_double(batch_in.tb, batch_out.tb, jac)
+        else:
+            raise ValueError(f"Invalid form order {order}.")
+        out.append(jnp.linalg.solve(batch_out.mass(order, False), cross))
+    return out

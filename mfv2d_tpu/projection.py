@@ -1,0 +1,149 @@
+"""L2 projections (dual/primal DoFs) and point reconstruction of forms.
+
+Batched device versions operate over an :class:`ElementBatch`; the host
+``reconstruct`` works on one element at arbitrary reference points (used for
+output grids and error estimation).  Semantics follow the reference
+(python/mfv2d/mimetic2d.py:1003-1279).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import numpy.typing as npt
+
+from mfv2d_tpu.evaluation import ElementBatch
+from mfv2d_tpu.kform import UnknownFormOrder
+from mfv2d_tpu.ops.basis import Basis2D
+from mfv2d_tpu.ops.geometry import jacobian
+from mfv2d_tpu.ops.quadrature import dlagrange1d, lagrange1d
+
+
+def evaluate_function_on_batch(batch: ElementBatch, function) -> np.ndarray:
+    """Host-evaluate a user callable at the batch's quadrature points."""
+    x, y = batch.quad_points()
+    x = np.asarray(x)
+    y = np.asarray(y)
+    return np.asarray(function(x, y), np.float64)
+
+
+def element_dual_dofs_batched(
+    order: UnknownFormOrder, batch: ElementBatch, values
+) -> jnp.ndarray:
+    """Dual DoFs (L2 functional values) of a function over the batch.
+
+    ``values`` are the function values at the quadrature points: shape
+    ``[E, nq]`` for 0/2-forms, ``[E, nq, 2]`` (physical x, y components) for
+    1-forms.  Returns ``[E, n_dofs]``.
+    """
+    tb = batch.tb
+    jac = batch.jac
+    vals = jnp.asarray(values)
+    w = jnp.asarray(tb.w, jac.det.dtype)
+    if order == UnknownFormOrder.FORM_ORDER_0:
+        k = vals * w * jac.det
+        return jnp.einsum("nq,eq->en", jnp.asarray(tb.b0, k.dtype), k)
+    if order == UnknownFormOrder.FORM_ORDER_1:
+        f_xi = (jac.j00 * vals[..., 0] + jac.j01 * vals[..., 1]) * w
+        f_eta = (jac.j10 * vals[..., 0] + jac.j11 * vals[..., 1]) * w
+        d_h = jnp.einsum("nq,eq->en", jnp.asarray(tb.bh, f_eta.dtype), f_eta)
+        d_v = jnp.einsum("nq,eq->en", jnp.asarray(tb.bv, f_xi.dtype), f_xi)
+        return jnp.concatenate([d_h, d_v], axis=1)
+    if order == UnknownFormOrder.FORM_ORDER_2:
+        k = vals * w
+        return jnp.einsum("nq,eq->en", jnp.asarray(tb.b2, k.dtype), k)
+    raise ValueError(f"Invalid form order {order}.")
+
+
+def element_dual_dofs(
+    order: UnknownFormOrder, batch: ElementBatch, function
+) -> jnp.ndarray:
+    """Dual DoFs of a host-evaluated callable over the batch."""
+    vals = evaluate_function_on_batch(batch, function)
+    e, nq = batch.n_elements, batch.n_quad
+    if order == UnknownFormOrder.FORM_ORDER_1:
+        vals = vals.reshape(e, nq, 2)
+    else:
+        vals = vals.reshape(e, nq)
+    return element_dual_dofs_batched(order, batch, vals)
+
+
+def element_primal_dofs(
+    order: UnknownFormOrder, batch: ElementBatch, function
+) -> jnp.ndarray:
+    """Primal DoFs: mass-inverse applied to the dual DoFs."""
+    dual = element_dual_dofs(order, batch, function)
+    return jnp.linalg.solve(batch.mass(order, False), dual[..., None])[..., 0]
+
+
+def reconstruct(
+    corners: npt.ArrayLike,
+    basis: Basis2D,
+    form_order: UnknownFormOrder,
+    dofs: npt.ArrayLike,
+    xi: npt.ArrayLike,
+    eta: npt.ArrayLike,
+) -> np.ndarray:
+    """Point values of a k-form from its primal DoFs (host, one element).
+
+    For 1-forms the physical components include the Piola map
+    ``J^T (out_xi, out_eta) / det``; 2-forms carry ``1/det``
+    (mimetic2d.py:1172-1279).
+    """
+    form_order = UnknownFormOrder(form_order)
+    c = np.asarray(dofs, np.float64)
+    corners = np.asarray(corners, np.float64)
+    p1 = basis.basis_xi.order
+    p2 = basis.basis_eta.order
+    xi = np.asarray(xi, np.float64)
+    eta = np.asarray(eta, np.float64)
+    grid_shape = np.broadcast(xi, eta).shape
+
+    if form_order == UnknownFormOrder.FORM_ORDER_0:
+        vx = lagrange1d(basis.basis_xi.roots, xi)  # xi.shape + (p1+1,)
+        ve = lagrange1d(basis.basis_eta.roots, eta)
+        out = np.zeros(grid_shape, np.float64)
+        for i2 in range(p2 + 1):
+            for i1 in range(p1 + 1):
+                out = out + c[i2 * (p1 + 1) + i1] * (vx[..., i1] * ve[..., i2])
+        return out
+
+    jac = jacobian(corners, xi, eta)
+    j00, j01, j10, j11, det = (np.asarray(v) for v in jac)
+    # jacobian() adds two broadcast axes for the corners; collapse back.
+    j00, j01, j10, j11, det = (
+        np.broadcast_to(v, grid_shape) if v.shape != grid_shape else v
+        for v in (j00, j01, j10, j11, det)
+    )
+
+    ex = -np.cumsum(dlagrange1d(basis.basis_xi.roots, xi)[..., :-1], axis=-1)
+    ee = -np.cumsum(dlagrange1d(basis.basis_eta.roots, eta)[..., :-1], axis=-1)
+
+    if form_order == UnknownFormOrder.FORM_ORDER_1:
+        vx = lagrange1d(basis.basis_xi.roots, xi)
+        ve = lagrange1d(basis.basis_eta.roots, eta)
+        out_eta = np.zeros(grid_shape, np.float64)
+        out_xi = np.zeros(grid_shape, np.float64)
+        for i2 in range(p2 + 1):
+            for i1 in range(p1):
+                out_eta = out_eta + c[i2 * p1 + i1] * ex[..., i1] * ve[..., i2]
+        n_h = p1 * (p2 + 1)
+        for i2 in range(p2):
+            for i1 in range(p1 + 1):
+                out_xi = out_xi + c[n_h + i2 * (p1 + 1) + i1] * vx[..., i1] * ee[..., i2]
+        return np.stack(
+            (
+                (out_xi * j00 + out_eta * j10) / det,
+                (out_xi * j01 + out_eta * j11) / det,
+            ),
+            axis=-1,
+        )
+
+    if form_order == UnknownFormOrder.FORM_ORDER_2:
+        out = np.zeros(grid_shape, np.float64)
+        for i2 in range(p2):
+            for i1 in range(p1):
+                out = out + c[i2 * p1 + i1] * ex[..., i1] * ee[..., i2]
+        return out / det
+
+    raise ValueError(f"Order of the differential form {form_order} is not valid.")

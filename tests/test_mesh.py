@@ -1,0 +1,142 @@
+"""Mesh topology tests (mirrors the reference test_mesh.py scenarios)."""
+
+import numpy as np
+
+from mfv2d_tpu.examples import unit_square_mesh
+from mfv2d_tpu.mimetic import mesh_create
+
+POINTS = (
+    (-2, -1),
+    (-1, -2),
+    (+1, -1),
+    (0, 0),
+    (+1, +2),
+    (0, +1),
+    (-2, 0),
+)
+LINES = (
+    (1, 2),
+    (2, 3),
+    (3, 4),
+    (4, 1),
+    (3, 5),
+    (5, 6),
+    (4, 6),
+    (1, 7),
+    (6, 7),
+)
+SURFACES = ((1, 2, 3, 4), (-3, 5, 6, -7), (-4, 7, 9, -8))
+ORDERS = ((2, 4), (3, 5), (5, 1))
+
+
+def _make():
+    return mesh_create(ORDERS, POINTS, LINES, SURFACES)
+
+
+def test_manual_mesh():
+    mesh = _make()
+    assert set(mesh.boundary_indices) == {0, 1, 4, 5, 7, 8}
+    assert mesh.element_count == 3
+    real_corners = (
+        (POINTS[0], POINTS[1], POINTS[2], POINTS[3]),
+        (POINTS[3], POINTS[2], POINTS[4], POINTS[5]),
+        (POINTS[0], POINTS[3], POINTS[5], POINTS[6]),
+    )
+    for i in range(3):
+        assert np.all(mesh.get_leaf_corners(i) == real_corners[i])
+        o1, o2 = mesh.get_leaf_orders(i)
+        assert (o1, o2) == ORDERS[i]
+        assert mesh.get_element_children(i) is None
+        assert mesh.get_element_parent(i) is None
+
+
+def test_subdivision():
+    mesh = _make()
+    split_orders = ((1, 1), (2, 1), (1, 2), (2, 2))
+    mesh.split_element(1, *split_orders)
+    assert mesh.element_count == 7
+    assert np.all(mesh.get_leaf_indices() == (0, 2, 3, 4, 5, 6))
+    children = mesh.get_element_children(1)
+    assert children is not None
+
+    new_corners = (
+        ((0, 0), (0.5, -0.5), (0.5, 0.5), (0, 0.5)),
+        ((0.5, -0.5), (+1, -1), (+1, 0.5), (0.5, 0.5)),
+        ((0.5, 0.5), (+1, 0.5), (+1, +2), (0.5, 1.5)),
+        ((0, 0.5), (0.5, 0.5), (0.5, 1.5), (0, 1)),
+    )
+    for j, i in enumerate((3, 4, 5, 6)):
+        assert mesh.get_element_parent(i) == 1
+        assert children[j] == i
+        assert np.allclose(mesh.get_leaf_corners(i), new_corners[j])
+        assert mesh.get_leaf_orders(i) == split_orders[j]
+        assert mesh.get_element_depth(i) == 1
+
+    # leaf index round trip
+    for rank, idx in enumerate(mesh.get_leaf_indices()):
+        assert mesh.get_leaf_index(int(idx)) == rank
+        assert mesh.find_leaf_by_index(rank) == int(idx)
+
+
+def test_dual_structure():
+    mesh = _make()
+    dual = mesh.dual
+    assert dual.n_points == 3  # one per surface
+    assert dual.n_surfaces == 7  # one per point
+    # Line 2 (index 2, id 3) is shared by surfaces 0 (+) and 1 (-):
+    ln = dual.get_line(3)
+    assert ln.end.index == 0  # positive orientation in surface 0
+    assert ln.begin.index == 1  # negative orientation in surface 1
+    # Boundary line 0 belongs only to surface 0 positively.
+    ln0 = dual.get_line(1)
+    assert ln0.end.index == 0 and not ln0.begin
+
+
+def test_unit_square_mesh():
+    mesh = unit_square_mesh(3, 2, 2)
+    assert mesh.element_count == 6
+    assert mesh.leaf_count == 6
+    # 2 * 3 * 2 + 3 + 2 boundary lines? Total boundary = perimeter lines
+    assert len(mesh.boundary_indices) == 2 * (3 + 2)
+    for i in range(6):
+        c = mesh.get_leaf_corners(i)
+        # counter-clockwise orientation -> positive area
+        area = 0.5 * np.abs(
+            np.dot(c[:, 0], np.roll(c[:, 1], -1)) - np.dot(c[:, 1], np.roll(c[:, 0], -1))
+        )
+        assert np.isclose(area, (2 / 3) * (2 / 2))
+
+
+def test_integrate_over_elements():
+    from mfv2d_tpu.mimetic import integrate_over_elements
+
+    mesh = unit_square_mesh(2, 2, 3)
+
+    def f(x, y):
+        return x * 0 + 1.0
+
+    vals = integrate_over_elements(mesh, f)
+    assert np.allclose(vals, 1.0)  # each element has area 1
+    assert np.isclose(np.sum(vals), 4.0)
+
+    def g(x, y):
+        return x * y + x**2
+
+    vals = integrate_over_elements(mesh, g, orders=6)
+    # integral over [-1,1]^2 of xy + x^2 = 0 + 4/3
+    assert np.isclose(np.sum(vals), 4.0 / 3.0, atol=1e-12)
+
+
+def test_split_predicates():
+    mesh = unit_square_mesh(2, 2, 2)
+
+    def pred(m, idx):
+        if m.get_element_depth(idx) == 0 and idx == 0:
+            return ((1, 1),) * 4
+        return None
+
+    out = mesh.split_depth_first(2, pred)
+    assert out.element_count == 8
+    assert mesh.element_count == 4  # original untouched
+    out2 = mesh.split_breath_first(2, pred)
+    assert out2.element_count == 8
