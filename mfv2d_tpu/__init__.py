@@ -33,3 +33,15 @@ from mfv2d_tpu.system import ElementFormSpecification as ElementFormSpecificatio
 from mfv2d_tpu.system import KFormSystem as KFormSystem
 from mfv2d_tpu.compiler import CompiledSystem as CompiledSystem
 from mfv2d_tpu.compiler import system_as_string as system_as_string
+
+# Boundary conditions
+from mfv2d_tpu.boundary import BoundaryCondition2DSteady as BoundaryCondition2DSteady
+
+# Solver
+from mfv2d_tpu.solver.solve import ConvergenceSettings as ConvergenceSettings
+from mfv2d_tpu.solver.solve import SolutionStatistics as SolutionStatistics
+from mfv2d_tpu.solver.solve import SolverSettings as SolverSettings
+from mfv2d_tpu.solver.solve import SystemSettings as SystemSettings
+from mfv2d_tpu.solver.solve import TimeSettings as TimeSettings
+from mfv2d_tpu.solver.solve import VMSSettings as VMSSettings
+from mfv2d_tpu.solve_system_2d import solve_system_2d as solve_system_2d

@@ -1,0 +1,537 @@
+"""Inter-/intra-element continuity constraints (Lagrange multiplier rows).
+
+The hybridized formulation keeps all DoFs element-local; continuity of
+0-forms (point values) and 1-forms (normal fluxes) across element boundaries
+— including hanging nodes from quadtree splits — is enforced by constraint
+rows ``G u = b`` appended as a Lagrange-multiplier block.  This module builds
+those rows host-side as static index/coefficient maps which the device solver
+consumes as one sparse gather/scatter operator.
+
+The constraint *semantics* follow the reference (python/mfv2d/continuity.py):
+parent side order = sum of child side orders, child DoFs are mapped through
+nodal/edge Vandermonde inverses at the merged GLL nodes, corners of 0-forms
+are pinned pointwise, and 1-form rows flip sign with side orientation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from itertools import accumulate
+
+import numpy as np
+import numpy.typing as npt
+import scipy.sparse as sp
+
+from mfv2d_tpu.boundary import BoundaryCondition2DSteady, mesh_boundary_conditions
+from mfv2d_tpu.kform import KFormUnknown, UnknownFormOrder
+from mfv2d_tpu.mesh.quadtree import Mesh
+from mfv2d_tpu.mimetic import (
+    Constraint,
+    ElementConstraint,
+    ElementSide,
+    element_boundary_dofs,
+    element_node_children_on_side,
+    find_surface_boundary_id_line,
+    get_side_order,
+)
+from mfv2d_tpu.ops.basis import FemCache
+from mfv2d_tpu.ops.quadrature import compute_gll, lagrange1d
+from mfv2d_tpu.system import ElementFormSpecification, KFormSystem
+
+
+def _find_surface_boundary_id_node(mesh: Mesh, surf_idx: int, node_idx: int) -> ElementSide:
+    """Side of the surface whose first line begins at the given node."""
+    s = mesh.primal.get_surface(surf_idx + 1)
+    for line_id, bnd_id in zip(iter(s), ElementSide):
+        line = mesh.primal.get_line(line_id)
+        if line.begin.index == node_idx:
+            return bnd_id
+    raise ValueError(f"Node with index {node_idx=} is not in the surface {surf_idx=}.")
+
+
+def _get_corner_dof(mesh: Mesh, element: int, side: ElementSide, /) -> tuple[int, int]:
+    """Leaf element index + 0-form DoF index of the corner starting ``side``."""
+    children = mesh.get_element_children(element)
+    if children is None:
+        order_1, order_2 = mesh.get_leaf_orders(element)
+        if side == ElementSide.SIDE_BOTTOM:
+            idx = 0
+        elif side == ElementSide.SIDE_RIGHT:
+            idx = order_1
+        elif side == ElementSide.SIDE_TOP:
+            idx = (order_1 + 1) * order_2 + order_1
+        elif side == ElementSide.SIDE_LEFT:
+            idx = order_2 * (order_1 + 1)
+        else:
+            raise ValueError(f"Invalid side given by {side=}")
+        return (element, idx)
+    return _get_corner_dof(mesh, children[side.value - 1], side)
+
+
+def _edge_vandermonde(nodal_vals: np.ndarray) -> np.ndarray:
+    """Edge-basis values from nodal-basis values (cumulative differences)."""
+    diffs = nodal_vals[:-1, :] - nodal_vals[+1:, :]
+    return np.stack(
+        list(accumulate(diffs[..., i] for i in range(diffs.shape[-1] - 1))),
+        axis=-1,
+        dtype=np.float64,
+    )
+
+
+def _get_side_dof_nodes(
+    mesh: Mesh, element: int, side: ElementSide, order: UnknownFormOrder, /
+) -> list[ElementConstraint]:
+    """Leaf DoFs along a side plus their positions on the parent's side.
+
+    The ``coeffs`` member holds the position of each DoF's defining node in
+    the parent side's [-1, 1] coordinate (halved and shifted per child level).
+    """
+    children = mesh.get_element_children(element)
+    if children is not None:
+        c1, c2 = element_node_children_on_side(side, children)
+        dofs1 = _get_side_dof_nodes(mesh, c1, side, order)
+        dofs2 = _get_side_dof_nodes(mesh, c2, side, order)
+        if order == UnknownFormOrder.FORM_ORDER_0:
+            # Drop the duplicated shared node (first of the second child).
+            dofs2[0] = ElementConstraint(
+                dofs2[0].i_e, dofs2[0].dofs[1:], dofs2[0].coeffs[1:]
+            )
+        elif order == UnknownFormOrder.FORM_ORDER_1:
+            # Only the positions are nodal; drop the duplicated position.
+            dofs2[0] = ElementConstraint(
+                dofs2[0].i_e, dofs2[0].dofs, dofs2[0].coeffs[1:]
+            )
+        else:
+            raise AssertionError
+        return [
+            ElementConstraint(d.i_e, d.dofs, (d.coeffs - 1) / 2) for d in dofs1
+        ] + [ElementConstraint(d.i_e, d.dofs, (d.coeffs + 1) / 2) for d in dofs2]
+
+    n1, n2 = mesh.get_leaf_orders(element)
+    indices = element_boundary_dofs(side, order, n1, n2)
+    side_order = (n1, n2)[(side.value - 1) & 1]
+    return [
+        ElementConstraint(
+            mesh.get_leaf_index(element), indices, compute_gll(side_order)[0]
+        )
+    ]
+
+
+def _get_side_dofs(
+    mesh: Mesh,
+    element: int,
+    side: ElementSide,
+    form_order: UnknownFormOrder,
+    output_order: int | None = None,
+    /,
+) -> tuple[Constraint, ...]:
+    """Express the side's "virtual" DoFs in terms of leaf element DoFs."""
+    self_order = get_side_order(mesh, element, side)
+    if output_order is None:
+        output_order = self_order
+
+    if mesh.get_element_children(element) is None and output_order == self_order:
+        # Leaf with no projection: identity.
+        indices = element_boundary_dofs(side, form_order, *mesh.get_leaf_orders(element))
+        return tuple(
+            Constraint(
+                0.0,
+                ElementConstraint(
+                    mesh.get_leaf_index(element),
+                    np.array([idx], np.uint32),
+                    np.ones(1, np.float64),
+                ),
+            )
+            for idx in indices
+        )
+
+    dofs = _get_side_dof_nodes(mesh, element, side, form_order)
+    self_nodes = compute_gll(self_order)[0]
+    input_nodes = np.concatenate([d.coeffs for d in dofs])
+
+    nodal_basis_vals = lagrange1d(self_nodes, input_nodes)
+    if form_order == UnknownFormOrder.FORM_ORDER_0:
+        m = np.linalg.inv(nodal_basis_vals)
+    elif form_order == UnknownFormOrder.FORM_ORDER_1:
+        m = np.linalg.inv(_edge_vandermonde(nodal_basis_vals))
+    else:
+        raise ValueError("2-forms have no boundary DoFs.")
+
+    if self_order != output_order:
+        output_nodes = compute_gll(output_order)[0]
+        map_nodal = lagrange1d(self_nodes, output_nodes)
+        if form_order == UnknownFormOrder.FORM_ORDER_0:
+            m = map_nodal @ m
+        else:
+            m = _edge_vandermonde(map_nodal) @ m
+
+    constraints: list[Constraint] = []
+    for vrow in m:
+        col_offset = 0
+        elem_constraints: list[ElementConstraint] = []
+        for elem_dofs in dofs:
+            cnt = elem_dofs.dofs.size
+            elem_constraints.append(
+                ElementConstraint(
+                    elem_dofs.i_e,
+                    elem_dofs.dofs,
+                    vrow[col_offset : col_offset + cnt],
+                )
+            )
+            col_offset += cnt
+        assert col_offset == vrow.size
+        constraints.append(Constraint(0.0, *elem_constraints))
+    return tuple(constraints)
+
+
+def connect_corner_based(mesh: Mesh, *pairs: tuple[int, ElementSide]) -> list[Constraint]:
+    """0-form point-continuity constraints through a shared corner."""
+    constraints: list[Constraint] = []
+    e1, s1 = pairs[0]
+    l1, d1 = _get_corner_dof(mesh, e1, s1)
+    for e2, s2 in pairs[1:]:
+        l2, d2 = _get_corner_dof(mesh, e2, s2)
+        constraints.append(
+            Constraint(
+                0.0,
+                ElementConstraint(
+                    mesh.get_leaf_index(l1),
+                    np.array([d1], np.uint32),
+                    np.array([+1], np.float64),
+                ),
+                ElementConstraint(
+                    mesh.get_leaf_index(l2),
+                    np.array([d2], np.uint32),
+                    np.array([-1], np.float64),
+                ),
+            )
+        )
+        l1, d1 = l2, d2
+    return constraints
+
+
+def connect_edge_center(mesh: Mesh, e1: int, e2: int, side: ElementSide) -> list[Constraint]:
+    """0-form continuity at the shared mid-edge corner of split neighbors."""
+    constraints = connect_corner_based(mesh, (e1, side.next), (e2, side))
+    c1 = mesh.get_element_children(e1)
+    c2 = mesh.get_element_children(e2)
+    if c1 is not None:
+        c11, c12 = element_node_children_on_side(side, c1)
+        constraints += connect_edge_center(mesh, c11, c12, side)
+    if c2 is not None:
+        c21, c22 = element_node_children_on_side(side, c2)
+        constraints += connect_edge_center(mesh, c21, c22, side)
+    return constraints
+
+
+def connect_edge_based(
+    mesh: Mesh,
+    e1: int,
+    s1: ElementSide,
+    e2: int,
+    s2: ElementSide,
+    form_order: UnknownFormOrder,
+) -> list[Constraint]:
+    """Continuity of 0-/1-form DoFs across the shared edge of two elements."""
+    assert form_order in (
+        UnknownFormOrder.FORM_ORDER_0,
+        UnknownFormOrder.FORM_ORDER_1,
+    )
+    c1 = mesh.get_element_children(e1)
+    c2 = mesh.get_element_children(e2)
+    constraints: list[Constraint] = []
+    if c1 is not None and c2 is not None:
+        # Both split: recurse pairwise (children meet in reverse order).
+        c11, c12 = element_node_children_on_side(s1, c1)
+        c21, c22 = element_node_children_on_side(s2, c2)
+        constraints_1 = connect_edge_based(mesh, c11, s1, c22, s2, form_order)
+        constraints_2 = connect_edge_based(mesh, c12, s1, c21, s2, form_order)
+        constraints_3: list[Constraint] = []
+        if form_order == UnknownFormOrder.FORM_ORDER_0:
+            constraints_3 = connect_corner_based(
+                mesh,
+                (c11, s1.next),
+                (c12, s1),
+                (c22, s2),
+                (c21, s2.next),
+            )
+        return constraints_1 + constraints_2 + constraints_3
+
+    if form_order == UnknownFormOrder.FORM_ORDER_0:
+        # One side split: pin the hanging mid-edge corner chain.
+        if c1 is not None:
+            c11, c12 = element_node_children_on_side(s1, c1)
+            constraints += connect_edge_center(mesh, c11, c12, s1)
+        elif c2 is not None:
+            c21, c22 = element_node_children_on_side(s2, c2)
+            constraints += connect_edge_center(mesh, c21, c22, s2)
+
+    order_1 = get_side_order(mesh, e1, s1)
+    order_2 = get_side_order(mesh, e2, s2)
+    highest_order = max(order_1, order_2)
+
+    dofs_1 = _get_side_dofs(mesh, e1, s1, form_order, highest_order)
+    dofs_2 = _get_side_dofs(mesh, e2, s2, form_order, highest_order)
+
+    if form_order == UnknownFormOrder.FORM_ORDER_0:
+        # Corners are handled by corner constraints.
+        dofs_1 = dofs_1[1:-1]
+        dofs_2 = dofs_2[1:-1]
+        sign = -1.0
+    else:
+        sgn1 = 1 - (s1.value & 2)  # +1 for bottom/left, -1 for right/top
+        sgn2 = 1 - (s2.value & 2)
+        sign = float(sgn1 * sgn2)
+
+    for d1, d2 in zip(dofs_1, reversed(dofs_2)):
+        constraints.append(
+            Constraint(
+                0.0,
+                *d1.element_constraints,
+                *(
+                    ElementConstraint(dof.i_e, dof.dofs, sign * dof.coeffs)
+                    for dof in d2.element_constraints
+                ),
+            )
+        )
+    return constraints
+
+
+def connect_element_inner(
+    mesh: Mesh, element: int, form_order: UnknownFormOrder
+) -> list[Constraint]:
+    """Continuity constraints between the children inside a split element."""
+    children = mesh.get_element_children(element)
+    if children is None:
+        return []
+    c_bl, c_br, c_tr, c_tl = children
+
+    child_constraints: list[Constraint] = sum(
+        (connect_element_inner(mesh, c, form_order) for c in children), start=[]
+    )
+    edge_constraints = (
+        connect_edge_based(
+            mesh, c_bl, ElementSide.SIDE_RIGHT, c_br, ElementSide.SIDE_LEFT, form_order
+        )
+        + connect_edge_based(
+            mesh, c_br, ElementSide.SIDE_TOP, c_tr, ElementSide.SIDE_BOTTOM, form_order
+        )
+        + connect_edge_based(
+            mesh, c_tr, ElementSide.SIDE_LEFT, c_tl, ElementSide.SIDE_RIGHT, form_order
+        )
+        + connect_edge_based(
+            mesh, c_tl, ElementSide.SIDE_BOTTOM, c_bl, ElementSide.SIDE_TOP, form_order
+        )
+    )
+    corner_constraint: list[Constraint] = []
+    if form_order == UnknownFormOrder.FORM_ORDER_0:
+        corner_constraint = connect_corner_based(
+            mesh,
+            (c_bl, ElementSide.SIDE_TOP),
+            (c_br, ElementSide.SIDE_LEFT),
+            (c_tr, ElementSide.SIDE_BOTTOM),
+            (c_tl, ElementSide.SIDE_RIGHT),
+        )
+    return child_constraints + edge_constraints + corner_constraint
+
+
+def connect_elements(form_specs: ElementFormSpecification, mesh: Mesh) -> list[Constraint]:
+    """All continuity constraints for all forms over the whole mesh."""
+    has_0 = any(o == UnknownFormOrder.FORM_ORDER_0 for o in form_specs.orders)
+    has_1 = any(o == UnknownFormOrder.FORM_ORDER_1 for o in form_specs.orders)
+
+    intra_0: list[Constraint] = []
+    intra_1: list[Constraint] = []
+    for surf_index in range(mesh.primal.n_surfaces):
+        if has_0:
+            intra_0 += connect_element_inner(
+                mesh, surf_index, UnknownFormOrder.FORM_ORDER_0
+            )
+        if has_1:
+            intra_1 += connect_element_inner(
+                mesh, surf_index, UnknownFormOrder.FORM_ORDER_1
+            )
+
+    inter_0: list[Constraint] = []
+    inter_1: list[Constraint] = []
+    for edge_index in range(mesh.primal.n_lines):
+        dual_line = mesh.dual.get_line(edge_index + 1)
+        idx1 = dual_line.begin
+        idx2 = dual_line.end
+        if not idx1 or not idx2:
+            continue  # boundary line: left to BCs
+        surf_1 = mesh.primal.get_surface(idx1)
+        surf_2 = mesh.primal.get_surface(idx2)
+        side_1 = find_surface_boundary_id_line(surf_1, edge_index)
+        side_2 = find_surface_boundary_id_line(surf_2, edge_index)
+        if has_0:
+            inter_0 += connect_edge_based(
+                mesh, idx1.index, side_1, idx2.index, side_2,
+                UnknownFormOrder.FORM_ORDER_0,
+            )
+        if has_1:
+            inter_1 += connect_edge_based(
+                mesh, idx1.index, side_1, idx2.index, side_2,
+                UnknownFormOrder.FORM_ORDER_1,
+            )
+
+    inter_corner_0: list[Constraint] = []
+    if has_0:
+        for node_index in range(mesh.primal.n_points):
+            dual_surf = mesh.dual.get_surface(node_index + 1)
+            element_indices: list[int] = []
+            for dual_line_id in iter(dual_surf):
+                dual_line = mesh.dual.get_line(dual_line_id)
+                primal_line = mesh.primal.get_line(dual_line_id)
+                assert primal_line.begin.index == node_index
+                e_idx = dual_line.begin
+                if not e_idx:
+                    continue
+                element_indices.append(e_idx.index)
+            if len(element_indices) <= 1:
+                continue
+            inter_corner_0 += connect_corner_based(
+                mesh,
+                *(
+                    (ie, _find_surface_boundary_id_node(mesh, ie, node_index))
+                    for ie in element_indices
+                ),
+            )
+
+    combined_0 = intra_0 + inter_0 + inter_corner_0
+    combined_1 = intra_1 + inter_1
+
+    real_constraints: list[Constraint] = []
+    for i_form, form in enumerate(form_specs.orders):
+        if form == UnknownFormOrder.FORM_ORDER_0:
+            base = combined_0
+        elif form == UnknownFormOrder.FORM_ORDER_1:
+            base = combined_1
+        else:
+            continue
+        if i_form != 0:
+            real_constraints += [
+                Constraint(
+                    0.0,
+                    *(
+                        ElementConstraint(
+                            ec.i_e,
+                            ec.dofs
+                            + form_specs.form_offset(
+                                i_form,
+                                *mesh.get_leaf_orders(mesh.find_leaf_by_index(ec.i_e)),
+                            ),
+                            ec.coeffs,
+                        )
+                        for ec in constraint.element_constraints
+                    ),
+                )
+                for constraint in base
+            ]
+        else:
+            real_constraints += base
+    return real_constraints
+
+
+def add_system_constraints(
+    system: KFormSystem,
+    mesh: Mesh,
+    basis_cache: FemCache,
+    constrained_forms: Sequence[tuple[float, KFormUnknown]],
+    boundary_conditions: Sequence[BoundaryCondition2DSteady],
+    leaf_indices: Sequence[int],
+    element_offset: npt.NDArray[np.uint32],
+    linear_vectors: Sequence[npt.NDArray[np.float64]] | None,
+) -> tuple[sp.csr_array | None, npt.NDArray[np.float64]]:
+    """Assemble all constraints into a CSR matrix + RHS values.
+
+    Also adds weak-BC boundary integrals into ``linear_vectors`` in place
+    (reference continuity.py:762-873).
+    """
+    form_specs = system.unknown_forms
+    constrained_form_constraints: dict[KFormUnknown, Constraint] = {}
+    for k, form in constrained_forms:
+        i_unknown = form_specs.index(form)
+        constrained_form_constraints[form] = Constraint(
+            k,
+            *(
+                ElementConstraint(
+                    i,
+                    form_specs.form_offset(i_unknown, *orders)
+                    + np.arange(
+                        form_specs.form_size(i_unknown, *orders), dtype=np.uint32
+                    ),
+                    np.ones(form_specs.form_size(i_unknown, *orders)),
+                )
+                for (i, orders) in (
+                    (i, mesh.get_leaf_orders(leaf_idx))
+                    for i, leaf_idx in enumerate(leaf_indices)
+                )
+            ),
+        )
+
+    if boundary_conditions is None:
+        boundary_conditions = []
+
+    strong_bcs, weak_bcs = mesh_boundary_conditions(
+        [eq.right for eq in system.equations],
+        form_specs,
+        mesh,
+        [
+            [bc for bc in boundary_conditions if bc.form == eq.weight.base_form]
+            for eq in system.equations
+        ],
+        basis_cache,
+    )
+
+    continuity_constraints = connect_elements(form_specs, mesh)
+
+    rows: list[npt.NDArray[np.intp]] = []
+    cols: list[npt.NDArray[np.intp]] = []
+    coefs: list[npt.NDArray[np.float64]] = []
+    vals: list[float] = []
+    ic = 0
+    for constraint in continuity_constraints:
+        vals.append(constraint.rhs)
+        for ec in constraint.element_constraints:
+            offset = int(element_offset[ec.i_e])
+            cols.append(np.asarray(ec.dofs, np.intp) + offset)
+            rows.append(np.full(ec.dofs.size, ic, np.intp))
+            coefs.append(np.asarray(ec.coeffs, np.float64))
+        ic += 1
+
+    for constraint in constrained_form_constraints.values():
+        vals.append(constraint.rhs)
+        for ec in constraint.element_constraints:
+            offset = int(element_offset[ec.i_e])
+            cols.append(np.asarray(ec.dofs, np.intp) + offset)
+            rows.append(np.full(ec.dofs.size, ic, np.intp))
+            coefs.append(np.asarray(ec.coeffs, np.float64))
+        ic += 1
+
+    for ec in strong_bcs:
+        offset = int(element_offset[ec.i_e])
+        for ci, cv in zip(ec.dofs, ec.coeffs):
+            rows.append(np.array([ic], np.intp))
+            cols.append(np.array([int(ci) + offset], np.intp))
+            coefs.append(np.array([1.0]))
+            vals.append(float(cv))
+            ic += 1
+
+    if linear_vectors is not None:
+        for ec in weak_bcs:
+            linear_vectors[ec.i_e][ec.dofs] += ec.coeffs
+
+    if coefs:
+        lagrange_mat = sp.csr_array(
+            (
+                np.concatenate(coefs),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(ic, int(element_offset[-1])),
+        )
+        lagrange_vec = np.array(vals, np.float64)
+    else:
+        lagrange_mat = None
+        lagrange_vec = np.zeros(0, np.float64)
+    return lagrange_mat, lagrange_vec

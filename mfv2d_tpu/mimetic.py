@@ -68,9 +68,12 @@ def element_boundary_dofs(
         if side == ElementSide.SIDE_BOTTOM:
             idx = np.arange(order_1, dtype=np.uint32)
         elif side == ElementSide.SIDE_RIGHT:
+            # Note: the reference (mimetic2d.py:744-750) adds order_2 here,
+            # which is only correct for square orders; the xi-component block
+            # index at i1 = order_1 requires "+ order_1".
             idx = (
                 order_1 * (order_2 + 1)
-                + order_2
+                + order_1
                 + np.arange(order_2, dtype=np.uint32) * (order_1 + 1)
             )
         elif side == ElementSide.SIDE_TOP:

@@ -1,0 +1,363 @@
+"""The main solver entry point: steady/unsteady hybridized MSEM solve.
+
+Orchestrates the full pipeline (reference: python/mfv2d/solve_system_2d.py):
+
+1. compile the k-form system to block op-lists,
+2. bucket the mesh leaves by order and build batched element spaces,
+3. assemble batched element matrices + forcing + Lagrange constraints,
+4. factorize the frozen saddle system once,
+5. run the Picard loop (and the trapezoidal time march when requested),
+6. reconstruct output grids and optionally hp-refine the mesh.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+
+from mfv2d_tpu.compiler import CompiledSystem
+from mfv2d_tpu.kform import KEquation
+from mfv2d_tpu.mesh.quadtree import Mesh
+from mfv2d_tpu.ops.basis import FemCache
+from mfv2d_tpu.progress import HistogramFormat
+from mfv2d_tpu.solver.discretization import discretize_mesh
+from mfv2d_tpu.solver.solve import (
+    FrozenSaddleSolver,
+    SolutionStatistics,
+    SolverSettings,
+    SystemEvaluator,
+    SystemSettings,
+    TimeSettings,
+    VMSSettings,
+    compute_element_dual_from_primal_global,
+    compute_initial_solution,
+    compute_linear_system,
+    find_time_carry_indices,
+    non_linear_solve_run,
+    reconstruct_mesh_from_solution,
+)
+from mfv2d_tpu.system import KFormSystem
+from mfv2d_tpu.vis import ReconstructedGrid
+
+
+def solve_system_2d(
+    mesh: Mesh,
+    system_settings: SystemSettings,
+    solver_settings: SolverSettings = SolverSettings(),
+    time_settings: TimeSettings | None = None,
+    refinement_settings=None,
+    vms_settings: VMSSettings | None = None,
+    *,
+    recon_order: int | None = None,
+    print_residual: bool = False,
+) -> tuple[Sequence[ReconstructedGrid], SolutionStatistics, Mesh]:
+    """Solve the k-form system on the mesh; see the reference docstring.
+
+    Returns reconstructed solution grids (one per sampled time), statistics,
+    and the (possibly refined) mesh.
+    """
+    system = system_settings.system
+
+    if vms_settings is not None:
+        for name, sub in (
+            ("symmetric", vms_settings.symmetric_system),
+            ("nonsymmetric", vms_settings.nonsymmetric_system),
+        ):
+            if sub.unknown_forms != system.unknown_forms:
+                raise ValueError(
+                    f"VMS {name} system does not contain the same forms in the"
+                    " matching order as the full system."
+                )
+        if vms_settings.order_increase > system_settings.over_integration_order:
+            raise ValueError(
+                "VMS order increase exceeds the over-integration order."
+            )
+
+    constrained_forms = system_settings.constrained_forms
+    boundary_conditions = system_settings.boundary_conditions
+    for _, form in constrained_forms:
+        if form not in system.unknown_forms:
+            raise ValueError(
+                f"Form {form} which is to be zeroed is not involved in the system."
+            )
+        if boundary_conditions and form in (bc.form for bc in boundary_conditions):
+            raise ValueError(
+                f"Form {form} can not be zeroed because it is involved in a strong"
+                " boundary condition."
+            )
+
+    basis_cache = FemCache(order_difference=system_settings.over_integration_order)
+
+    if time_settings is not None:
+        if time_settings.sample_rate < 1:
+            raise ValueError("Sample rate can not be less than 1.")
+        if len(time_settings.time_march_relations) < 1:
+            raise ValueError("Problem has no time march relations.")
+        system = update_system_for_time_march(time_settings, system)
+
+    compiled = CompiledSystem(system)
+    disc = discretize_mesh(mesh, system.unknown_forms, basis_cache)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+
+    # Initial conditions
+    if system_settings.initial_conditions:
+        initial_dual, solution = compute_initial_solution(
+            disc, system, system_settings.initial_conditions
+        )
+    else:
+        initial_dual = None
+        solution = np.zeros(disc.n_dofs)
+
+    # Time-carry bookkeeping
+    if time_settings is not None:
+        march_indices = tuple(
+            sorted(
+                system.weight_forms.index(form)
+                for form in time_settings.time_march_relations
+            )
+        )
+        time_carry_index_array = np.concatenate(
+            [
+                find_time_carry_indices(
+                    march_indices,
+                    system.unknown_forms,
+                    *(int(v) for v in disc.element_orders[i]),
+                )
+                + disc.element_offsets[i]
+                for i in range(disc.n_leaves)
+            ]
+        )
+        if initial_dual is not None:
+            old_solution_carry = initial_dual[time_carry_index_array]
+        else:
+            old_solution_carry = np.zeros(time_carry_index_array.size)
+    else:
+        time_carry_index_array = None
+        old_solution_carry = None
+
+    initial_solution = solution if system_settings.initial_conditions else None
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        disc,
+        system,
+        evaluator,
+        constrained_forms,
+        boundary_conditions if boundary_conditions is not None else [],
+        initial_solution,
+    )
+
+    explicit_vec = forcing
+    if lagrange_mat is not None:
+        explicit_vec = np.concatenate((forcing, lagrange_vec))
+
+    if time_settings is not None:
+        assert time_carry_index_array is not None
+        time_carry_term = explicit_vec[time_carry_index_array]
+    else:
+        time_carry_term = None
+
+    solver = FrozenSaddleSolver(evaluator.matrices_per_leaf(matrices), lagrange_mat)
+
+    if vms_settings is not None:
+        from mfv2d_tpu.solver.vms import SuyashGreenOperator
+
+        sg_operator = SuyashGreenOperator(
+            system,
+            vms_settings,
+            disc,
+            evaluator,
+            constrained_forms,
+            boundary_conditions,
+        )
+    else:
+        sg_operator = None
+
+    resulting_grids: list[ReconstructedGrid] = []
+    grid = reconstruct_mesh_from_solution(disc, recon_order, solution)
+    grid.field_data["time"] = np.array([0.0])
+    resulting_grids.append(grid)
+
+    global_lagrange = np.zeros_like(lagrange_vec)
+    max_mag = float(np.abs(explicit_vec).max())
+
+    conv = solver_settings.convergence
+    max_iterations = conv.maximum_iterations
+    relax = solver_settings.relaxation
+    atol = conv.absolute_tolerance
+    rtol = conv.relative_tolerance
+    fine_scales = None
+
+    if time_settings is not None:
+        nt = time_settings.nt
+        dt = time_settings.dt
+        changes = np.zeros(nt)
+        iters = np.zeros(nt, np.uint32)
+        for time_index in range(nt):
+            assert old_solution_carry is not None and time_carry_term is not None
+            current_carry = 2 / dt * old_solution_carry + time_carry_term
+
+            solution, global_lagrange, iter_cnt, max_residual, fine_scales = (
+                non_linear_solve_run(
+                    max_iterations,
+                    relax,
+                    atol,
+                    rtol,
+                    print_residual,
+                    evaluator,
+                    explicit_vec,
+                    time_carry_index_array,
+                    current_carry,
+                    solution,
+                    global_lagrange,
+                    max_mag,
+                    solver,
+                    lagrange_mat,
+                    fine_scales,
+                    sg_operator,
+                    False,
+                )
+            )
+            changes[time_index] = float(max_residual)
+            iters[time_index] = iter_cnt
+
+            projected = compute_element_dual_from_primal_global(disc, solution)
+            new_solution_carry = projected[time_carry_index_array]
+            time_carry_term = (
+                2 / dt * (new_solution_carry - old_solution_carry) - time_carry_term
+            )
+            old_solution_carry = new_solution_carry
+
+            if (time_index % time_settings.sample_rate) == 0 or time_index + 1 == nt:
+                grid = reconstruct_mesh_from_solution(
+                    disc, recon_order, solution, fine_scales
+                )
+                grid.field_data["time"] = np.array([(time_index + 1) * dt])
+                resulting_grids.append(grid)
+
+            if print_residual:
+                print(
+                    f"Time step {time_index:d} finished in {iter_cnt:d} iterations"
+                    f" with residual of {float(max_residual):.5e}"
+                )
+    else:
+        solution, global_lagrange, iter_cnt, all_residuals, fine_scales = (
+            non_linear_solve_run(
+                max_iterations,
+                relax,
+                atol,
+                rtol,
+                print_residual,
+                evaluator,
+                explicit_vec,
+                None,
+                None,
+                solution,
+                global_lagrange,
+                max_mag,
+                solver,
+                lagrange_mat,
+                fine_scales,
+                sg_operator,
+                True,
+            )
+        )
+        changes = np.asarray(all_residuals)[:iter_cnt]
+        iters = np.array((iter_cnt,), np.uint32)
+        grid = reconstruct_mesh_from_solution(disc, recon_order, solution, fine_scales)
+        resulting_grids.append(grid)
+
+    mesh_orders = disc.element_orders
+    orders, counts = np.unique(mesh_orders, axis=0, return_counts=True)
+    stats = SolutionStatistics(
+        element_orders={
+            (int(o[0]), int(o[1])): int(c) for o, c in zip(orders, counts)
+        },
+        n_total_dofs=explicit_vec.size,
+        n_lagrange=int(lagrange_vec.size),
+        n_elems=mesh.element_count,
+        n_leaves=mesh.leaf_count,
+        n_leaf_dofs=disc.n_dofs,
+        iter_history=iters,
+        residual_history=np.asarray(changes),
+    )
+
+    if refinement_settings is not None:
+        from mfv2d_tpu.refinement import perform_mesh_refinement
+
+        if refinement_settings.report_order_distribution:
+            order_hist = HistogramFormat(5, 60, 5, label_format=lambda x: f"{x:.1f}")
+            geo_order = np.linalg.norm(mesh_orders, axis=1) / np.sqrt(2)
+            print("Initial mesh order distribution\n" + "=" * 60)
+            print(order_hist.format(geo_order))
+            print("=" * 60)
+
+        output_mesh, error_estimates, h_ref_cost = perform_mesh_refinement(
+            disc,
+            solution,
+            system,
+            evaluator,
+            refinement_settings.error_estimate,
+            refinement_settings.h_refinement_ratio,
+            refinement_settings.refinement_limit,
+            refinement_settings.report_error_distribution,
+            system_settings.boundary_conditions,
+            refinement_settings.upper_order_limit,
+            refinement_settings.lower_order_limit,
+            system_settings.constrained_forms,
+        )
+        resulting_grids[-1].cell_data["error_estimate"] = error_estimates
+        resulting_grids[-1].cell_data["h_ref_cost_estimate"] = h_ref_cost
+        if refinement_settings.report_order_distribution:
+            geo_order = np.linalg.norm(
+                [
+                    output_mesh.get_leaf_orders(int(ie))
+                    for ie in output_mesh.get_leaf_indices()
+                ],
+                axis=1,
+            ) / np.sqrt(2)
+            print("Refined mesh order distribution\n" + "=" * 60)
+            print(order_hist.format(geo_order))
+            print("=" * 60)
+    else:
+        output_mesh = mesh
+
+    return tuple(resulting_grids), stats, output_mesh
+
+
+def update_system_for_time_march(
+    time_settings: TimeSettings, system: KFormSystem
+) -> KFormSystem:
+    """Add the 2/dt <w, u> terms of the trapezoidal rule to marched equations."""
+    for w, u in time_settings.time_march_relations.items():
+        if u not in system.unknown_forms:
+            raise ValueError(f"Unknown form {u} is not in the system.")
+        if w not in system.weight_forms:
+            raise ValueError(f"Weight form {w} is not in the system.")
+        if u.order != w.order:
+            raise ValueError(
+                f"Forms {u} and {w} in the time march relation can not be used, as"
+                f" they have differing orders ({u.order} vs {w.order})."
+            )
+
+    time_march_indices = tuple(
+        (
+            system.unknown_forms.index(time_settings.time_march_relations[eq.weight])
+            if eq.weight in time_settings.time_march_relations
+            else None
+        )
+        for eq in system.equations
+    )
+
+    new_equations: list[KEquation] = []
+    for eq, m_idx in zip(system.equations, time_march_indices):
+        if m_idx is None:
+            new_equations.append(eq)
+        else:
+            new_equations.append(
+                eq.left
+                + 2
+                / time_settings.dt
+                * (system.weight_forms[m_idx] @ system.unknown_forms.get_form(m_idx))
+                == eq.right
+            )
+    return KFormSystem(*new_equations)

@@ -1,0 +1,545 @@
+"""Assembly of the global system and the nonlinear (Picard) solve loop.
+
+Structure mirrors the reference solver (python/mfv2d/solve_system.py): the
+element LHS is assembled once into a frozen saddle-point factorization; each
+iteration re-evaluates the element residual with the current solution (the
+nonlinear terms enter only through the residual — defect correction).  All
+per-element work runs as batched, jitted device computations over the order
+buckets; only the sparse factorization is host-side (scipy SuperLU), with a
+dense on-device factorization available for small systems.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.typing as npt
+import scipy.sparse as sp
+from scipy.sparse import linalg as sla
+
+from mfv2d_tpu.boundary import BoundaryCondition2DSteady
+from mfv2d_tpu.compiler import CompiledSystem, SystemBlocks
+from mfv2d_tpu.continuity import add_system_constraints
+from mfv2d_tpu.evaluation import (
+    ElementBatch,
+    compute_element_matrices,
+    compute_element_vectors,
+    evaluate_static_fields,
+)
+from mfv2d_tpu.kform import (
+    KElementProjection,
+    KFormUnknown,
+    KWeight,
+    UnknownFormOrder,
+)
+from mfv2d_tpu.mimetic import vtk_lagrange_ordering
+from mfv2d_tpu.ops.geometry import physical_coordinates
+from mfv2d_tpu.projection import element_dual_dofs, reconstruct
+from mfv2d_tpu.progress import ProgressTracker
+from mfv2d_tpu.solver.discretization import Discretization, OrderBucket
+from mfv2d_tpu.system import ElementFormSpecification, KFormSystem
+from mfv2d_tpu.vis import VTK_LAGRANGE_QUADRILATERAL, ReconstructedGrid
+
+
+@dataclass(frozen=True)
+class ConvergenceSettings:
+    """Convergence criteria of an iterative solver."""
+
+    maximum_iterations: int = 100
+    absolute_tolerance: float = 1e-6
+    relative_tolerance: float = 1e-5
+
+
+@dataclass(frozen=True)
+class SolverSettings:
+    """Nonlinear solver settings (reference solve_system.py:554-601)."""
+
+    convergence: ConvergenceSettings = ConvergenceSettings()
+    relaxation: float = 1.0
+
+
+@dataclass(frozen=True)
+class TimeSettings:
+    """Trapezoidal time-march settings (reference solve_system.py:485-509)."""
+
+    dt: float
+    nt: int
+    time_march_relations: Mapping[KWeight, KFormUnknown]
+    sample_rate: int = 1
+
+
+@dataclass(frozen=True)
+class SystemSettings:
+    """System, boundary conditions, constraints and initial conditions."""
+
+    system: KFormSystem
+    boundary_conditions: Sequence[BoundaryCondition2DSteady] = field(
+        default_factory=tuple
+    )
+    constrained_forms: Sequence[tuple[float, KFormUnknown]] = field(
+        default_factory=tuple
+    )
+    initial_conditions: Mapping[KFormUnknown, Callable] = field(default_factory=dict)
+    over_integration_order: int = 3
+
+
+@dataclass(frozen=True)
+class VMSSettings:
+    """Variational multi-scale fine-scale estimation settings."""
+
+    symmetric_system: KFormSystem
+    nonsymmetric_system: KFormSystem
+    order_increase: int
+    fine_scale_convergence: ConvergenceSettings
+    relaxation: float = 1.0
+
+
+@dataclass(frozen=True)
+class SolutionStatistics:
+    """Solve statistics (reference solve_system.py:620-631)."""
+
+    element_orders: dict[tuple[int, int], int]
+    n_total_dofs: int
+    n_leaf_dofs: int
+    n_lagrange: int
+    n_elems: int
+    n_leaves: int
+    iter_history: npt.NDArray[np.uint32]
+    residual_history: npt.NDArray[np.float64]
+
+
+# ---------------------------------------------------------------------------
+# RHS assembly
+# ---------------------------------------------------------------------------
+
+
+def compute_element_rhs_bucket(system: KFormSystem, bucket: OrderBucket) -> np.ndarray:
+    """Explicit forcing projections for one bucket: ``[E, N]``."""
+    p1, p2 = bucket.orders
+    parts: list[np.ndarray] = []
+    for eq in system.equations:
+        n = eq.weight.order.full_unknown_count(p1, p2)
+        acc = np.zeros((bucket.batch.n_elements, n))
+        for k, f in eq.right.explicit_terms:
+            if not isinstance(f, KElementProjection) or f.func is None:
+                continue
+            acc += float(k) * np.asarray(
+                element_dual_dofs(eq.weight.order, bucket.batch, f.func)
+            )
+        parts.append(acc)
+    return np.concatenate(parts, axis=1)
+
+
+def compute_forcing_vector(disc: Discretization, system: KFormSystem) -> np.ndarray:
+    """Global explicit forcing vector over all buckets."""
+    out = np.zeros(disc.n_dofs)
+    for bucket in disc.buckets:
+        out[bucket.gather] = compute_element_rhs_bucket(system, bucket)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched residual / matrix evaluation
+# ---------------------------------------------------------------------------
+
+
+class SystemEvaluator:
+    """Jitted per-bucket evaluation of element matrices and residuals.
+
+    Static (callable) interior-product fields are host-evaluated once per
+    bucket; unknown-form fields are reconstructed inside the trace from the
+    DoFs argument, so the jitted residual stays valid across Picard
+    iterations and time steps.
+    """
+
+    def __init__(
+        self,
+        form_spec: ElementFormSpecification,
+        compiled: CompiledSystem,
+        disc: Discretization,
+    ) -> None:
+        self.form_spec = form_spec
+        self.compiled = compiled
+        self.disc = disc
+        self._static_fields = [
+            evaluate_static_fields(bucket.batch, compiled.fields)
+            for bucket in disc.buckets
+        ]
+        self._vec_fns: dict[tuple[int, int], Callable] = {}
+
+    def _vector_fn(self, i_bucket: int, which: str) -> Callable:
+        key = (i_bucket, 0 if which == "lhs" else 1)
+        if key not in self._vec_fns:
+            blocks = (
+                self.compiled.lhs_blocks if which == "lhs" else self.compiled.rhs_blocks
+            )
+            bucket = self.disc.buckets[i_bucket]
+            statics = self._static_fields[i_bucket]
+
+            @jax.jit
+            def fn(dofs):
+                return compute_element_vectors(
+                    self.form_spec,
+                    blocks,
+                    bucket.batch,
+                    dofs,
+                    static_fields=statics,
+                    field_keys=self.compiled.fields,
+                )
+
+            self._vec_fns[key] = fn
+        return self._vec_fns[key]
+
+    def element_matrices(
+        self, which: SystemBlocks, solution: np.ndarray | None = None
+    ) -> list[np.ndarray]:
+        """Batched element matrices per bucket for the given block set."""
+        out = []
+        for i, bucket in enumerate(self.disc.buckets):
+            dofs = (
+                jnp.asarray(solution[bucket.gather]) if solution is not None else None
+            )
+            out.append(
+                np.asarray(
+                    compute_element_matrices(
+                        self.form_spec,
+                        which,
+                        bucket.batch,
+                        dofs=dofs,
+                        static_fields=self._static_fields[i],
+                        field_keys=self.compiled.fields,
+                    )
+                )
+            )
+        return out
+
+    def residual_value(self, solution: np.ndarray) -> np.ndarray:
+        """Element-wise LHS(u) - RHS(u) evaluation, scattered globally."""
+        out = np.zeros(self.disc.n_dofs)
+        for i, bucket in enumerate(self.disc.buckets):
+            dofs = jnp.asarray(solution[bucket.gather])
+            val = self._vector_fn(i, "lhs")(dofs)
+            if self.compiled.rhs_blocks is not None:
+                val = val - self._vector_fn(i, "rhs")(dofs)
+            out[bucket.gather] = np.asarray(val)
+        return out
+
+    def matrices_per_leaf(self, matrices: list[np.ndarray]) -> list[np.ndarray]:
+        """Reorder per-bucket matrix batches into leaf order."""
+        out: list[np.ndarray | None] = [None] * self.disc.n_leaves
+        for bucket, mats in zip(self.disc.buckets, matrices):
+            for j, rank in enumerate(bucket.leaf_ranks):
+                out[int(rank)] = mats[j]
+        assert all(m is not None for m in out)
+        return out  # type: ignore[return-value]
+
+
+# ---------------------------------------------------------------------------
+# Linear system assembly + factorization
+# ---------------------------------------------------------------------------
+
+
+def compute_linear_system(
+    disc: Discretization,
+    system: KFormSystem,
+    evaluator: SystemEvaluator,
+    constrained_forms: Sequence[tuple[float, KFormUnknown]],
+    boundary_conditions: Sequence[BoundaryCondition2DSteady],
+    initial_solution: np.ndarray | None,
+):
+    """Forcing vector, element matrices, and Lagrange constraint block."""
+    forcing = compute_forcing_vector(disc, system)
+    # Per-leaf views for the in-place weak-BC additions.
+    linear_vectors = [
+        forcing[disc.element_offsets[i] : disc.element_offsets[i + 1]]
+        for i in range(disc.n_leaves)
+    ]
+    matrices = evaluator.element_matrices(
+        evaluator.compiled.lhs_blocks, initial_solution
+    )
+    lagrange_mat, lagrange_vec = add_system_constraints(
+        system,
+        disc.mesh,
+        disc.basis_cache,
+        constrained_forms,
+        boundary_conditions,
+        disc.leaf_indices,
+        disc.element_offsets,
+        linear_vectors,
+    )
+    return forcing, matrices, lagrange_mat, lagrange_vec
+
+
+class FrozenSaddleSolver:
+    """LU factorization of [[A, G^T], [G, 0]] reused across iterations.
+
+    A is block-diagonal over elements.  Host scipy SuperLU by default; the
+    matrix-free device path lives in :mod:`mfv2d_tpu.solver.iterative`.
+    """
+
+    def __init__(
+        self,
+        element_matrices_per_leaf: list[np.ndarray],
+        lagrange_mat: sp.csr_array | None,
+    ) -> None:
+        main_mat = sp.block_diag(element_matrices_per_leaf, format="csr")
+        if lagrange_mat is not None:
+            main_mat = sp.block_array(
+                ((main_mat, lagrange_mat.T), (lagrange_mat, None)), format="csr"
+            )
+        self.n_lagrange = 0 if lagrange_mat is None else lagrange_mat.shape[0]
+        self._decomp = sla.splu(sp.csc_matrix(main_mat))
+
+    def solve(self, rhs: np.ndarray) -> np.ndarray:
+        return np.asarray(self._decomp.solve(rhs), np.float64)
+
+
+def non_linear_solve_run(
+    max_iterations: int,
+    relax: float,
+    atol: float,
+    rtol: float,
+    print_residual: bool,
+    evaluator: SystemEvaluator,
+    explicit_vec: np.ndarray,
+    time_carry_index_array: np.ndarray | None,
+    time_carry_term: np.ndarray | None,
+    solution: np.ndarray,
+    global_lagrange: np.ndarray,
+    max_mag: float,
+    solver: FrozenSaddleSolver,
+    lagrange_mat: sp.csr_array | None,
+    fine_scales: np.ndarray | None = None,
+    sg_operator=None,
+    return_all_residuals: bool = False,
+):
+    """Picard / defect-correction iteration (reference solve_system.py:354).
+
+    residual = forcing - (LHS(u) - RHS(u)) - G^T lambda  (plus VMS fine-scale
+    forcing when enabled); update = frozen-LU solve of the residual.
+    """
+    progress_tracker: ProgressTracker | None = None
+    iter_cnt = 0
+    base_vec = np.array(explicit_vec, copy=True)
+    if time_carry_term is not None:
+        assert time_carry_index_array is not None
+        base_vec[time_carry_index_array] += time_carry_term
+    residuals = np.zeros(max_iterations)
+    max_residual = 0.0
+    unresolved_scales = fine_scales
+
+    while iter_cnt < max_iterations:
+        main_value = evaluator.residual_value(solution)
+        if lagrange_mat is not None:
+            main_value = main_value + lagrange_mat.T @ global_lagrange
+            main_value = np.concatenate((main_value, lagrange_mat @ solution))
+
+        residual = base_vec - main_value
+        if sg_operator is not None:
+            sg_operator.update_nonlinear_advection(solution)
+            unresolved_scales = sg_operator.compute_unresolved_contributions(
+                solution, unresolved_scales
+            )
+            residual -= sg_operator.fine_results_to_coarse_dofs(
+                unresolved_scales, dual=True
+            )
+
+        max_residual = float(np.abs(residual).max())
+        residuals[iter_cnt] = max_residual
+        if print_residual:
+            if progress_tracker is None:
+                progress_tracker = ProgressTracker(
+                    atol, max_residual, max_residual, max_iterations, err_width=20
+                )
+            else:
+                progress_tracker.update_iteration(max_residual)
+            print(progress_tracker.state_str("{} - {} | {}"), end="\r")
+
+        if not (max_residual > atol and max_residual > max_mag * rtol):
+            break
+
+        d_solution = solver.solve(residual)
+        if len(global_lagrange):
+            solution = solution + relax * d_solution[: -global_lagrange.size]
+            global_lagrange = global_lagrange + relax * d_solution[-global_lagrange.size :]
+        else:
+            solution = solution + relax * d_solution
+        iter_cnt += 1
+
+    if not return_all_residuals:
+        return (
+            solution,
+            global_lagrange,
+            iter_cnt,
+            np.array(max_residual),
+            unresolved_scales,
+        )
+    return solution, global_lagrange, iter_cnt, residuals, unresolved_scales
+
+
+# ---------------------------------------------------------------------------
+# DoF conversions and time-march helpers
+# ---------------------------------------------------------------------------
+
+
+def compute_element_dual_from_primal_global(
+    disc: Discretization, primal: np.ndarray
+) -> np.ndarray:
+    """Apply the per-form mass matrices to the whole solution vector."""
+    out = np.zeros_like(primal)
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        offsets = disc.form_spec.form_offsets(p1, p2)
+        dofs = jnp.asarray(primal[bucket.gather])
+        parts = []
+        for i in range(len(disc.form_spec)):
+            m = bucket.batch.mass(disc.form_spec[i][1], False)
+            v = dofs[:, offsets[i] : offsets[i + 1]]
+            parts.append(jnp.einsum("eij,ej->ei", m, v))
+        out[bucket.gather] = np.asarray(jnp.concatenate(parts, axis=1))
+    return out
+
+
+def compute_element_primal_from_dual_global(
+    disc: Discretization, dual: np.ndarray
+) -> np.ndarray:
+    """Apply the per-form inverse mass matrices to the whole vector."""
+    out = np.zeros_like(dual)
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        offsets = disc.form_spec.form_offsets(p1, p2)
+        dofs = jnp.asarray(dual[bucket.gather])
+        parts = []
+        for i in range(len(disc.form_spec)):
+            m = bucket.batch.mass(disc.form_spec[i][1], False)
+            v = dofs[:, offsets[i] : offsets[i + 1]]
+            parts.append(jnp.linalg.solve(m, v[..., None])[..., 0])
+        out[bucket.gather] = np.asarray(jnp.concatenate(parts, axis=1))
+    return out
+
+
+def compute_initial_solution(
+    disc: Discretization,
+    system: KFormSystem,
+    initial_conditions: Mapping[KFormUnknown, Callable],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Project initial conditions: returns (dual dofs, primal dofs)."""
+    dual = np.zeros(disc.n_dofs)
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        offsets = disc.form_spec.form_offsets(p1, p2)
+        parts = []
+        for i, form in enumerate(disc.form_spec.iter_forms()):
+            n = offsets[i + 1] - offsets[i]
+            func = initial_conditions.get(form)
+            if func is None:
+                parts.append(np.zeros((bucket.batch.n_elements, n)))
+            else:
+                parts.append(
+                    np.asarray(element_dual_dofs(form.order, bucket.batch, func))
+                )
+        dual[bucket.gather] = np.concatenate(parts, axis=1)
+    primal = compute_element_primal_from_dual_global(disc, dual)
+    return dual, primal
+
+
+def find_time_carry_indices(
+    unknowns: Sequence[int],
+    form_specs: ElementFormSpecification,
+    order_1: int,
+    order_2: int,
+) -> npt.NDArray[np.uint32]:
+    """DoF indices (within one element) carried by the time march."""
+    output: list[npt.NDArray[np.uint32]] = []
+    for iu, u in enumerate(unknowns):
+        assert iu == 0 or unknowns[iu - 1] < u, "Unknowns must be sorted."
+        offset = form_specs.form_offset(u, order_1, order_2)
+        size = form_specs.form_size(u, order_1, order_2)
+        output.append(offset + np.arange(size, dtype=np.uint32))
+    return np.concatenate(output, dtype=np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Output reconstruction
+# ---------------------------------------------------------------------------
+
+
+def reconstruct_mesh_from_solution(
+    disc: Discretization,
+    recon_order: int | None,
+    solution: np.ndarray,
+    vms_solution: np.ndarray | None = None,
+) -> ReconstructedGrid:
+    """Sample every form on a per-element nodal grid (VTK Lagrange cells)."""
+    form_spec = disc.form_spec
+    xvals: list[np.ndarray] = []
+    yvals: list[np.ndarray] = []
+    order_list: list[tuple[int, int]] = []
+    cell_arrays: list[np.ndarray] = []
+    node_cnt = 0
+    build: dict[str, list[np.ndarray]] = {n: [] for n in form_spec.names}
+    vms_build: dict[str, list[np.ndarray]] = (
+        {n: [] for n in form_spec.names} if vms_solution is not None else {}
+    )
+
+    for i_leaf in range(disc.n_leaves):
+        p1, p2 = (int(v) for v in disc.element_orders[i_leaf])
+        orders = (p1, p2)
+        order_list.append(orders)
+        ro = max(orders) if recon_order is None else recon_order
+        nodes = np.linspace(-1.0, 1.0, ro + 1)
+        corners = disc.mesh.get_leaf_corners(disc.leaf_indices[i_leaf])
+        basis = disc.basis_cache.get_basis2d(p1, p2)
+        ordering = vtk_lagrange_ordering(ro).astype(np.int64) + node_cnt
+        cell_arrays.append(np.concatenate(((ordering.size,), ordering)))
+        node_cnt += ordering.size
+        ex, ey = physical_coordinates(corners, nodes[None, :], nodes[:, None])
+        xvals.append(np.asarray(ex).ravel())
+        yvals.append(np.asarray(ey).ravel())
+
+        e0 = disc.element_offsets[i_leaf]
+        element_dofs = solution[e0 : e0 + disc.element_sizes[i_leaf]]
+        for idx, (name, order) in enumerate(form_spec):
+            off = form_spec.form_offset(idx, p1, p2)
+            size = form_spec.form_size(idx, p1, p2)
+            vals = reconstruct(
+                corners,
+                basis,
+                order,
+                element_dofs[off : off + size],
+                nodes[None, :],
+                nodes[:, None],
+            )
+            shape = (-1, 2) if order == UnknownFormOrder.FORM_ORDER_1 else (-1,)
+            build[name].append(np.reshape(vals, shape))
+            if vms_solution is not None:
+                # Fine-scale values are dual DoFs; convert via mass inverse.
+                vdofs = vms_solution[e0 : e0 + disc.element_sizes[i_leaf]][
+                    off : off + size
+                ]
+                batch = ElementBatch(basis, corners[None])
+                m = np.asarray(batch.mass(order, False))[0]
+                vdofs = np.linalg.solve(m, vdofs)
+                vvals = reconstruct(
+                    corners, basis, order, vdofs, nodes[None, :], nodes[:, None]
+                )
+                vms_build[name].append(np.reshape(vvals, shape))
+
+    points = np.stack(
+        [np.concatenate(xvals), np.concatenate(yvals), np.zeros(node_cnt)], axis=1
+    )
+    grid = ReconstructedGrid(
+        points=points,
+        cells=np.concatenate(cell_arrays).astype(np.int64),
+        cell_types=np.full(disc.n_leaves, VTK_LAGRANGE_QUADRILATERAL, np.uint8),
+    )
+    for name in build:
+        grid.point_data[name] = np.concatenate(build[name], axis=0)
+    for name in vms_build:
+        grid.point_data["vms-" + name] = np.concatenate(vms_build[name], axis=0)
+    grid.cell_data["orders"] = np.array(order_list)
+    return grid

@@ -1,0 +1,145 @@
+"""End-to-end steady solves with manufactured solutions.
+
+Mirrors the reference example problems (examples/steady/): mixed Poisson with
+weak BCs and direct Poisson with strong BCs, checking spectral convergence.
+"""
+
+import numpy as np
+import pytest
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.mimetic import integrate_over_elements
+
+
+def u_exact(x, y):
+    return 2 * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y) + 5
+
+
+def grad_u_exact(x, y):
+    return np.stack(
+        (
+            -np.pi * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y),
+            -np.pi * np.cos(np.pi / 2 * x) * np.sin(np.pi / 2 * y),
+        ),
+        axis=-1,
+    )
+
+
+def curl_u_exact(x, y):
+    """Rotated gradient (the 1-form du of a 0-form u in flux convention)."""
+    return np.stack(
+        (
+            -np.pi * np.cos(np.pi / 2 * x) * np.sin(np.pi / 2 * y),
+            +np.pi * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y),
+        ),
+        axis=-1,
+    )
+
+
+def source_exact(x, y):
+    return -(np.pi**2) * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+
+def _l2_error_from_grid(grid, name, exact, mesh, orders=10):
+    """L2 error by sampling the named form on the output grid points."""
+    vals = grid.point_data[name]
+    x = grid.points[:, 0]
+    y = grid.points[:, 1]
+    err = vals - exact(x, y) if vals.ndim == 1 else np.linalg.norm(
+        vals - exact(x, y), axis=-1
+    )
+    return float(np.sqrt(np.mean(err**2)))
+
+
+def _solve_mixed_poisson(mesh, p):
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    solution, stats, _ = mf.solve_system_2d(
+        mesh,
+        system_settings=mf.SystemSettings(system),
+        solver_settings=mf.SolverSettings(
+            mf.ConvergenceSettings(absolute_tolerance=1e-10, relative_tolerance=0)
+        ),
+        recon_order=12,
+    )
+    return solution[-1], stats
+
+
+def test_mixed_poisson_spectral_convergence():
+    errors = []
+    for p in (1, 3, 5):
+        mesh = mf.examples.unit_square_mesh(4, 4, p)
+        grid, stats = _solve_mixed_poisson(mesh, p)
+        err = _l2_error_from_grid(grid, "u", u_exact, mesh)
+        errors.append(err)
+        assert stats.iter_history[-1] <= 2  # linear: one iteration
+    # Spectral decay: each step of 2 in p gains at least ~2 orders.
+    assert errors[1] < errors[0] * 1e-2
+    assert errors[2] < errors[1] * 1e-2
+    assert errors[2] < 1e-5
+
+
+def test_mixed_poisson_gradient_accuracy():
+    mesh = mf.examples.unit_square_mesh(4, 4, 4)
+    grid, _ = _solve_mixed_poisson(mesh, 4)
+    err_q = _l2_error_from_grid(grid, "q", grad_u_exact, mesh)
+    assert err_q < 1e-3
+
+
+def test_mixed_poisson_deformed_mesh():
+    def warp(x, y):
+        return x + 0.08 * np.sin(np.pi * y) * np.sin(np.pi * x), y - 0.08 * np.sin(
+            np.pi * x
+        ) * np.sin(np.pi * y)
+
+    mesh = mf.examples.unit_square_mesh(4, 4, 5, deformation=warp)
+    grid, _ = _solve_mixed_poisson(mesh, 5)
+    err = _l2_error_from_grid(grid, "u", u_exact, mesh)
+    assert err < 1e-4
+
+
+def test_direct_poisson_strong_bc():
+    """0-form Poisson with strong Dirichlet BCs on the whole boundary."""
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    p = q.weight
+
+    system = mf.KFormSystem(
+        v.derivative @ u.derivative == -(v @ source_exact) + (v ^ curl_u_exact),
+        p @ u.derivative - p @ q == 0,
+        sorting=lambda f: f.order,
+    )
+
+    mesh = mf.examples.unit_square_mesh(3, 3, 4)
+    bc = mf.BoundaryCondition2DSteady(u, mesh.boundary_indices, u_exact)
+    solution, stats, _ = mf.solve_system_2d(
+        mesh,
+        system_settings=mf.SystemSettings(system, boundary_conditions=[bc]),
+        solver_settings=mf.SolverSettings(
+            mf.ConvergenceSettings(absolute_tolerance=1e-10, relative_tolerance=0)
+        ),
+        recon_order=10,
+    )
+    grid = solution[-1]
+    err = _l2_error_from_grid(grid, "u", u_exact, mesh)
+    assert err < 1e-4
+
+
+def test_anisotropic_orders_mixed_poisson():
+    """Elements with different (p1, p2) exercise multi-bucket assembly."""
+    orders = np.array(
+        [[2, 3], [3, 2], [3, 3], [2, 2], [3, 3], [2, 3], [3, 2], [3, 3], [2, 2]]
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, orders)
+    grid, stats = _solve_mixed_poisson(mesh, None)
+    err = _l2_error_from_grid(grid, "u", u_exact, mesh)
+    assert err < 0.05
+    assert len(stats.element_orders) == 4  # four distinct order pairs
