@@ -377,11 +377,10 @@ def compute_element_matrices(
     """
     p1, p2 = batch.orders
     sizes = form_spec.form_sizes(p1, p2)
-    if field_keys is None:
-        from mfv2d_tpu.compiler import collect_fields
+    from mfv2d_tpu.compiler import collect_fields
 
-        field_keys = collect_fields(blocks)
-    fields = compute_fields(batch, field_keys, form_spec, dofs, static_fields)
+    needed = collect_fields(blocks)
+    fields = compute_fields(batch, needed, form_spec, dofs, static_fields)
 
     rows = []
     for i, row in enumerate(blocks):
@@ -413,11 +412,10 @@ def compute_element_vectors(
     p1, p2 = batch.orders
     sizes = form_spec.form_sizes(p1, p2)
     offsets = form_spec.form_offsets(p1, p2)
-    if field_keys is None:
-        from mfv2d_tpu.compiler import collect_fields
+    from mfv2d_tpu.compiler import collect_fields
 
-        field_keys = collect_fields(blocks)
-    fields = compute_fields(batch, field_keys, form_spec, dofs, static_fields)
+    needed = collect_fields(blocks)
+    fields = compute_fields(batch, needed, form_spec, dofs, static_fields)
 
     rows = []
     for i, row in enumerate(blocks):

@@ -152,7 +152,20 @@ def solve_system_2d(
 
     if time_settings is not None:
         assert time_carry_index_array is not None
-        time_carry_term = explicit_vec[time_carry_index_array]
+        if initial_solution is not None:
+            # Consistent trapezoidal start: carry_0 = F_0 - A u_0 (the
+            # reference uses F_0 regardless of the initial state,
+            # solve_system_2d.py:274-276, which injects an O(dt) transient
+            # on the first step when u_0 != 0).  residual_value includes the
+            # marched 2/dt mass term, which equals 2/dt * dual(u_0) on the
+            # carry rows, so it is added back.
+            spatial = explicit_vec[: disc.n_dofs] - evaluator.residual_value(solution)
+            time_carry_term = (
+                spatial[time_carry_index_array]
+                + 2.0 / time_settings.dt * old_solution_carry
+            )
+        else:
+            time_carry_term = explicit_vec[time_carry_index_array]
     else:
         time_carry_term = None
 

@@ -1,0 +1,172 @@
+"""Unsteady (trapezoidal time march) and nonlinear solve tests."""
+
+import numpy as np
+import pytest
+
+import mfv2d_tpu as mf
+
+ALPHA = 0.02
+BETA = 1.0
+
+
+def steady_u(x, y):
+    return np.cos(np.pi * x / 2) * np.cos(np.pi * y / 2)
+
+
+def _solve_heat(nt, t_end=1.0, n=4, p=3):
+    """Reaction-diffusion march whose exact solution is s(x,y)(1-e^{-bt})."""
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    system = mf.KFormSystem(
+        ALPHA * (v.derivative @ u.derivative)
+        == BETA * (v @ steady_u) - (BETA - ALPHA * np.pi**2 / 2) * (v @ u),
+    )
+    mesh = mf.examples.unit_square_mesh(n, n, p)
+    dt = t_end / nt
+    solutions, stats, _ = mf.solve_system_2d(
+        mesh,
+        system_settings=mf.SystemSettings(
+            system,
+            boundary_conditions=[
+                mf.BoundaryCondition2DSteady(u, mesh.boundary_indices, steady_u)
+            ],
+        ),
+        solver_settings=mf.SolverSettings(
+            mf.ConvergenceSettings(
+                maximum_iterations=20, relative_tolerance=0, absolute_tolerance=1e-10
+            )
+        ),
+        time_settings=mf.TimeSettings(dt=dt, nt=nt, time_march_relations={v: u}),
+        recon_order=8,
+    )
+    return solutions, stats
+
+
+def _final_error(solutions):
+    sol = solutions[-1]
+    t = float(sol.field_data["time"][0])
+    exact = steady_u(sol.points[:, 0], sol.points[:, 1]) * (1 - np.exp(-BETA * t))
+    return float(np.sqrt(np.mean((sol.point_data["u"] - exact) ** 2)))
+
+
+def test_heat_march_accuracy_and_dt_convergence():
+    errors = []
+    for nt in (4, 8, 16):
+        solutions, stats = _solve_heat(nt)
+        errors.append(_final_error(solutions))
+        # One output grid per sampled step + initial state.
+        assert len(solutions) == nt + 1
+        assert float(solutions[0].field_data["time"][0]) == 0.0
+        assert np.isclose(float(solutions[-1].field_data["time"][0]), 1.0)
+    # Trapezoidal rule: second order in dt.
+    rate1 = errors[0] / errors[1]
+    rate2 = errors[1] / errors[2]
+    assert rate1 > 3.0, errors
+    assert rate2 > 3.0, errors
+    assert errors[-1] < 1e-3
+
+
+def test_heat_march_initial_conditions():
+    """Start from the exact steady state: the solution must stay there."""
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    # du/dt + alpha lap u = alpha * pi^2/2 * steady -> steady_u is stationary.
+    system = mf.KFormSystem(
+        ALPHA * (v.derivative @ u.derivative)
+        == (ALPHA * np.pi**2 / 2) * (v @ steady_u),
+    )
+    mesh = mf.examples.unit_square_mesh(4, 4, 4)
+    solutions, _, _ = mf.solve_system_2d(
+        mesh,
+        system_settings=mf.SystemSettings(
+            system,
+            boundary_conditions=[
+                mf.BoundaryCondition2DSteady(u, mesh.boundary_indices, steady_u)
+            ],
+            initial_conditions={u: steady_u},
+        ),
+        solver_settings=mf.SolverSettings(
+            mf.ConvergenceSettings(
+                maximum_iterations=20, relative_tolerance=0, absolute_tolerance=1e-10
+            )
+        ),
+        time_settings=mf.TimeSettings(dt=0.1, nt=5, time_march_relations={v: u}),
+        recon_order=8,
+    )
+    for sol in solutions:
+        exact = steady_u(sol.points[:, 0], sol.points[:, 1])
+        err = np.max(np.abs(sol.point_data["u"] - exact))
+        assert err < 2e-5, err
+
+
+RE = 50.0
+
+
+def exact_velocity(x, y):
+    return np.stack((np.sin(y) + 0 * x, np.cos(x) + 0 * y), axis=-1)
+
+
+def exact_vorticity(x, y):
+    return -(np.sin(x) + np.cos(y))
+
+
+def exact_forcing(x, y):
+    return np.stack(
+        (
+            np.cos(x) * np.cos(y) + 1 / RE * np.sin(y),
+            -np.sin(x) * np.sin(y) + 1 / RE * np.cos(x),
+        ),
+        axis=-1,
+    )
+
+
+def test_steady_navier_stokes():
+    """Nonlinear steady NS in vorticity-velocity-pressure form.
+
+    Exercises the lowered interior product (solution-dependent field), the
+    Picard loop with rhs_codes, and the constrained pressure form.
+    """
+    pre = mf.KFormUnknown("pre", mf.UnknownFormOrder.FORM_ORDER_2)
+    w_pre = pre.weight
+    vel = mf.KFormUnknown("vel", mf.UnknownFormOrder.FORM_ORDER_1)
+    w_vel = vel.weight
+    vor = mf.KFormUnknown("vor", mf.UnknownFormOrder.FORM_ORDER_0)
+    w_vor = vor.weight
+
+    system = mf.KFormSystem(
+        w_vor.derivative @ vel - w_vor @ vor == w_vor ^ exact_velocity,
+        (1 / RE) * (w_vel @ vor.derivative) + w_vel.derivative @ pre
+        == w_vel @ exact_forcing - (vel * w_vel @ vor),
+        (w_pre @ vel.derivative) == 0,
+    )
+
+    mesh = mf.examples.unit_square_mesh(4, 4, 4)
+    solutions, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(
+            system,
+            [mf.BoundaryCondition2DSteady(vel, mesh.boundary_indices, exact_velocity)],
+            [(0.0, pre)],
+        ),
+        solver_settings=mf.SolverSettings(
+            mf.ConvergenceSettings(
+                maximum_iterations=60, absolute_tolerance=1e-7, relative_tolerance=0
+            ),
+            # Frozen-operator Picard at Re=50 needs under-relaxation (the
+            # reference iteration has the same stability limit).
+            relaxation=0.5,
+        ),
+        recon_order=8,
+    )
+    sol = solutions[-1]
+    # Nonlinear: must have taken more than one iteration, and converged.
+    n_it = int(stats.iter_history[-1])
+    assert n_it > 1
+    assert n_it < 60  # converged before hitting the iteration cap
+
+    v_exact = exact_velocity(sol.points[:, 0], sol.points[:, 1])
+    w_exact = exact_vorticity(sol.points[:, 0], sol.points[:, 1])
+    err_vel = np.sqrt(np.mean(np.sum((sol.point_data["vel"] - v_exact) ** 2, -1)))
+    err_vor = np.sqrt(np.mean((sol.point_data["vor"] - w_exact) ** 2))
+    assert err_vel < 1e-4, err_vel
+    assert err_vor < 1e-3, err_vor
