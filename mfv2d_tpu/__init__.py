@@ -37,6 +37,29 @@ from mfv2d_tpu.compiler import system_as_string as system_as_string
 # Boundary conditions
 from mfv2d_tpu.boundary import BoundaryCondition2DSteady as BoundaryCondition2DSteady
 
+# Refinement
+from mfv2d_tpu.refinement import ErrorEstimateCustom as ErrorEstimateCustom
+from mfv2d_tpu.refinement import ErrorEstimateExplicit as ErrorEstimateExplicit
+from mfv2d_tpu.refinement import (
+    ErrorEstimateL2OrderReduction as ErrorEstimateL2OrderReduction,
+)
+from mfv2d_tpu.refinement import ErrorEstimateLocalInverse as ErrorEstimateLocalInverse
+from mfv2d_tpu.refinement import ErrorEstimateVMS as ErrorEstimateVMS
+from mfv2d_tpu.refinement import (
+    RefinementLimitElementCount as RefinementLimitElementCount,
+)
+from mfv2d_tpu.refinement import RefinementLimitErrorValue as RefinementLimitErrorValue
+from mfv2d_tpu.refinement import (
+    RefinementLimitUnknownCount as RefinementLimitUnknownCount,
+)
+from mfv2d_tpu.refinement import RefinementSettings as RefinementSettings
+from mfv2d_tpu.refinement import (
+    compute_legendre_coefficients as compute_legendre_coefficients,
+)
+from mfv2d_tpu.refinement import (
+    compute_legendre_error_estimates as compute_legendre_error_estimates,
+)
+
 # Solver
 from mfv2d_tpu.solver.solve import ConvergenceSettings as ConvergenceSettings
 from mfv2d_tpu.solver.solve import SolutionStatistics as SolutionStatistics

@@ -1,0 +1,1040 @@
+"""hp-adaptive refinement: error estimators and the refinement loop.
+
+Five estimators matching the reference (python/mfv2d/refinement.py):
+custom user function, explicit (vs a known solution), L2 order reduction,
+local inverse (element-local fine-space residual solves), and VMS (global
+fine-scale Green's-function fixed point).  Error spectra are measured in a
+Legendre basis; h-refinement cost comes from the high-mode energy quadrants.
+
+Per-element solves and projections run batched over order buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+from typing import Literal, Protocol
+
+import jax.numpy as jnp
+import numpy as np
+import numpy.typing as npt
+import scipy.sparse as sp
+from scipy.sparse import linalg as sla
+
+from mfv2d_tpu.boundary import (
+    BoundaryCondition2DSteady,
+    _element_weak_boundary_condition,
+)
+from mfv2d_tpu.compiler import CompiledSystem
+from mfv2d_tpu.evaluation import (
+    ElementBatch,
+    compute_element_matrices,
+    compute_element_projector,
+    compute_element_vectors,
+    evaluate_static_fields,
+)
+from mfv2d_tpu.kform import Function2D, KBoundaryProjection, KFormUnknown
+from mfv2d_tpu.mesh.quadtree import Mesh
+from mfv2d_tpu.mimetic import (
+    ElementSide,
+    element_boundary_dofs,
+    find_surface_boundary_id_line,
+)
+from mfv2d_tpu.ops.geometry import jacobian, physical_coordinates
+from mfv2d_tpu.ops.quadrature import compute_legendre
+from mfv2d_tpu.progress import HistogramFormat
+from mfv2d_tpu.projection import reconstruct
+from mfv2d_tpu.solver.discretization import Discretization
+from mfv2d_tpu.solver.solve import SystemEvaluator, compute_element_rhs_bucket
+from mfv2d_tpu.system import ElementFormSpecification, KFormSystem
+
+
+def compute_legendre_coefficients(
+    order_1: int,
+    order_2: int,
+    nodes_xi: npt.NDArray[np.float64],
+    nodes_eta: npt.NDArray[np.float64],
+    weighted_function: npt.NDArray[np.float64],
+    det: npt.NDArray[np.float64],
+) -> npt.NDArray[np.float64]:
+    """Legendre-spectrum coefficients of a function sampled at quadrature nodes.
+
+    ``weighted_function`` is function * weights * det; the 1/sqrt(det)
+    factor normalizes the metric (reference refinement.py:40-85).
+    """
+    leg1 = compute_legendre(order_1, nodes_xi.flatten())
+    leg2 = compute_legendre(order_2, nodes_eta.flatten())
+    rleg = np.sum(
+        weighted_function[None, None, ...]
+        * (leg1[None, :, None, :] * leg2[:, None, :, None])
+        / np.sqrt(det[None, ...]),
+        axis=(-2, -1),
+    )
+    n1 = np.arange(order_1 + 1)
+    n2 = np.arange(order_2 + 1)
+    rleg /= (2 / (2 * n1 + 1))[None, :] * (2 / (2 * n2 + 1))[:, None]
+    return rleg
+
+
+def compute_legendre_error_estimates(
+    order_1: int,
+    order_2: int,
+    xi: npt.NDArray[np.float64],
+    eta: npt.NDArray[np.float64],
+    w: npt.NDArray[np.float64],
+    det: npt.NDArray[np.float64],
+    u: npt.NDArray[np.float64],
+    err: npt.NDArray[np.float64],
+) -> tuple[float, float]:
+    """(L2 error^2, h-refinement cost) from Legendre spectra.
+
+    The h cost measures the energy in the high-mode quadrants that h-splitting
+    would have to re-resolve (reference refinement.py:88-152).
+    """
+    assert err.shape == u.shape
+    if err.ndim == 3:
+        err = np.linalg.norm(err, axis=-1)
+        u = np.linalg.norm(u, axis=-1)
+    coeffs_err = compute_legendre_coefficients(order_1, order_2, xi, eta, err * w * det, det)
+    coeffs_u = compute_legendre_coefficients(order_1, order_2, xi, eta, u * w * det, det)
+    norm = 4 / (
+        (2 * np.arange(order_1 + 1) + 1)[None, :]
+        * (2 * np.arange(order_2 + 1) + 1)[:, None]
+    )
+    measure = coeffs_u * (coeffs_u + 2 * coeffs_err) * norm
+    estimate = (
+        np.sum(measure[order_2 // 2 :, order_1 // 2 :])
+        + np.sum(measure[order_2 // 2 :, : order_1 // 2])
+        + np.sum(measure[: order_2 // 2, order_1 // 2 :])
+    )
+    return float(np.sum(err**2 * w * det)), float(np.abs(estimate))
+
+
+class ErrorCalculationFunction(Protocol):
+    """User error function: (x, y, w, **form values) -> (error, h_cost)."""
+
+    def __call__(self, x, y, w, **kwargs) -> tuple[float, float]: ...
+
+
+@dataclass(frozen=True)
+class RefinementLimitUnknownCount:
+    """Stop when the DoF count has grown by a fraction or absolute amount."""
+
+    maximum_fraction: float
+    maximum_count: int
+
+
+@dataclass(frozen=True)
+class RefinementLimitElementCount:
+    """Stop after refining a fraction/number of elements."""
+
+    maximum_fraction: float
+    maximum_count: int
+
+
+@dataclass(frozen=True)
+class RefinementLimitErrorValue:
+    """Refine elements until their error falls below a threshold."""
+
+    minimum_fraction: float
+    minimum_value: float
+
+
+RefinementLimit = (
+    RefinementLimitUnknownCount | RefinementLimitElementCount | RefinementLimitErrorValue
+)
+
+
+@dataclass(frozen=True)
+class ErrorEstimateCustom:
+    """User-supplied error estimator."""
+
+    required_forms: Sequence[KFormUnknown]
+    error_calculation_function: ErrorCalculationFunction
+    reconstruction_orders: tuple[int, int] | None = None
+
+
+@dataclass(frozen=True)
+class ErrorEstimateLocalInverse:
+    """Element-local solve of the fine-space residual."""
+
+    target_form: KFormUnknown
+    order_increase: int
+    strong_forms: Sequence[KFormUnknown] = tuple()
+
+
+@dataclass(frozen=True)
+class ErrorEstimateL2OrderReduction:
+    """Project solution down and back up; the difference estimates error."""
+
+    target_form: KFormUnknown
+    order_drop: int
+    alternative: Literal["ignore", "prioritize"] = "prioritize"
+
+
+@dataclass(frozen=True)
+class ErrorEstimateExplicit:
+    """Compare against a user-provided estimate of the exact solution."""
+
+    target_form: KFormUnknown
+    solution_estimate: Function2D
+    reconstruction_orders: tuple[int, int] | None = None
+
+
+@dataclass(frozen=True)
+class ErrorEstimateVMS:
+    """Variational multi-scale fine-scale error estimation."""
+
+    target_form: KFormUnknown
+    symmetric_system: KFormSystem
+    nonsymmetric_system: KFormSystem
+    order_increase: int
+    max_iters: int
+    atol: float
+    rtol: float
+
+
+ErrorEstimate = (
+    ErrorEstimateCustom
+    | ErrorEstimateLocalInverse
+    | ErrorEstimateL2OrderReduction
+    | ErrorEstimateExplicit
+    | ErrorEstimateVMS
+)
+
+
+@dataclass(frozen=True)
+class RefinementSettings:
+    """hp-refinement settings (reference refinement.py:365-388)."""
+
+    error_estimate: ErrorEstimate
+    refinement_limit: RefinementLimit
+    h_refinement_ratio: float = 0.0
+    report_error_distribution: bool = False
+    report_order_distribution: bool = False
+    upper_order_limit: int | None = None
+    lower_order_limit: int | None = None
+
+
+# ---------------------------------------------------------------------------
+# Estimator helpers
+# ---------------------------------------------------------------------------
+
+
+def _element_quadrature_data(disc: Discretization, i_leaf: int):
+    """(corners, basis, rule nodes/weights, jacobian det) of one leaf."""
+    p1, p2 = (int(v) for v in disc.element_orders[i_leaf])
+    basis = disc.basis_cache.get_basis2d(p1, p2)
+    corners = disc.mesh.get_leaf_corners(disc.leaf_indices[i_leaf])
+    return p1, p2, basis, corners
+
+
+def _legendre_estimate_for_element(
+    disc: Discretization,
+    i_leaf: int,
+    basis,
+    corners,
+    form_order,
+    target_dofs: np.ndarray,
+    error_dofs_or_vals,
+    recon_basis=None,
+) -> tuple[float, float]:
+    """Reconstruct solution + error at quadrature nodes; Legendre measures."""
+    p1, p2 = (int(v) for v in disc.element_orders[i_leaf])
+    b = basis if recon_basis is None else recon_basis
+    rule_1 = b.basis_xi.rule
+    rule_2 = b.basis_eta.rule
+    xi = rule_1.nodes[None, :]
+    eta = rule_2.nodes[:, None]
+    jac = jacobian(corners, xi, eta)
+    det = np.asarray(jac.det)
+    weights = rule_1.weights[None, :] * rule_2.weights[:, None]
+    recon_u = reconstruct(corners, b, form_order, target_dofs, xi, eta)
+    if isinstance(error_dofs_or_vals, np.ndarray) and error_dofs_or_vals.shape == (
+        form_order.full_unknown_count(b.basis_xi.order, b.basis_eta.order),
+    ):
+        recon_err = reconstruct(corners, b, form_order, error_dofs_or_vals, xi, eta)
+    else:
+        recon_err = np.asarray(error_dofs_or_vals)
+    return compute_legendre_error_estimates(
+        p1, p2, rule_1.nodes, rule_2.nodes, weights, det, recon_u, recon_err
+    )
+
+
+def error_estimate_with_custom_estimator(
+    disc: Discretization,
+    solution: np.ndarray,
+    required_unknowns: Sequence[KFormUnknown],
+    error_calculation_function,
+    recon_order_1: int | None,
+    recon_order_2: int | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-element error via a user function of reconstructed form values."""
+    form_specs = disc.form_spec
+    required = [form_specs.index(u) for u in required_unknowns]
+    element_error = np.empty(disc.n_leaves)
+    href_cost = np.empty(disc.n_leaves)
+    for i_leaf in range(disc.n_leaves):
+        p1, p2, basis, corners = _element_quadrature_data(disc, i_leaf)
+        e0 = disc.element_offsets[i_leaf]
+        element_solution = solution[e0 : e0 + disc.element_sizes[i_leaf]]
+        nodes_xi = (
+            basis.basis_xi.rule.nodes
+            if recon_order_1 is None
+            else disc.basis_cache.get_integration_rule(recon_order_1).nodes
+        )[None, :]
+        nodes_eta = (
+            basis.basis_eta.rule.nodes
+            if recon_order_2 is None
+            else disc.basis_cache.get_integration_rule(recon_order_2).nodes
+        )[:, None]
+        x, y = physical_coordinates(corners, nodes_xi, nodes_eta)
+        form_vals = {}
+        for idx in required:
+            label, order = form_specs[idx]
+            off = form_specs.form_offset(idx, p1, p2)
+            size = form_specs.form_size(idx, p1, p2)
+            form_vals[label] = reconstruct(
+                corners, basis, order, element_solution[off : off + size],
+                nodes_xi, nodes_eta,
+            )
+        jac = jacobian(corners, nodes_xi, nodes_eta)
+        w = (
+            np.asarray(jac.det)
+            * np.ones_like(np.asarray(jac.det))
+        )
+        rule_w1 = (
+            basis.basis_xi.rule.weights
+            if recon_order_1 is None
+            else disc.basis_cache.get_integration_rule(recon_order_1).weights
+        )
+        rule_w2 = (
+            basis.basis_eta.rule.weights
+            if recon_order_2 is None
+            else disc.basis_cache.get_integration_rule(recon_order_2).weights
+        )
+        w = np.asarray(jac.det) * rule_w1[None, :] * rule_w2[:, None]
+        vals = error_calculation_function(
+            x=np.asarray(x),
+            y=np.asarray(y),
+            w=w,
+            order_1=p1,
+            order_2=p2,
+            xi=np.asarray(nodes_xi, np.float64),
+            eta=np.asarray(nodes_eta, np.float64),
+            **form_vals,
+        )
+        if vals[0] < 0:
+            raise ValueError(
+                "Error calculation function returned a negative error estimate."
+            )
+        element_error[i_leaf], href_cost[i_leaf] = vals
+    return element_error, href_cost
+
+
+def error_estimate_with_explicit_solution(
+    disc: Discretization,
+    solution: np.ndarray,
+    target: KFormUnknown,
+    solution_estimate,
+    recon_order_1: int | None,
+    recon_order_2: int | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Error vs a user-provided (near-)exact solution function."""
+    form_specs = disc.form_spec
+    idx = form_specs.index(target)
+    element_error = np.empty(disc.n_leaves)
+    href_cost = np.empty(disc.n_leaves)
+    for i_leaf in range(disc.n_leaves):
+        p1, p2, basis, corners = _element_quadrature_data(disc, i_leaf)
+        e0 = disc.element_offsets[i_leaf]
+        element_solution = solution[e0 : e0 + disc.element_sizes[i_leaf]]
+        rule_1 = disc.basis_cache.get_integration_rule(
+            recon_order_1 if recon_order_1 is not None else p1
+        )
+        rule_2 = disc.basis_cache.get_integration_rule(
+            recon_order_2 if recon_order_2 is not None else p2
+        )
+        xi = rule_1.nodes[None, :]
+        eta = rule_2.nodes[:, None]
+        off = form_specs.form_offset(idx, p1, p2)
+        size = form_specs.form_size(idx, p1, p2)
+        recon_u = reconstruct(
+            corners, basis, target.order, element_solution[off : off + size], xi, eta
+        )
+        x, y = physical_coordinates(corners, xi, eta)
+        exact = np.asarray(solution_estimate(np.asarray(x), np.asarray(y)))
+        jac = jacobian(corners, xi, eta)
+        element_error[i_leaf], href_cost[i_leaf] = compute_legendre_error_estimates(
+            p1,
+            p2,
+            rule_1.nodes[None, :],
+            rule_2.nodes[:, None],
+            rule_1.weights[None, :] * rule_2.weights[:, None],
+            np.asarray(jac.det),
+            recon_u,
+            exact - recon_u,
+        )
+    return element_error, href_cost
+
+
+def error_estimate_with_order_reduction(
+    disc: Discretization,
+    solution: np.ndarray,
+    target: KFormUnknown,
+    reduction_order: int,
+    alternative: Literal["ignore", "prioritize"],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Error = u - P_up P_down u, measured per element (batched per bucket)."""
+    form_specs = disc.form_spec
+    idx = form_specs.index(target)
+    single_spec = ElementFormSpecification(target)
+    element_error = np.empty(disc.n_leaves)
+    href_cost = np.empty(disc.n_leaves)
+
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        off = form_specs.form_offset(idx, p1, p2)
+        size = form_specs.form_size(idx, p1, p2)
+        dofs = solution[bucket.gather][:, off : off + size]
+        if p1 <= reduction_order or p2 <= reduction_order:
+            val = 0.0 if alternative == "ignore" else np.inf
+            if alternative not in ("ignore", "prioritize"):
+                raise ValueError(f"Invalid alternative strategy {alternative}")
+            for rank in bucket.leaf_ranks:
+                element_error[rank] = val
+                href_cost[rank] = val
+            continue
+
+        lower_basis = disc.basis_cache.get_basis2d(
+            p1 - reduction_order,
+            p2 - reduction_order,
+            *bucket.batch.basis.integration_orders,
+        )
+        lower_batch = ElementBatch(lower_basis, np.asarray(bucket.batch.corners))
+        proj_down = compute_element_projector(single_spec, bucket.batch, lower_batch)[0]
+        proj_up = compute_element_projector(single_spec, lower_batch, bucket.batch)[0]
+        err_dofs = np.asarray(
+            jnp.asarray(dofs)
+            - jnp.einsum(
+                "eij,ej->ei", proj_up, jnp.einsum("eij,ej->ei", proj_down, jnp.asarray(dofs))
+            )
+        )
+        basis = bucket.batch.basis
+        for j, rank in enumerate(bucket.leaf_ranks):
+            corners = disc.mesh.get_leaf_corners(disc.leaf_indices[rank])
+            e, h = _legendre_estimate_for_element(
+                disc, int(rank), basis, corners, target.order, dofs[j], err_dofs[j]
+            )
+            element_error[rank] = e
+            href_cost[rank] = h
+    return element_error, href_cost
+
+
+def _fine_residuals(
+    disc: Discretization,
+    system: KFormSystem,
+    compiled: CompiledSystem,
+    solution: np.ndarray,
+    order_increase: int,
+    boundary_conditions: Sequence[BoundaryCondition2DSteady],
+):
+    """Fine-space residual r = rhs_f - LHS_f(P u) per bucket (+ weak BCs).
+
+    Shared by the local-inverse and VMS estimators.  Returns fine batches,
+    per-bucket projected solutions and residuals, and fine DoF offsets.
+    """
+    fine_batches: list[ElementBatch] = []
+    projected: list[np.ndarray] = []
+    residuals: list[np.ndarray] = []
+    fine_sizes = np.zeros(disc.n_leaves, np.int64)
+
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        fine_basis = disc.basis_cache.get_basis2d(
+            p1 + order_increase,
+            p2 + order_increase,
+            *bucket.batch.basis.integration_orders,
+        )
+        fine_batch = ElementBatch(fine_basis, np.asarray(bucket.batch.corners))
+        fine_batches.append(fine_batch)
+        projectors = compute_element_projector(disc.form_spec, bucket.batch, fine_batch)
+
+        dofs = jnp.asarray(solution[bucket.gather])
+        offsets = disc.form_spec.form_offsets(p1, p2)
+        fine_parts = []
+        for i in range(len(disc.form_spec)):
+            fine_parts.append(
+                jnp.einsum(
+                    "eij,ej->ei", projectors[i], dofs[:, offsets[i] : offsets[i + 1]]
+                )
+            )
+        fine_dofs = jnp.concatenate(fine_parts, axis=1)
+        projected.append(np.asarray(fine_dofs))
+
+        statics = evaluate_static_fields(fine_batch, compiled.fields)
+        fine_rhs = compute_element_rhs_bucket(system, _BucketView(fine_batch, bucket))
+        fine_forcing = compute_element_vectors(
+            disc.form_spec, compiled.lhs_blocks, fine_batch, fine_dofs,
+            static_fields=statics,
+        )
+        if compiled.rhs_blocks is not None:
+            fine_forcing = fine_forcing - compute_element_vectors(
+                disc.form_spec, compiled.rhs_blocks, fine_batch, fine_dofs,
+                static_fields=statics,
+            )
+        residuals.append(fine_rhs - np.asarray(fine_forcing))
+        pf1, pf2 = p1 + order_increase, p2 + order_increase
+        for rank in bucket.leaf_ranks:
+            fine_sizes[rank] = disc.form_spec.total_size(pf1, pf2)
+
+    fine_offsets = np.concatenate([[0], np.cumsum(fine_sizes)])
+
+    # Weak-BC contributions on the fine mesh boundary.
+    per_leaf_residual = [None] * disc.n_leaves
+    for bucket, res in zip(disc.buckets, residuals):
+        for j, rank in enumerate(bucket.leaf_ranks):
+            per_leaf_residual[int(rank)] = res[j]
+
+    mesh = disc.mesh
+    mesh.uniform_p_change(order_increase, order_increase)
+    try:
+        for equation in system.equations:
+            form = equation.weight.base_form
+            boundary_terms = [
+                (v, f)
+                for v, f in equation.right.explicit_terms
+                if (type(f) is KBoundaryProjection and f.func is not None)
+            ]
+            if not boundary_terms:
+                continue
+            form_index = system.unknown_forms.index(form)
+            strong_indices = [
+                bc.indices for bc in boundary_conditions if bc.form == form
+            ]
+            skip = (
+                np.unique(np.concatenate(strong_indices))
+                if strong_indices
+                else np.zeros(0, np.uint32)
+            )
+            for line_index in mesh.boundary_indices:
+                if line_index in skip:
+                    continue
+                dual_line = mesh.dual.get_line(int(line_index) + 1)
+                surf_id = dual_line.begin if dual_line.begin else dual_line.end
+                primal_surface = mesh.primal.get_surface(surf_id)
+                side = find_surface_boundary_id_line(primal_surface, int(line_index))
+                bc_data = _element_weak_boundary_condition(
+                    mesh,
+                    surf_id.index,
+                    side,
+                    system.unknown_forms,
+                    form_index,
+                    boundary_terms,
+                    disc.basis_cache,
+                )
+                for bc in bc_data:
+                    per_leaf_residual[bc.i_e][bc.dofs] += bc.coeffs
+    finally:
+        mesh.uniform_p_change(-order_increase, -order_increase)
+
+    return fine_batches, projected, residuals, fine_offsets
+
+
+class _BucketView:
+    """Adapter so RHS assembly can run over a substituted batch."""
+
+    def __init__(self, batch: ElementBatch, bucket) -> None:
+        self.batch = batch
+        self.orders = batch.orders
+        self.leaf_ranks = bucket.leaf_ranks
+
+
+def error_estimate_with_local_inversion(
+    disc: Discretization,
+    solution: np.ndarray,
+    system: KFormSystem,
+    compiled: CompiledSystem,
+    boundary_conditions: Sequence[BoundaryCondition2DSteady],
+    order_increase: int,
+    target: KFormUnknown,
+    strongly_zeroed: Sequence[KFormUnknown],
+    constrained: Sequence[KFormUnknown],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Solve the fine-space residual element-locally; its target-form part
+    reconstructed is the error estimate (reference refinement.py:832-1092)."""
+    form_specs = disc.form_spec
+    unknown_index = form_specs.index(target)
+    zeroed = tuple(
+        i for i, f in enumerate(form_specs.iter_forms()) if f in strongly_zeroed
+    )
+    constrained_idx = tuple(
+        i for i, f in enumerate(form_specs.iter_forms()) if f in constrained
+    )
+    element_error = np.empty(disc.n_leaves)
+    href_cost = np.empty(disc.n_leaves)
+
+    fine_batches, projected, residuals, _ = _fine_residuals(
+        disc, system, compiled, solution, order_increase, boundary_conditions
+    )
+
+    for bucket, fine_batch, fine_sol, res in zip(
+        disc.buckets, fine_batches, projected, residuals
+    ):
+        statics = evaluate_static_fields(fine_batch, compiled.fields)
+        local_lhs = np.asarray(
+            compute_element_matrices(
+                form_specs,
+                compiled.lhs_blocks,
+                fine_batch,
+                dofs=jnp.asarray(fine_sol),
+                static_fields=statics,
+            )
+        )
+        pf = fine_batch.orders
+        for j, rank in enumerate(bucket.leaf_ranks):
+            mat = local_lhs[j]
+            rhs = res[j]
+            if zeroed or constrained_idx:
+                blocks_rows = []
+                if zeroed:
+                    col_idx: list[np.ndarray] = []
+                    for fi in zeroed:
+                        for side in ElementSide:
+                            col_idx.append(
+                                form_specs.form_offset(fi, *pf)
+                                + element_boundary_dofs(
+                                    side, form_specs[fi][1], *pf
+                                )
+                            )
+                    indices = np.unique(np.concatenate(col_idx))
+                    lag = sp.csr_array(
+                        (
+                            np.ones_like(indices, dtype=np.float64),
+                            (np.arange(indices.size), indices),
+                        ),
+                        shape=(indices.size, mat.shape[1]),
+                    )
+                    blocks_rows.append(lag)
+                if constrained_idx:
+                    rr, cc = [], []
+                    for i_row, fi in enumerate(constrained_idx):
+                        dofs_i = form_specs.form_offset(fi, *pf) + np.arange(
+                            form_specs.form_size(fi, *pf)
+                        )
+                        cc.append(dofs_i)
+                        rr.append(np.full_like(dofs_i, i_row))
+                    rows_arr = np.concatenate(rr)
+                    lag = sp.csr_array(
+                        (np.ones(rows_arr.size), (rows_arr, np.concatenate(cc))),
+                        shape=(len(constrained_idx), mat.shape[1]),
+                    )
+                    blocks_rows.append(lag)
+                lag_all = sp.vstack(blocks_rows, format="csr")
+                padding = lag_all.shape[0]
+                local_mat = sp.block_array(
+                    [[sp.csr_array(mat), lag_all.T], [lag_all, None]]
+                )
+                local_error_dofs = sla.spsolve(
+                    sp.csc_array(local_mat), np.pad(rhs, (0, padding))
+                )
+            else:
+                local_error_dofs = np.linalg.solve(mat, rhs)
+
+            off = form_specs.form_offset(unknown_index, *pf)
+            count = form_specs.form_size(unknown_index, *pf)
+            corners = disc.mesh.get_leaf_corners(disc.leaf_indices[rank])
+            e, h = _legendre_estimate_for_element(
+                disc,
+                int(rank),
+                fine_batch.basis,
+                corners,
+                target.order,
+                fine_sol[j][off : off + count],
+                local_error_dofs[off : off + count],
+                recon_basis=fine_batch.basis,
+            )
+            element_error[rank] = e
+            href_cost[rank] = h
+    return element_error, href_cost
+
+
+def error_estimate_with_vms(
+    disc: Discretization,
+    solution: np.ndarray,
+    system: KFormSystem,
+    compiled: CompiledSystem,
+    boundary_conditions: Sequence[BoundaryCondition2DSteady],
+    estimator: ErrorEstimateVMS,
+    constrained_forms: Sequence[tuple[float, KFormUnknown]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Global fine-scale VMS estimate (reference refinement.py:1387-1662)."""
+    from mfv2d_tpu.continuity import add_system_constraints
+
+    target = estimator.target_form
+    if target not in system.unknown_forms:
+        raise ValueError(f"Target unknown form {target} is not in the system.")
+    for name, sub in (
+        ("symmetric", estimator.symmetric_system),
+        ("nonsymmetric", estimator.nonsymmetric_system),
+    ):
+        if sub.unknown_forms != system.unknown_forms:
+            raise ValueError(f"Unknown forms of {name} system do not match.")
+
+    form_specs = disc.form_spec
+    order_increase = estimator.order_increase
+    compiled_sym = CompiledSystem(estimator.symmetric_system)
+    compiled_nonsym = CompiledSystem(estimator.nonsymmetric_system)
+
+    fine_batches, projected, residuals_init, fine_offsets = _fine_residuals(
+        disc, system, compiled, solution, order_increase, boundary_conditions
+    )
+    # NOTE: reference computes the fine residual by dual-projecting the coarse
+    # forcing; here the direct fine-space residual of the projected solution
+    # is used, which agrees on resolved scales.
+
+    sym_coarse: list[np.ndarray] = []
+    sym_fine: list[np.ndarray] = []
+    nonsym_fine: list[np.ndarray] = []
+    projectors: list[np.ndarray] = []
+    for bucket, fine_batch in zip(disc.buckets, fine_batches):
+        statics_c = evaluate_static_fields(bucket.batch, compiled_sym.fields)
+        statics_f = evaluate_static_fields(fine_batch, compiled_sym.fields)
+        statics_nf = evaluate_static_fields(fine_batch, compiled_nonsym.fields)
+        sym_coarse.append(
+            np.asarray(
+                compute_element_matrices(
+                    form_specs, compiled_sym.lhs_blocks, bucket.batch,
+                    static_fields=statics_c,
+                )
+            )
+        )
+        sym_fine.append(
+            np.asarray(
+                compute_element_matrices(
+                    form_specs, compiled_sym.lhs_blocks, fine_batch,
+                    static_fields=statics_f,
+                )
+            )
+        )
+        nonsym_fine.append(
+            np.asarray(
+                compute_element_matrices(
+                    form_specs, compiled_nonsym.lhs_blocks, fine_batch,
+                    static_fields=statics_nf,
+                )
+            )
+        )
+        projs = compute_element_projector(form_specs, bucket.batch, fine_batch)
+        e = bucket.batch.n_elements
+        p1, p2 = bucket.orders
+        n_c = form_specs.total_size(p1, p2)
+        n_f = form_specs.total_size(p1 + order_increase, p2 + order_increase)
+        off_c = form_specs.form_offsets(p1, p2)
+        off_f = form_specs.form_offsets(p1 + order_increase, p2 + order_increase)
+        big = np.zeros((e, n_f, n_c))
+        for i in range(len(form_specs)):
+            big[:, off_f[i] : off_f[i + 1], off_c[i] : off_c[i + 1]] = np.asarray(
+                projs[i]
+            )
+        projectors.append(big)
+
+    def per_leaf(bucket_list):
+        out = [None] * disc.n_leaves
+        for bucket, arr in zip(disc.buckets, bucket_list):
+            for j, rank in enumerate(bucket.leaf_ranks):
+                out[int(rank)] = arr[j]
+        return out
+
+    sym_fine_leaf = per_leaf(sym_fine)
+    sym_coarse_leaf = per_leaf(sym_coarse)
+    nonsym_fine_leaf = per_leaf(nonsym_fine)
+    projector_leaf = per_leaf(projectors)
+    residual_leaf = per_leaf(residuals_init)
+    projected_leaf = per_leaf(projected)
+
+    mesh = disc.mesh
+    mesh.uniform_p_change(order_increase, order_increase)
+    try:
+        fine_lag_mat, fine_lag_vec = add_system_constraints(
+            system,
+            mesh,
+            disc.basis_cache,
+            constrained_forms,
+            boundary_conditions,
+            disc.leaf_indices,
+            fine_offsets,
+            None,
+        )
+    finally:
+        mesh.uniform_p_change(-order_increase, -order_increase)
+
+    coarse_lag_mat, coarse_lag_vec = add_system_constraints(
+        system,
+        mesh,
+        disc.basis_cache,
+        constrained_forms,
+        boundary_conditions,
+        disc.leaf_indices,
+        disc.element_offsets,
+        None,
+    )
+
+    fine_block = sp.block_diag(sym_fine_leaf)
+    if fine_lag_mat is not None:
+        fine_mat = sp.block_array(
+            [[fine_block, fine_lag_mat.T], [fine_lag_mat, None]], format="csc"
+        )
+    else:
+        fine_mat = sp.csc_array(fine_block)
+    fine_decomp = sla.splu(sp.csc_matrix(fine_mat))
+    n_lag_fine = fine_lag_vec.size
+
+    coarse_block = sp.block_diag(sym_coarse_leaf)
+    if coarse_lag_mat is not None:
+        coarse_mat = sp.block_array(
+            [[coarse_block, coarse_lag_mat.T], [coarse_lag_mat, None]], format="csc"
+        )
+    else:
+        coarse_mat = sp.csc_array(coarse_block)
+    coarse_decomp = sla.splu(sp.csc_matrix(coarse_mat))
+    n_lag_coarse = coarse_lag_vec.size
+
+    nonsym_op = sp.block_diag(nonsym_fine_leaf, format="csr")
+    projector = sp.block_diag(projector_leaf, format="csr")
+    residual = np.concatenate(residual_leaf)
+
+    def greens(x):
+        rf = fine_decomp.solve(np.pad(x, (0, n_lag_fine)))
+        rf = rf[: x.size]
+        xc = x @ projector
+        rc = coarse_decomp.solve(np.pad(xc, (0, n_lag_coarse)))
+        rc = projector @ rc[: xc.size]
+        return rf - rc
+
+    agr = nonsym_op @ greens(residual)
+    u = residual
+    for _ in range(estimator.max_iters):
+        u_new = agr - nonsym_op @ greens(u)
+        max_du = np.abs(u - u_new).max()
+        max_u = np.abs(u_new).max()
+        u = u_new
+        if max_du < max_u * estimator.rtol or max_du < estimator.atol:
+            break
+
+    fine_scale_dofs = u
+    element_error = np.empty(disc.n_leaves)
+    href_cost = np.empty(disc.n_leaves)
+    unknown_index = form_specs.index(target)
+    for bucket, fine_batch in zip(disc.buckets, fine_batches):
+        pf = fine_batch.orders
+        off = form_specs.form_offset(unknown_index, *pf)
+        count = form_specs.form_size(unknown_index, *pf)
+        m_inv = np.asarray(fine_batch.mass(target.order, True))
+        for j, rank in enumerate(bucket.leaf_ranks):
+            rank = int(rank)
+            local = fine_scale_dofs[fine_offsets[rank] : fine_offsets[rank + 1]]
+            target_dofs = m_inv[j] @ local[off : off + count]
+            corners = disc.mesh.get_leaf_corners(disc.leaf_indices[rank])
+            e, h = _legendre_estimate_for_element(
+                disc,
+                rank,
+                fine_batch.basis,
+                corners,
+                target.order,
+                projected_leaf[rank][off : off + count],
+                target_dofs,
+                recon_basis=fine_batch.basis,
+            )
+            element_error[rank] = e
+            href_cost[rank] = h
+    return element_error, href_cost
+
+
+# ---------------------------------------------------------------------------
+# Refinement driver
+# ---------------------------------------------------------------------------
+
+
+def refine_mesh_based_on_error(
+    mesh: Mesh,
+    total_unknowns: int,
+    h_refinement_ratio: float,
+    refinement_limit: RefinementLimit,
+    form_specs: ElementFormSpecification,
+    leaf_indices,
+    element_error: np.ndarray,
+    href_cost: np.ndarray,
+    order_limit: int | None,
+    lower_order_limit: int | None,
+) -> Mesh:
+    """Split or p-raise elements in decreasing-error order until the limit."""
+    error_order = np.flip(np.argsort(element_error))
+    ordered_indices = np.asarray(leaf_indices)[error_order]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cost_fraction = href_cost / element_error
+    mesh = mesh.copy()
+    if lower_order_limit is None:
+        lower_order_limit = 1
+
+    def should_split(i_leaf, order_1, order_2):
+        return (
+            cost_fraction[i_leaf] <= h_refinement_ratio
+            and order_1 > lower_order_limit
+            and order_2 > lower_order_limit
+        ) or (
+            order_limit is not None
+            and (order_1 >= order_limit or order_2 >= order_limit)
+        )
+
+    if isinstance(refinement_limit, RefinementLimitElementCount):
+        budget = min(
+            mesh.leaf_count * refinement_limit.maximum_fraction,
+            refinement_limit.maximum_count,
+        )
+        refined = 0
+        for i_leaf, idx in zip(error_order, ordered_indices):
+            if refined >= budget:
+                break
+            o1, o2 = mesh.get_leaf_orders(int(idx))
+            if should_split(i_leaf, o1, o2):
+                new_orders = (max(o1 // 2, 1), max(o2 // 2, 1))
+                mesh.split_element(int(idx), *([new_orders] * 4))
+            else:
+                mesh.set_leaf_orders(int(idx), o1 + 1, o2 + 1)
+            refined += 1
+    elif isinstance(refinement_limit, RefinementLimitUnknownCount):
+        budget = min(
+            total_unknowns * refinement_limit.maximum_fraction,
+            refinement_limit.maximum_count,
+        )
+        added = 0
+        for i_leaf, idx in zip(error_order, ordered_indices):
+            if added >= budget:
+                break
+            o1, o2 = mesh.get_leaf_orders(int(idx))
+            original = form_specs.total_size(o1, o2)
+            if should_split(i_leaf, o1, o2):
+                new_orders = (max((o1 + 1) // 2, 1), max((o2 + 1) // 2, 1))
+                mesh.split_element(int(idx), *([new_orders] * 4))
+                new_unknowns = 4 * form_specs.total_size(*new_orders)
+            else:
+                mesh.set_leaf_orders(int(idx), o1 + 1, o2 + 1)
+                new_unknowns = form_specs.total_size(o1 + 1, o2 + 1)
+            added += new_unknowns - original
+    elif isinstance(refinement_limit, RefinementLimitErrorValue):
+        total_error = np.sum(element_error)
+        minimum = max(
+            total_error * refinement_limit.minimum_fraction,
+            refinement_limit.minimum_value,
+        )
+        for i_leaf, idx in zip(error_order, ordered_indices):
+            o1, o2 = mesh.get_leaf_orders(int(idx))
+            if should_split(i_leaf, o1, o2):
+                new_orders = (max(o1 // 2, 1), max(o2 // 2, 1))
+                mesh.split_element(int(idx), *([new_orders] * 4))
+            else:
+                mesh.set_leaf_orders(int(idx), o1 + 1, o2 + 1)
+            if np.abs(element_error[i_leaf]) < minimum:
+                break
+    else:
+        raise TypeError(
+            f"Invalid type for refinement limit: {type(refinement_limit).__name__}"
+        )
+    return mesh
+
+
+def perform_mesh_refinement(
+    disc: Discretization,
+    solution: np.ndarray,
+    system: KFormSystem,
+    evaluator: SystemEvaluator,
+    error_estimator: ErrorEstimate,
+    h_refinement_ratio: float,
+    refinement_limit: RefinementLimit,
+    report_error_distribution: bool,
+    boundary_conditions: Sequence[BoundaryCondition2DSteady],
+    order_limit: int | None,
+    lower_order_limit: int | None,
+    constrained: Sequence[tuple[float, KFormUnknown]],
+) -> tuple[Mesh, np.ndarray, np.ndarray]:
+    """Estimate per-element errors and produce a refined mesh."""
+    if isinstance(error_estimator, ErrorEstimateCustom):
+        ro = error_estimator.reconstruction_orders
+        element_error, href_cost = error_estimate_with_custom_estimator(
+            disc,
+            solution,
+            error_estimator.required_forms,
+            error_estimator.error_calculation_function,
+            ro[0] if ro is not None else None,
+            ro[1] if ro is not None else None,
+        )
+    elif isinstance(error_estimator, ErrorEstimateLocalInverse):
+        element_error, href_cost = error_estimate_with_local_inversion(
+            disc,
+            solution,
+            system,
+            evaluator.compiled,
+            boundary_conditions,
+            error_estimator.order_increase,
+            error_estimator.target_form,
+            error_estimator.strong_forms,
+            [form for _, form in constrained],
+        )
+    elif isinstance(error_estimator, ErrorEstimateL2OrderReduction):
+        element_error, href_cost = error_estimate_with_order_reduction(
+            disc,
+            solution,
+            error_estimator.target_form,
+            error_estimator.order_drop,
+            error_estimator.alternative,
+        )
+    elif isinstance(error_estimator, ErrorEstimateExplicit):
+        ro = error_estimator.reconstruction_orders
+        element_error, href_cost = error_estimate_with_explicit_solution(
+            disc,
+            solution,
+            error_estimator.target_form,
+            error_estimator.solution_estimate,
+            ro[0] if ro is not None else None,
+            ro[1] if ro is not None else None,
+        )
+    elif isinstance(error_estimator, ErrorEstimateVMS):
+        element_error, href_cost = error_estimate_with_vms(
+            disc,
+            solution,
+            system,
+            evaluator.compiled,
+            boundary_conditions,
+            error_estimator,
+            constrained,
+        )
+    else:
+        raise TypeError(
+            f"Invalid type for error estimator {type(error_estimator).__name__}"
+        )
+
+    if report_error_distribution and np.all(np.isfinite(element_error)):
+        error_log = np.log10(element_error)
+        if np.all(np.isfinite(error_log)):
+            hist = HistogramFormat(5, 60, 5, label_format=lambda x: f"10^({x:.2g})")
+            print("Error estimate distribution\n" + "=" * 60)
+            print(hist.format(error_log))
+            print("=" * 60)
+
+    return (
+        refine_mesh_based_on_error(
+            disc.mesh,
+            solution.size,
+            h_refinement_ratio,
+            refinement_limit,
+            disc.form_spec,
+            disc.leaf_indices,
+            element_error,
+            href_cost,
+            order_limit,
+            lower_order_limit,
+        ),
+        element_error,
+        href_cost,
+    )

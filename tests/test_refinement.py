@@ -1,0 +1,197 @@
+"""hp-refinement: estimators drive refinement and errors drop on re-solve."""
+
+import numpy as np
+import pytest
+
+import mfv2d_tpu as mf
+
+
+def u_exact(x, y):
+    # Localized bump: elements near the center should get refined first.
+    return np.exp(-8 * (x**2 + y**2)) + 0.05 * x
+
+
+def source_exact(x, y):
+    r2 = x**2 + y**2
+    return (256 * r2 - 32) * np.exp(-8 * r2)
+
+
+def grad_u_flux(x, y):
+    """Rotated gradient of u (weak BC data for the direct formulation)."""
+    gx = -16 * x * np.exp(-8 * (x**2 + y**2)) + 0.05
+    gy = -16 * y * np.exp(-8 * (x**2 + y**2))
+    return np.stack((gy, -gx), axis=-1)
+
+
+def _system():
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    p = q.weight
+    system = mf.KFormSystem(
+        v.derivative @ u.derivative == -(v @ source_exact) + (v ^ grad_u_flux),
+        p @ u.derivative - p @ q == 0,
+        sorting=lambda f: f.order,
+    )
+    return system, u, q
+
+
+def _solve(mesh, refinement_settings=None):
+    system, u, q = _system()
+    bc = mf.BoundaryCondition2DSteady(u, mesh.boundary_indices, u_exact)
+    return (
+        mf.solve_system_2d(
+            mesh,
+            system_settings=mf.SystemSettings(system, boundary_conditions=[bc]),
+            solver_settings=mf.SolverSettings(
+                mf.ConvergenceSettings(absolute_tolerance=1e-10, relative_tolerance=0)
+            ),
+            refinement_settings=refinement_settings,
+            recon_order=8,
+        ),
+        u,
+    )
+
+
+def _err(grid):
+    return float(
+        np.sqrt(
+            np.mean((grid.point_data["u"] - u_exact(grid.points[:, 0], grid.points[:, 1])) ** 2)
+        )
+    )
+
+
+def test_explicit_estimator_refines_center():
+    system, u, q = _system()
+    mesh = mf.examples.unit_square_mesh(4, 4, 2)
+    settings = mf.RefinementSettings(
+        error_estimate=mf.ErrorEstimateExplicit(u, u_exact),
+        refinement_limit=mf.RefinementLimitElementCount(0.5, 4),
+        h_refinement_ratio=0.0,  # always p-refine
+    )
+    (sols, stats, new_mesh), _ = _solve(mesh, settings)
+    grid = sols[-1]
+    assert "error_estimate" in grid.cell_data
+    # The 4 elements touching the center have the largest error; they must
+    # have been p-refined (order 2 -> 3).
+    refined = [
+        i
+        for i in new_mesh.get_leaf_indices()
+        if new_mesh.get_leaf_orders(int(i)) == (3, 3)
+    ]
+    assert len(refined) == 4
+    centers = [new_mesh.get_leaf_corners(int(i)).mean(axis=0) for i in refined]
+    for c in centers:
+        assert np.linalg.norm(c) < 0.5  # near the bump
+
+
+def test_refinement_loop_reduces_error():
+    mesh = mf.examples.unit_square_mesh(3, 3, 2)
+    system, u, q = _system()
+    settings = mf.RefinementSettings(
+        error_estimate=mf.ErrorEstimateExplicit(u, u_exact),
+        refinement_limit=mf.RefinementLimitElementCount(1.0, 5),
+    )
+    errors = []
+    for _ in range(3):
+        (sols, stats, mesh), _ = _solve(mesh, settings)
+        errors.append(_err(sols[-1]))
+    assert errors[1] < errors[0] and errors[2] < errors[1], errors
+    assert errors[-1] < errors[0] * 0.5, errors
+
+
+def test_order_reduction_estimator():
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    system, u, q = _system()
+    settings = mf.RefinementSettings(
+        error_estimate=mf.ErrorEstimateL2OrderReduction(u, 1),
+        refinement_limit=mf.RefinementLimitElementCount(1.0, 3),
+    )
+    (sols, stats, new_mesh), _ = _solve(mesh, settings)
+    assert new_mesh.leaf_count >= mesh.leaf_count
+    err_est = sols[-1].cell_data["error_estimate"]
+    assert np.all(np.isfinite(err_est)) and np.all(err_est >= 0)
+    # Largest estimated errors should be in central elements.
+    worst = np.argmax(err_est)
+    c = mesh.get_leaf_corners(int(mesh.get_leaf_indices()[worst])).mean(axis=0)
+    assert np.linalg.norm(c) < 0.7
+
+
+def test_local_inverse_estimator():
+    mesh = mf.examples.unit_square_mesh(3, 3, 2)
+    system, u, q = _system()
+    settings = mf.RefinementSettings(
+        error_estimate=mf.ErrorEstimateLocalInverse(u, 1),
+        refinement_limit=mf.RefinementLimitUnknownCount(0.3, 100),
+    )
+    (sols, stats, new_mesh), _ = _solve(mesh, settings)
+    err_est = sols[-1].cell_data["error_estimate"]
+    assert np.all(np.isfinite(err_est)) and np.all(err_est >= 0)
+    # Refinement happened within budget.
+    assert new_mesh.leaf_count >= mesh.leaf_count
+
+
+def test_h_refinement_splits():
+    """With h_refinement_ratio = inf every refined element gets h-split."""
+    mesh = mf.examples.unit_square_mesh(2, 2, 4)
+    system, u, q = _system()
+    settings = mf.RefinementSettings(
+        error_estimate=mf.ErrorEstimateExplicit(u, u_exact),
+        refinement_limit=mf.RefinementLimitElementCount(1.0, 2),
+        h_refinement_ratio=np.inf,
+    )
+    (sols, stats, new_mesh), _ = _solve(mesh, settings)
+    assert new_mesh.element_count == mesh.element_count + 8  # two splits
+    assert new_mesh.leaf_count == mesh.leaf_count + 6
+
+
+def test_custom_estimator():
+    mesh = mf.examples.unit_square_mesh(3, 3, 2)
+    system, u, q = _system()
+
+    def estimator(x, y, w, **kwargs):
+        err = kwargs["u"] - u_exact(x, y)
+        return float(np.sum(err**2 * w)), np.inf  # h-cost inf -> p-refine
+
+    settings = mf.RefinementSettings(
+        error_estimate=mf.ErrorEstimateCustom([u], estimator),
+        refinement_limit=mf.RefinementLimitElementCount(1.0, 2),
+    )
+    (sols, stats, new_mesh), _ = _solve(mesh, settings)
+    assert new_mesh.leaf_count == mesh.leaf_count  # p-refined only
+    raised = [
+        int(i)
+        for i in new_mesh.get_leaf_indices()
+        if new_mesh.get_leaf_orders(int(i)) == (3, 3)
+    ]
+    assert len(raised) == 2
+
+
+def test_solve_on_split_mesh_with_hanging_nodes():
+    """h-split then re-solve: exercises hanging-node continuity constraints."""
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    mesh.split_element(0, (3, 3), (3, 3), (3, 3), (3, 3))
+    (sols, stats, _), _ = _solve(mesh)
+    assert stats.n_leaves == 7
+    err = _err(sols[-1])
+    # Solve must be well-posed and MORE accurate than the unsplit mesh
+    # (unsplit 2x2 p=3 gives ~0.0345; the split resolves the bump better).
+    assert err < 0.03, err
+
+
+def test_refinement_loop_with_h_splits_reduces_error():
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    settings = mf.RefinementSettings(
+        error_estimate=mf.ErrorEstimateExplicit(u_exact_form(), u_exact),
+        refinement_limit=mf.RefinementLimitElementCount(1.0, 3),
+        h_refinement_ratio=np.inf,  # force h-splitting
+    )
+    errors = []
+    for _ in range(3):
+        (sols, stats, mesh), _ = _solve(mesh, settings)
+        errors.append(_err(sols[-1]))
+    assert errors[-1] < errors[0], errors
+
+
+def u_exact_form():
+    return mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
