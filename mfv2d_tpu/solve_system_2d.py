@@ -242,7 +242,7 @@ def solve_system_2d(
 
             if (time_index % time_settings.sample_rate) == 0 or time_index + 1 == nt:
                 grid = reconstruct_mesh_from_solution(
-                    disc, recon_order, solution, fine_scales
+                    disc, recon_order, solution, _vms_to_coarse(sg_operator, fine_scales, disc)
                 )
                 grid.field_data["time"] = np.array([(time_index + 1) * dt])
                 resulting_grids.append(grid)
@@ -276,7 +276,9 @@ def solve_system_2d(
         )
         changes = np.asarray(all_residuals)[:iter_cnt]
         iters = np.array((iter_cnt,), np.uint32)
-        grid = reconstruct_mesh_from_solution(disc, recon_order, solution, fine_scales)
+        grid = reconstruct_mesh_from_solution(
+            disc, recon_order, solution, _vms_to_coarse(sg_operator, fine_scales, disc)
+        )
         resulting_grids.append(grid)
 
     mesh_orders = disc.element_orders
@@ -335,6 +337,20 @@ def solve_system_2d(
         output_mesh = mesh
 
     return tuple(resulting_grids), stats, output_mesh
+
+
+def _vms_to_coarse(sg_operator, fine_scales, disc):
+    """Project fine-scale VMS results to coarse dual DoFs for output.
+
+    The reference slices the fine-space vector with coarse offsets
+    (solve_system.py:233-239), which misaligns for order_increase > 0; the
+    dual projection is the consistent restriction.
+    """
+    if fine_scales is None or sg_operator is None:
+        return None
+    return sg_operator.fine_results_to_coarse_dofs(fine_scales, dual=True)[
+        : disc.n_dofs
+    ]
 
 
 def update_system_for_time_march(

@@ -1,0 +1,313 @@
+"""Variational multi-scale fine-scale estimation (Suyash-Green operator).
+
+Estimates the unresolved (fine-scale) part of the solution through the
+fine-scale Green's function G' = A_f^{-1} - P A_c^{-1} P^T of a symmetric
+operator, iterated against the non-symmetric advection operator
+(reference: python/mfv2d/solve_system.py:654-961).  The per-element matrices
+and projectors are produced by the batched device kernels; the two sparse
+factorizations are host-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse import linalg as sla
+
+from mfv2d_tpu.boundary import BoundaryCondition2DSteady
+from mfv2d_tpu.compiler import CompiledSystem
+from mfv2d_tpu.evaluation import (
+    ElementBatch,
+    compute_element_matrices,
+    compute_element_projector,
+    evaluate_static_fields,
+)
+from mfv2d_tpu.kform import KFormUnknown
+from mfv2d_tpu.solver.discretization import Discretization
+from mfv2d_tpu.solver.solve import (
+    SystemEvaluator,
+    VMSSettings,
+    compute_element_rhs_bucket,
+)
+from mfv2d_tpu.system import KFormSystem
+
+
+class _FineBucketView:
+    """Adapter pairing a fine batch with a coarse bucket's leaf ranks."""
+
+    def __init__(self, batch: ElementBatch, bucket) -> None:
+        self.batch = batch
+        self.orders = batch.orders
+        self.leaf_ranks = bucket.leaf_ranks
+
+
+class SuyashGreenOperator:
+    """Fine-scale Green's-function operator for VMS stabilization."""
+
+    def __init__(
+        self,
+        system: KFormSystem,
+        settings: VMSSettings,
+        disc: Discretization,
+        evaluator: SystemEvaluator,
+        constrained_forms: Sequence[tuple[float, KFormUnknown]],
+        strong_boundary_conditions: Sequence[BoundaryCondition2DSteady],
+    ) -> None:
+        from mfv2d_tpu.continuity import add_system_constraints
+
+        self.disc = disc
+        self.convergence = settings.fine_scale_convergence
+        self.relaxation = settings.relaxation
+        self.unknown_forms = settings.symmetric_system.unknown_forms
+        self.compiled_advection = CompiledSystem(settings.nonsymmetric_system)
+        compiled_sym = CompiledSystem(settings.symmetric_system)
+        dk = settings.order_increase
+        form_specs = disc.form_spec
+
+        self.fine_batches: list[ElementBatch] = []
+        fine_sizes = np.zeros(disc.n_leaves, np.int64)
+        proj_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
+        fine_adv_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
+        coarse_adv_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
+        fine_sym_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
+        coarse_sym_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
+        forcing_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
+
+        for bucket in disc.buckets:
+            p1, p2 = bucket.orders
+            fine_basis = disc.basis_cache.get_basis2d(
+                p1 + dk, p2 + dk, *bucket.batch.basis.integration_orders
+            )
+            fine_batch = ElementBatch(fine_basis, np.asarray(bucket.batch.corners))
+            self.fine_batches.append(fine_batch)
+
+            projs = compute_element_projector(form_specs, bucket.batch, fine_batch)
+            e = bucket.batch.n_elements
+            n_c = form_specs.total_size(p1, p2)
+            n_f = form_specs.total_size(p1 + dk, p2 + dk)
+            off_c = form_specs.form_offsets(p1, p2)
+            off_f = form_specs.form_offsets(p1 + dk, p2 + dk)
+            big = np.zeros((e, n_f, n_c))
+            for i in range(len(form_specs)):
+                big[:, off_f[i] : off_f[i + 1], off_c[i] : off_c[i + 1]] = np.asarray(
+                    projs[i]
+                )
+
+            statics_f = evaluate_static_fields(
+                fine_batch, self.compiled_advection.fields
+            )
+            fine_adv = np.asarray(
+                compute_element_matrices(
+                    form_specs,
+                    self.compiled_advection.linear_blocks,
+                    fine_batch,
+                    static_fields=statics_f,
+                )
+            )
+            statics_c = evaluate_static_fields(
+                bucket.batch, self.compiled_advection.fields
+            )
+            coarse_adv = np.asarray(
+                compute_element_matrices(
+                    form_specs,
+                    self.compiled_advection.linear_blocks,
+                    bucket.batch,
+                    static_fields=statics_c,
+                )
+            )
+            statics_sym = evaluate_static_fields(fine_batch, compiled_sym.fields)
+            fine_sym = np.asarray(
+                compute_element_matrices(
+                    form_specs,
+                    compiled_sym.lhs_blocks,
+                    fine_batch,
+                    static_fields=statics_sym,
+                )
+            )
+            # Galerkin coarse operator P^T A_f P (solve_system.py:750).
+            coarse_sym = np.einsum("eij,eik,ekl->ejl", big, fine_sym, big)
+
+            forcing = compute_element_rhs_bucket(
+                system, _FineBucketView(fine_batch, bucket)
+            )
+
+            for j, rank in enumerate(bucket.leaf_ranks):
+                rank = int(rank)
+                proj_leaf[rank] = big[j]
+                fine_adv_leaf[rank] = fine_adv[j]
+                coarse_adv_leaf[rank] = coarse_adv[j]
+                fine_sym_leaf[rank] = fine_sym[j]
+                coarse_sym_leaf[rank] = coarse_sym[j]
+                forcing_leaf[rank] = forcing[j]
+                fine_sizes[rank] = n_f
+
+        self.fine_offsets = np.concatenate([[0], np.cumsum(fine_sizes)])
+        self.projector_c2f = sp.csr_array(sp.block_diag(proj_leaf, format="csr"))
+        self.fine_linear_advection_operator = sp.coo_array(
+            sp.block_diag(fine_adv_leaf, format="coo")
+        )
+        self.coarse_linear_advection_operator = sp.coo_array(
+            sp.block_diag(coarse_adv_leaf, format="coo")
+        )
+        if self.compiled_advection.nonlin_blocks is None:
+            self.fine_advection_operator = self.fine_linear_advection_operator.tocsr()
+            self.coarse_advection_operator = (
+                self.coarse_linear_advection_operator.tocsr()
+            )
+
+        # Fine-space forcing + weak BCs + constraints on the p-raised mesh.
+        forcing_list = [np.asarray(f) for f in forcing_leaf]
+        mesh = disc.mesh
+        mesh.uniform_p_change(dk, dk)
+        try:
+            fine_lag_mat, fine_lag_vec = add_system_constraints(
+                system,
+                mesh,
+                disc.basis_cache,
+                constrained_forms,
+                strong_boundary_conditions,
+                disc.leaf_indices,
+                self.fine_offsets,
+                forcing_list,
+            )
+        finally:
+            mesh.uniform_p_change(-dk, -dk)
+
+        self.fine_forcing = np.concatenate(forcing_list)
+
+        fine_block = sp.block_diag(fine_sym_leaf)
+        if fine_lag_mat is not None:
+            fine_mat = sp.block_array(
+                [[fine_block, fine_lag_mat.T], [fine_lag_mat, None]], format="csc"
+            )
+        else:
+            fine_mat = sp.csc_array(fine_block)
+        self.fine_sym_mat = fine_mat
+        self.fine_decomp = sla.splu(sp.csc_matrix(fine_mat))
+        self.fine_padding = fine_lag_vec.size
+
+        coarse_lag_mat, coarse_lag_vec = add_system_constraints(
+            system,
+            mesh,
+            disc.basis_cache,
+            constrained_forms,
+            strong_boundary_conditions,
+            disc.leaf_indices,
+            disc.element_offsets,
+            None,
+        )
+        coarse_block = sp.block_diag(coarse_sym_leaf)
+        if coarse_lag_mat is not None:
+            coarse_mat = sp.block_array(
+                [[coarse_block, coarse_lag_mat.T], [coarse_lag_mat, None]],
+                format="csc",
+            )
+        else:
+            coarse_mat = sp.csc_array(coarse_block)
+        self.coarse_sym_mat = coarse_mat
+        self.coarse_decomp = sla.splu(sp.csc_matrix(coarse_mat))
+        self.coarse_padding = coarse_lag_vec.size
+
+    # -- operator application ------------------------------------------
+
+    def fine_scale_greens_function(self, x: np.ndarray) -> np.ndarray:
+        """G' x = A_f^{-1} x - P A_c^{-1} P^T x (solve_system.py:949-961)."""
+        result_fine = self.fine_decomp.solve(np.pad(x, (0, self.fine_padding)))[
+            : x.size
+        ]
+        coarse_sol = self.coarse_decomp.solve(
+            np.pad(x @ self.projector_c2f, (0, self.coarse_padding))
+        )
+        result_coarse = self.projector_c2f @ (
+            coarse_sol[: coarse_sol.size - self.coarse_padding]
+        )
+        return result_fine - result_coarse
+
+    def compute_unresolved_contributions(
+        self,
+        coarse_solution: np.ndarray,
+        initial_guess: np.ndarray | None,
+    ) -> np.ndarray:
+        """Fixed-point iteration for the unresolved-scale forcing."""
+        residual = self.fine_forcing - (
+            self.fine_advection_operator @ self.projector_c2f @ coarse_solution
+        )
+        agr = self.fine_advection_operator @ self.fine_scale_greens_function(residual)
+        u = np.array(agr) if initial_guess is None else np.array(initial_guess)
+
+        for _ in range(self.convergence.maximum_iterations):
+            u_new = agr - self.fine_advection_operator @ self.fine_scale_greens_function(
+                u
+            )
+            max_du = np.abs(u - u_new).max()
+            max_u = np.abs(u_new).max()
+            if self.relaxation == 1.0:
+                u = u_new
+            else:
+                u = (1 - self.relaxation) * u + self.relaxation * u_new
+            if (
+                max_u == 0
+                or max_du < max_u * self.convergence.relative_tolerance
+                or max_du < self.convergence.absolute_tolerance
+            ):
+                break
+        return u
+
+    def recover_unresolved(
+        self, coarse_solution: np.ndarray, unresolved_contribution: np.ndarray
+    ) -> np.ndarray:
+        """Unresolved scales from the unresolved-contribution forcing."""
+        residual = (
+            self.fine_forcing
+            - (
+                self.fine_advection_operator
+                @ self.projector_c2f
+                @ coarse_solution[: coarse_solution.size - self.coarse_padding]
+            )
+            - unresolved_contribution
+        )
+        return self.fine_scale_greens_function(residual)
+
+    def fine_results_to_coarse_dofs(self, x: np.ndarray, *, dual: bool) -> np.ndarray:
+        """Project fine-scale results back to the coarse DoFs (padded)."""
+        y = x @ self.projector_c2f if dual else self.projector_c2f.T @ x
+        return np.pad(y, (0, self.coarse_padding))
+
+    def update_nonlinear_advection(self, coarse_dofs: np.ndarray) -> None:
+        """Rebuild the advection operator with the current nonlinear field."""
+        if self.compiled_advection.nonlin_blocks is None:
+            return
+        # coarse_dofs may carry lagrange padding; strip it.
+        n_coarse = self.projector_c2f.shape[1]
+        fine_dofs = self.projector_c2f @ coarse_dofs[:n_coarse]
+
+        nonlin_leaf: list[np.ndarray | None] = [None] * self.disc.n_leaves
+        for bucket, fine_batch in zip(self.disc.buckets, self.fine_batches):
+            gather = (
+                self.fine_offsets[bucket.leaf_ranks][:, None]
+                + np.arange(
+                    self.disc.form_spec.total_size(*fine_batch.orders), dtype=np.int64
+                )[None, :]
+            )
+            dofs = jnp.asarray(fine_dofs[gather])
+            statics = evaluate_static_fields(
+                fine_batch, self.compiled_advection.fields
+            )
+            mats = np.asarray(
+                compute_element_matrices(
+                    self.disc.form_spec,
+                    self.compiled_advection.nonlin_blocks,
+                    fine_batch,
+                    dofs=dofs,
+                    static_fields=statics,
+                )
+            )
+            for j, rank in enumerate(bucket.leaf_ranks):
+                nonlin_leaf[int(rank)] = mats[j]
+        nonlin = sp.coo_array(sp.block_diag(nonlin_leaf, format="coo"))
+        self.fine_advection_operator = (
+            self.fine_linear_advection_operator + nonlin
+        ).tocsr()

@@ -1,0 +1,107 @@
+"""VMS fine-scale Green's function tests (mirrors reference test_vms.py)."""
+
+import numpy as np
+import pytest
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.compiler import CompiledSystem
+from mfv2d_tpu.ops.basis import FemCache
+from mfv2d_tpu.solver.discretization import discretize_mesh
+from mfv2d_tpu.solver.solve import SystemEvaluator, ConvergenceSettings, VMSSettings
+from mfv2d_tpu.solver.vms import SuyashGreenOperator
+
+
+@pytest.mark.parametrize(
+    ("nh", "nv", "element_order", "k"), ((3, 4, 3, 2), (2, 3, 4, 3), (2, 2, 1, 1))
+)
+def test_fine_green_annihilates_coarse(nh, nv, element_order, k):
+    """G' output has no coarse-space component.
+
+    Applying the symmetric operator to G' x and projecting to the coarse
+    space must give zero after a coarse solve (reference tests/test_vms.py).
+    """
+    mesh = mf.examples.unit_square_mesh(
+        nh,
+        nv,
+        element_order,
+        deformation=lambda xi, eta: (
+            xi + 0.1 * np.sin(np.pi * xi) * np.sin(np.pi * eta),
+            eta - 0.1 * np.sin(np.pi * xi) * np.sin(np.pi * eta),
+        ),
+    )
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    v = u.weight
+    p = q.weight
+    system = mf.KFormSystem(
+        p @ q + p.derivative @ u == 0,
+        v @ q.derivative == 0,
+        sorting=lambda f: f.order,
+    )
+
+    cache = FemCache(order_difference=k)
+    disc = discretize_mesh(mesh, system.unknown_forms, cache)
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    settings = VMSSettings(
+        symmetric_system=system,
+        nonsymmetric_system=system,
+        order_increase=k,
+        fine_scale_convergence=ConvergenceSettings(10, 1e-10, 1e-10),
+    )
+    op = SuyashGreenOperator(system, settings, disc, evaluator, [], [])
+
+    rng = np.random.default_rng(0)
+    n_fine = op.fine_offsets[-1]
+    forcing = rng.uniform(-1, 1, n_fine)
+
+    g = op.fine_scale_greens_function(forcing)
+
+    # Apply the fine symmetric saddle operator and project to coarse space.
+    fine_forcing = (op.fine_sym_mat @ np.pad(g, (0, op.fine_padding)))[
+        : n_fine
+    ] @ op.projector_c2f
+    res = op.coarse_decomp.solve(np.pad(fine_forcing, (0, op.coarse_padding)))
+    res = res[: res.size - op.coarse_padding]
+    assert np.max(np.abs(res)) < 1e-8 * max(1.0, np.max(np.abs(g)))
+
+
+def test_vms_solve_runs():
+    """solve_system_2d with vms_settings produces vms point data."""
+
+    def u_exact(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def source_exact(x, y):
+        return -(np.pi**2) / 2 * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    p = q.weight
+    system = mf.KFormSystem(
+        p.derivative @ u - p @ q == p ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    sols, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(system, over_integration_order=3),
+        mf.SolverSettings(mf.ConvergenceSettings(20, 1e-8, 0)),
+        vms_settings=mf.VMSSettings(
+            symmetric_system=system,
+            nonsymmetric_system=system,
+            order_increase=2,
+            fine_scale_convergence=mf.ConvergenceSettings(10, 1e-10, 1e-8),
+        ),
+        recon_order=6,
+    )
+    grid = sols[-1]
+    assert "vms-u" in grid.point_data
+    assert np.all(np.isfinite(grid.point_data["vms-u"]))
+    # The solution itself should still be accurate.
+    err = np.sqrt(
+        np.mean((grid.point_data["u"] - u_exact(grid.points[:, 0], grid.points[:, 1])) ** 2)
+    )
+    assert err < 5e-2
