@@ -23,6 +23,7 @@ from mfv2d_tpu.ops.basis import FemCache
 from mfv2d_tpu.progress import HistogramFormat
 from mfv2d_tpu.solver.discretization import discretize_mesh
 from mfv2d_tpu.solver.solve import (
+    ConvergenceSettings,
     FrozenSaddleSolver,
     SolutionStatistics,
     SolverSettings,
@@ -169,7 +170,27 @@ def solve_system_2d(
     else:
         time_carry_term = None
 
-    solver = FrozenSaddleSolver(evaluator.matrices_per_leaf(matrices), lagrange_mat)
+    if solver_settings.linear_solver == "direct":
+        solver = FrozenSaddleSolver(
+            evaluator.matrices_per_leaf(matrices), lagrange_mat
+        )
+    else:
+        from mfv2d_tpu.solver.iterative import IterativeSaddleSolver
+
+        solver = IterativeSaddleSolver(
+            disc,
+            matrices,
+            lagrange_mat,
+            ConvergenceSettings(
+                maximum_iterations=max(
+                    200, 4 * (disc.n_dofs + int(lagrange_vec.size))
+                ),
+                absolute_tolerance=solver_settings.convergence.absolute_tolerance
+                * 1e-3,
+                relative_tolerance=1e-12,
+            ),
+            method=solver_settings.linear_solver,
+        )
 
     if vms_settings is not None:
         from mfv2d_tpu.solver.vms import SuyashGreenOperator

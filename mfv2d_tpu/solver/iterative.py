@@ -1,0 +1,413 @@
+"""Matrix-free iterative solvers on the element-blocked saddle system.
+
+The hybridized system
+
+    [[A, G^T], [G, 0]] [u, lambda] = [b, c]
+
+has A block-diagonal over elements and G a sparse constraint (trace) matrix.
+This is the reference's ``LinearSystem``/``DenseVector``/``TraceVector``
+layer (src/algebra/system_objects.c, python/mfv2d/solving.py) re-designed for
+TPU: per-bucket batched dense blocks with batched LU factorizations replace
+per-element jmtx CRS + scalar LU, and the trace exchange G/G^T is a static
+gather/segment-sum pair.  Exactly this structure shards over a device mesh:
+element batches are data-parallel, and each Krylov iteration needs one
+all-reduce of the per-device partial G x (see mfv2d_tpu.parallel).
+
+Solvers: CG on the Schur complement S = G A^{-1} G^T (SPD case), and
+GMRES / preconditioned CG on the full saddle system with block-Jacobi
+preconditioning, all matching the reference algorithms (solving.py:178-684).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from mfv2d_tpu.solver.discretization import Discretization
+from mfv2d_tpu.solver.solve import ConvergenceSettings
+
+
+class BlockSaddleSystem:
+    """Device-resident element-blocked saddle system.
+
+    Parameters
+    ----------
+    disc : Discretization
+        Bucketed mesh discretization (supplies the gather maps).
+    element_matrices : list of [E, n, n] arrays
+        Per-bucket element matrix batches.
+    lagrange_mat : scipy CSR or None
+        Constraint matrix G over the global DoF vector.
+    """
+
+    def __init__(
+        self,
+        disc: Discretization,
+        element_matrices: list[np.ndarray],
+        lagrange_mat: sp.csr_array | None,
+    ) -> None:
+        self.disc = disc
+        self.n_dofs = disc.n_dofs
+        self.blocks = [jnp.asarray(m) for m in element_matrices]
+        self.lu_factors = [
+            jax.scipy.linalg.lu_factor(b) for b in self.blocks
+        ]
+        self.gathers = [jnp.asarray(b.gather) for b in disc.buckets]
+
+        if lagrange_mat is not None:
+            coo = lagrange_mat.tocoo()
+            self.n_lagrange = lagrange_mat.shape[0]
+            self.g_rows = jnp.asarray(coo.row, jnp.int32)
+            self.g_cols = jnp.asarray(coo.col, jnp.int32)
+            self.g_vals = jnp.asarray(coo.data)
+        else:
+            self.n_lagrange = 0
+            self.g_rows = jnp.zeros(0, jnp.int32)
+            self.g_cols = jnp.zeros(0, jnp.int32)
+            self.g_vals = jnp.zeros(0)
+
+        self._jit_cache: dict[str, Callable] = {}
+
+    # -- block-diagonal operator ---------------------------------------
+
+    def apply_diagonal(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A x with A block-diagonal (batched GEMV per bucket)."""
+        y = jnp.zeros_like(x)
+        for blocks, gather in zip(self.blocks, self.gathers):
+            xe = x[gather]
+            ye = jnp.einsum("eij,ej->ei", blocks, xe)
+            y = y.at[gather].set(ye)
+        return y
+
+    def apply_diagonal_inverse(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A^{-1} x via the batched LU factorizations."""
+        y = jnp.zeros_like(x)
+        for lu, gather in zip(self.lu_factors, self.gathers):
+            xe = x[gather]
+            ye = jax.scipy.linalg.lu_solve(lu, xe[..., None])[..., 0]
+            y = y.at[gather].set(ye)
+        return y
+
+    # -- trace (constraint) operator -----------------------------------
+
+    def apply_trace(self, x: jnp.ndarray) -> jnp.ndarray:
+        """G x: gather element DoFs, weighted segment-sum into trace rows."""
+        contrib = self.g_vals * x[self.g_cols]
+        return jax.ops.segment_sum(
+            contrib, self.g_rows, num_segments=max(self.n_lagrange, 1)
+        )[: self.n_lagrange]
+
+    def apply_trace_transpose(self, lam: jnp.ndarray) -> jnp.ndarray:
+        """G^T lambda: scatter-add trace values back onto element DoFs."""
+        out = jnp.zeros(self.n_dofs)
+        if self.n_lagrange == 0:
+            return out
+        return out.at[self.g_cols].add(self.g_vals * lam[self.g_rows])
+
+    # -- composite operators -------------------------------------------
+
+    def apply_saddle(self, u: jnp.ndarray, lam: jnp.ndarray):
+        """[[A, G^T], [G, 0]] applied to (u, lambda)."""
+        return (
+            self.apply_diagonal(u) + self.apply_trace_transpose(lam),
+            self.apply_trace(u),
+        )
+
+    def apply_schur(self, lam: jnp.ndarray) -> jnp.ndarray:
+        """S lambda = G A^{-1} G^T lambda."""
+        return self.apply_trace(
+            self.apply_diagonal_inverse(self.apply_trace_transpose(lam))
+        )
+
+
+# ---------------------------------------------------------------------------
+# Generic Krylov methods (reference solving.py:178-436)
+# ---------------------------------------------------------------------------
+
+
+def _stopping_tolerance(rhs_norm: float, convergence: ConvergenceSettings) -> float:
+    """Reference stopping rule: min of absolute and relative tolerances."""
+    rel = rhs_norm * convergence.relative_tolerance
+    if rel > convergence.absolute_tolerance:
+        return convergence.absolute_tolerance
+    return rel if rel > 0.0 else convergence.absolute_tolerance
+
+
+def cg_general(
+    apply_system: Callable,
+    rhs: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    convergence: ConvergenceSettings,
+) -> tuple[jnp.ndarray, float, int]:
+    """Conjugate gradients on an SPD operator."""
+    rhs_mag2 = float(jnp.vdot(rhs, rhs))
+    tol = _stopping_tolerance(np.sqrt(rhs_mag2), convergence)
+    x = initial_guess
+    res = rhs - apply_system(x)
+    p = res
+    res_mag2 = float(jnp.vdot(res, res))
+    iter_cnt = 0
+    for iter_cnt in range(convergence.maximum_iterations):
+        ap = apply_system(p)
+        apa = float(jnp.vdot(ap, p))
+        if apa == 0.0:
+            break
+        alpha = res_mag2 / apa
+        x = x + alpha * p
+        res = res - alpha * ap
+        new_mag2 = float(jnp.vdot(res, res))
+        if new_mag2 < tol * tol:
+            res_mag2 = new_mag2
+            break
+        beta = new_mag2 / res_mag2
+        res_mag2 = new_mag2
+        p = res + beta * p
+    return x, float(np.sqrt(res_mag2)), iter_cnt + 1
+
+
+def pcg_general(
+    apply_system: Callable,
+    apply_preconditioner: Callable,
+    rhs: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    convergence: ConvergenceSettings,
+    degen_limit: float = 1e-12,
+) -> tuple[jnp.ndarray, float, int]:
+    """Preconditioned CG (reference solving.py:280-347)."""
+    rhs_mag2 = float(jnp.vdot(rhs, rhs))
+    tol = _stopping_tolerance(np.sqrt(rhs_mag2), convergence)
+    x = initial_guess
+    res = rhs - apply_system(x)
+    z = apply_preconditioner(res)
+    p = z
+    res_mag2 = float(jnp.vdot(res, res))
+    rz = float(jnp.vdot(res, z))
+    iter_cnt = 0
+    for iter_cnt in range(convergence.maximum_iterations):
+        ap = apply_system(p)
+        apa = float(jnp.vdot(ap, p))
+        if res_mag2 > 0 and abs(apa) / res_mag2 < degen_limit:
+            raise RuntimeError("System degenerated (matrix was probably not SPD).")
+        alpha = rz / apa
+        x = x + alpha * p
+        res = res - alpha * ap
+        res_mag2 = float(jnp.vdot(res, res))
+        if res_mag2 < tol * tol:
+            break
+        z = apply_preconditioner(res)
+        new_rz = float(jnp.vdot(res, z))
+        beta = new_rz / rz
+        rz = new_rz
+        p = z + beta * p
+    return x, float(np.sqrt(res_mag2)), iter_cnt + 1
+
+
+def gmres_general(
+    apply_system: Callable,
+    rhs: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    convergence: ConvergenceSettings,
+    restart: int | None = None,
+) -> tuple[jnp.ndarray, float, int]:
+    """GMRES with Givens rotations (reference solving.py:178-277).
+
+    ``maximum_iterations`` bounds the Krylov dimension; optional restarts.
+    """
+    m = convergence.maximum_iterations if restart is None else restart
+    x = initial_guess
+    total_iters = 0
+    outer_max = 1 if restart is None else max(1, convergence.maximum_iterations // restart)
+
+    rhs_mag = float(jnp.linalg.norm(rhs))
+    tol = _stopping_tolerance(rhs_mag, convergence)
+    r_mag = np.inf
+    for _ in range(outer_max):
+        res = rhs - apply_system(x)
+        r_mag = float(jnp.linalg.norm(res))
+        if r_mag < tol or r_mag == 0.0:
+            break
+        g = np.zeros(m + 1)
+        h = np.zeros((m + 1, m))
+        ck = np.zeros(m)
+        sk = np.zeros(m)
+        vs = [res / r_mag]
+        g[0] = r_mag
+        k = 0
+        for k in range(m):
+            w = apply_system(vs[k])
+            for i in range(k + 1):
+                h[i, k] = float(jnp.vdot(w, vs[i]))
+                w = w - h[i, k] * vs[i]
+            h[k + 1, k] = float(jnp.linalg.norm(w))
+            if h[k + 1, k] > 1e-300:
+                vs.append(w / h[k + 1, k])
+            else:
+                vs.append(w)
+            # Apply stored Givens rotations.
+            for i in range(k):
+                tmp = ck[i] * h[i, k] + sk[i] * h[i + 1, k]
+                h[i + 1, k] = -sk[i] * h[i, k] + ck[i] * h[i + 1, k]
+                h[i, k] = tmp
+            rho = np.hypot(h[k, k], h[k + 1, k])
+            if rho == 0.0:
+                k += 1
+                break
+            ck[k] = h[k, k] / rho
+            sk[k] = h[k + 1, k] / rho
+            h[k, k] = rho
+            h[k + 1, k] = 0.0
+            g[k + 1] = -sk[k] * g[k]
+            g[k] = ck[k] * g[k]
+            total_iters += 1
+            if abs(g[k + 1]) < tol:
+                k += 1
+                break
+        else:
+            k = m
+        # Solve the triangular system and update x.
+        if k > 0:
+            y = np.linalg.solve(h[:k, :k], g[:k])
+            for i in range(k):
+                x = x + y[i] * vs[i]
+        r_mag = abs(g[k]) if k < len(g) else r_mag
+        if r_mag < tol:
+            break
+    return x, float(r_mag), total_iters
+
+
+# ---------------------------------------------------------------------------
+# Saddle-system solvers
+# ---------------------------------------------------------------------------
+
+
+def solve_schur_iterative(
+    system: BlockSaddleSystem,
+    rhs: jnp.ndarray,
+    constraints: jnp.ndarray,
+    convergence: ConvergenceSettings,
+) -> tuple[jnp.ndarray, jnp.ndarray, float, int]:
+    """Solve via the trace Schur complement (reference solving.py:439-500).
+
+    CG on S lambda = G A^{-1} b - c, then u = A^{-1}(b - G^T lambda).
+    """
+    inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
+    trace_rhs = system.apply_trace(inv_a_b) - jnp.asarray(constraints)
+    lam, residual, iters = cg_general(
+        system.apply_schur,
+        trace_rhs,
+        jnp.zeros(system.n_lagrange),
+        convergence,
+    )
+    u = inv_a_b - system.apply_diagonal_inverse(system.apply_trace_transpose(lam))
+    return u, lam, residual, iters
+
+
+def _full_pack(system: BlockSaddleSystem, u, lam):
+    return jnp.concatenate([u, lam])
+
+
+def _full_apply(system: BlockSaddleSystem, x):
+    u = x[: system.n_dofs]
+    lam = x[system.n_dofs :]
+    yu, yl = system.apply_saddle(u, lam)
+    return jnp.concatenate([yu, yl])
+
+
+def solve_gmres_iterative(
+    system: BlockSaddleSystem,
+    rhs: jnp.ndarray,
+    constraints: jnp.ndarray,
+    convergence: ConvergenceSettings,
+) -> tuple[jnp.ndarray, jnp.ndarray, float, int]:
+    """GMRES on the full saddle system."""
+    full_rhs = jnp.concatenate([jnp.asarray(rhs), jnp.asarray(constraints)])
+    x, residual, iters = gmres_general(
+        lambda v: _full_apply(system, v),
+        full_rhs,
+        jnp.zeros_like(full_rhs),
+        convergence,
+    )
+    return x[: system.n_dofs], x[system.n_dofs :], residual, iters
+
+
+def solve_cg_iterative(
+    system: BlockSaddleSystem,
+    rhs: jnp.ndarray,
+    constraints: jnp.ndarray,
+    convergence: ConvergenceSettings,
+) -> tuple[jnp.ndarray, jnp.ndarray, float, int]:
+    """CG on the full (symmetric, indefinite) saddle system.
+
+    Matches reference solve_cg_iterative; like the reference it relies on the
+    system behaving well enough for CG despite indefiniteness.
+    """
+    full_rhs = jnp.concatenate([jnp.asarray(rhs), jnp.asarray(constraints)])
+    x, residual, iters = cg_general(
+        lambda v: _full_apply(system, v),
+        full_rhs,
+        jnp.zeros_like(full_rhs),
+        convergence,
+    )
+    return x[: system.n_dofs], x[system.n_dofs :], residual, iters
+
+
+def solve_pcg_iterative(
+    system: BlockSaddleSystem,
+    rhs: jnp.ndarray,
+    constraints: jnp.ndarray,
+    convergence: ConvergenceSettings,
+) -> tuple[jnp.ndarray, jnp.ndarray, float, int]:
+    """Block-Jacobi preconditioned CG on the full saddle system."""
+    full_rhs = jnp.concatenate([jnp.asarray(rhs), jnp.asarray(constraints)])
+
+    def precondition(v):
+        u = system.apply_diagonal_inverse(v[: system.n_dofs])
+        return jnp.concatenate([u, v[system.n_dofs :]])
+
+    x, residual, iters = pcg_general(
+        lambda v: _full_apply(system, v),
+        precondition,
+        full_rhs,
+        jnp.zeros_like(full_rhs),
+        convergence,
+    )
+    return x[: system.n_dofs], x[system.n_dofs :], residual, iters
+
+
+class IterativeSaddleSolver:
+    """Drop-in alternative to FrozenSaddleSolver using the Schur/GMRES path."""
+
+    def __init__(
+        self,
+        disc: Discretization,
+        element_matrices: list[np.ndarray],
+        lagrange_mat: sp.csr_array | None,
+        convergence: ConvergenceSettings,
+        method: str = "schur",
+    ) -> None:
+        self.system = BlockSaddleSystem(disc, element_matrices, lagrange_mat)
+        self.convergence = convergence
+        self.method = method
+        self.n_lagrange = self.system.n_lagrange
+
+    def solve(self, rhs: np.ndarray) -> np.ndarray:
+        b = jnp.asarray(rhs[: self.system.n_dofs])
+        c = jnp.asarray(rhs[self.system.n_dofs :])
+        if self.method == "schur":
+            u, lam, _, _ = solve_schur_iterative(
+                self.system, b, c, self.convergence
+            )
+        elif self.method == "gmres":
+            u, lam, _, _ = solve_gmres_iterative(
+                self.system, b, c, self.convergence
+            )
+        elif self.method == "pcg":
+            u, lam, _, _ = solve_pcg_iterative(self.system, b, c, self.convergence)
+        else:
+            raise ValueError(f"Unknown iterative method {self.method!r}.")
+        return np.concatenate([np.asarray(u), np.asarray(lam)])

@@ -56,10 +56,17 @@ class ConvergenceSettings:
 
 @dataclass(frozen=True)
 class SolverSettings:
-    """Nonlinear solver settings (reference solve_system.py:554-601)."""
+    """Nonlinear solver settings (reference solve_system.py:554-601).
+
+    ``linear_solver`` selects the inner linear solve: "direct" (host sparse
+    LU of the frozen saddle matrix, the reference behavior), or the
+    on-device matrix-free paths "schur", "pcg", "gmres"
+    (see mfv2d_tpu.solver.iterative).
+    """
 
     convergence: ConvergenceSettings = ConvergenceSettings()
     relaxation: float = 1.0
+    linear_solver: str = "direct"
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,160 @@
+"""Matrix-free iterative saddle solvers vs the direct factorization.
+
+Mirrors the strategy of the reference test_solving.py: build a full mixed
+Poisson system, then check the Schur/PCG/GMRES paths reproduce the direct
+solution.
+"""
+
+import numpy as np
+import pytest
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.compiler import CompiledSystem
+from mfv2d_tpu.ops.basis import FemCache
+from mfv2d_tpu.solver.discretization import discretize_mesh
+from mfv2d_tpu.solver.iterative import (
+    BlockSaddleSystem,
+    IterativeSaddleSolver,
+    cg_general,
+    gmres_general,
+    solve_schur_iterative,
+)
+from mfv2d_tpu.solver.solve import (
+    ConvergenceSettings,
+    FrozenSaddleSolver,
+    SystemEvaluator,
+    compute_linear_system,
+)
+
+import jax.numpy as jnp
+
+
+def u_exact(x, y):
+    return 2 * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y) + 5
+
+
+def source_exact(x, y):
+    return -(np.pi**2) * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+
+def _setup(n=3, p=3):
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(n, n, p)
+    cache = FemCache(3)
+    disc = discretize_mesh(mesh, system.unknown_forms, cache)
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+    return disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec
+
+
+def test_block_operators_match_sparse():
+    """Batched matvecs agree with the assembled scipy operators."""
+    import scipy.sparse as sp
+
+    disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup()
+    system = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    a_sparse = sp.block_diag(evaluator.matrices_per_leaf(matrices), format="csr")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=disc.n_dofs)
+    lam = rng.normal(size=lagrange_mat.shape[0])
+
+    assert np.allclose(np.asarray(system.apply_diagonal(jnp.asarray(x))), a_sparse @ x)
+    assert np.allclose(np.asarray(system.apply_trace(jnp.asarray(x))), lagrange_mat @ x)
+    assert np.allclose(
+        np.asarray(system.apply_trace_transpose(jnp.asarray(lam))),
+        lagrange_mat.T @ lam,
+    )
+    # A^{-1} A x == x
+    ax = system.apply_diagonal(jnp.asarray(x))
+    assert np.allclose(np.asarray(system.apply_diagonal_inverse(ax)), x, atol=1e-8)
+
+
+def test_schur_matches_direct():
+    disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup()
+    direct = FrozenSaddleSolver(evaluator.matrices_per_leaf(matrices), lagrange_mat)
+    rhs = np.concatenate([forcing, lagrange_vec])
+    x_direct = direct.solve(rhs)
+
+    system = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    conv = ConvergenceSettings(2000, 1e-12, 0.0)
+    u, lam, res, iters = solve_schur_iterative(
+        system, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+    assert np.allclose(np.asarray(u), x_direct[: disc.n_dofs], atol=1e-7)
+    assert iters < 2000
+
+
+@pytest.mark.parametrize("method", ["schur", "gmres", "pcg"])
+def test_iterative_solver_interface(method):
+    disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup(2, 2)
+    direct = FrozenSaddleSolver(evaluator.matrices_per_leaf(matrices), lagrange_mat)
+    rhs = np.concatenate([forcing, lagrange_vec])
+    x_direct = direct.solve(rhs)
+
+    solver = IterativeSaddleSolver(
+        disc,
+        matrices,
+        lagrange_mat,
+        ConvergenceSettings(5000, 1e-11, 0.0),
+        method=method,
+    )
+    x_iter = solver.solve(rhs)
+    assert np.allclose(x_iter[: disc.n_dofs], x_direct[: disc.n_dofs], atol=1e-6), (
+        np.abs(x_iter[: disc.n_dofs] - x_direct[: disc.n_dofs]).max()
+    )
+
+
+def test_generic_krylov_small_system():
+    rng = np.random.default_rng(0)
+    n = 40
+    m = rng.normal(size=(n, n))
+    a = m @ m.T + n * np.eye(n)  # SPD
+    b = rng.normal(size=n)
+    x_ref = np.linalg.solve(a, b)
+    conv = ConvergenceSettings(200, 1e-12, 0.0)
+
+    x_cg, _, _ = cg_general(lambda v: jnp.asarray(a) @ v, jnp.asarray(b), jnp.zeros(n), conv)
+    assert np.allclose(np.asarray(x_cg), x_ref, atol=1e-8)
+
+    ns = m + n * np.eye(n)  # nonsymmetric but well conditioned
+    x_ref2 = np.linalg.solve(ns, b)
+    x_gm, res, it = gmres_general(
+        lambda v: jnp.asarray(ns) @ v, jnp.asarray(b), jnp.zeros(n), conv
+    )
+    assert np.allclose(np.asarray(x_gm), x_ref2, atol=1e-7), res
+
+
+def test_end_to_end_with_iterative_solver():
+    """solve_system_2d with the on-device Schur path matches direct."""
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    results = {}
+    for method in ("direct", "schur"):
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(system),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(absolute_tolerance=1e-9, relative_tolerance=0),
+                linear_solver=method,
+            ),
+            recon_order=6,
+        )
+        results[method] = sols[-1].point_data["u"]
+    assert np.allclose(results["schur"], results["direct"], atol=1e-5)
