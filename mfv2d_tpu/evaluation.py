@@ -177,7 +177,7 @@ class _State:
 
 def _left_apply_const(mat_const: np.ndarray, state: _State, batch: ElementBatch) -> _State:
     """Left-multiply the state by a constant (non-batched) matrix."""
-    m = jnp.asarray(mat_const)
+    m = jnp.asarray(mat_const, batch.jac.det.dtype)
     if state.kind in ("invalid", "identity"):
         coef = state.coef if state.kind == "identity" else 1.0
         e = batch.n_elements
@@ -222,10 +222,10 @@ def _materialize(
     if state.kind == "identity":
         if vector:
             return state.coef * initial
-        eye = jnp.eye(n_cols)
+        eye = jnp.eye(n_cols, dtype=batch.jac.det.dtype)
         return state.coef * jnp.broadcast_to(eye, (e, n_cols, n_cols))
     if state.kind == "incidence":
-        e_mat = jnp.asarray(_incidence_for(batch, *state.inc))
+        e_mat = jnp.asarray(_incidence_for(batch, *state.inc), batch.jac.det.dtype)
         if vector:
             return state.coef * jnp.einsum("ij,ej->ei", e_mat, initial)
         return state.coef * jnp.broadcast_to(e_mat, (e,) + e_mat.shape)
@@ -388,7 +388,10 @@ def compute_element_matrices(
         for j, block in enumerate(row):
             if block is None:
                 cols.append(
-                    jnp.zeros((batch.n_elements, sizes[i], sizes[j]))
+                    jnp.zeros(
+                        (batch.n_elements, sizes[i], sizes[j]),
+                        batch.jac.det.dtype,
+                    )
                 )
             else:
                 cols.append(evaluate_block(block, batch, fields, sizes[j]))

@@ -67,9 +67,16 @@ def tensor_basis(basis: Basis2D) -> TensorBasis:
 
 
 def batch_jacobian(tb: TensorBasis, corners) -> JacobianTerms:
-    """Jacobian terms at the quadrature grid, flattened to ``[..., n_quad]``."""
+    """Jacobian terms at the quadrature grid, flattened to ``[..., n_quad]``.
+
+    The computation follows the dtype of ``corners`` (float32 for the TPU
+    assembly throughput path, float64 for the parity path).
+    """
+    c = jnp.asarray(corners)
     jac = jacobian(
-        jnp.asarray(corners), tb.nodes_xi[None, :], tb.nodes_eta[:, None]
+        c,
+        jnp.asarray(tb.nodes_xi, c.dtype)[None, :],
+        jnp.asarray(tb.nodes_eta, c.dtype)[:, None],
     )
     flat = tuple(v.reshape(v.shape[:-2] + (-1,)) for v in jac)
     return JacobianTerms(*flat)

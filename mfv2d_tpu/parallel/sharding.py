@@ -1,0 +1,329 @@
+"""Multi-chip element-parallel solve over a JAX device mesh.
+
+The hybridized structure is exactly the distributed seam the reference was
+designed around (docs/modules/solving.rst:10-13): element blocks are
+embarrassingly parallel, and the only communication is the trace (constraint)
+exchange.  Here element batches are sharded along a 1D mesh axis ``"e"`` with
+``shard_map``; each Krylov matvec does
+
+    1. local batched block GEMV / LU-solve on the device's elements,
+    2. local partial ``G x`` via a per-device segment-sum,
+    3. one ``psum`` over the mesh axis to reduce the trace vector,
+    4. local ``G^T lambda`` scatter from the (replicated) trace vector.
+
+So one all-reduce of size ``n_lagrange`` per matvec rides the ICI; no other
+communication exists.  The same layout scales the Picard residual evaluation
+(element-local) and the assembly (fully local).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mfv2d_tpu.solver.discretization import Discretization
+
+
+def _pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
+    n = arr.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths)
+
+
+class ShardedBlockSystem:
+    """Element-sharded saddle system over a 1D device mesh.
+
+    Currently supports a single order bucket (uniform p); the hp case shards
+    each bucket independently with the same pattern.
+
+    Parameters
+    ----------
+    disc : Discretization
+        Single-bucket discretization.
+    element_matrices : [E, n, n] array
+        Element matrix batch (bucket 0).
+    lagrange_mat : scipy CSR or None
+        Constraint matrix over the global DoF vector.
+    mesh : jax.sharding.Mesh
+        1D device mesh with axis name "e".
+    """
+
+    def __init__(
+        self,
+        disc: Discretization,
+        element_matrices: np.ndarray,
+        lagrange_mat: sp.csr_array | None,
+        mesh: Mesh,
+    ) -> None:
+        if len(disc.buckets) != 1:
+            raise NotImplementedError(
+                "Sharded path currently expects a uniform-order mesh."
+            )
+        self.mesh = mesh
+        self.n_devices = mesh.devices.size
+        bucket = disc.buckets[0]
+        e_real = bucket.batch.n_elements
+        self.n_dofs_per_element = element_matrices.shape[1]
+        n = self.n_dofs_per_element
+
+        blocks = _pad_to_multiple(np.asarray(element_matrices), self.n_devices)
+        # Padding elements get identity blocks so the batched LU stays valid.
+        for i in range(e_real, blocks.shape[0]):
+            blocks[i] = np.eye(n)
+        self.e_padded = blocks.shape[0]
+        self.e_real = e_real
+
+        if lagrange_mat is not None:
+            coo = lagrange_mat.tocoo()
+            self.n_lagrange = lagrange_mat.shape[0]
+            rows = np.asarray(coo.row, np.int64)
+            cols = np.asarray(coo.col, np.int64)
+            vals = np.asarray(coo.data)
+        else:
+            self.n_lagrange = 0
+            rows = np.zeros(0, np.int64)
+            cols = np.zeros(0, np.int64)
+            vals = np.zeros(0)
+
+        # Map flat DoF columns to (element, local dof) and partition entries
+        # by the owning device (elements are block-distributed).
+        elem_of_entry = cols // n
+        local_dof = cols % n
+        per_dev = self.e_padded // self.n_devices
+        owner = elem_of_entry // per_dev
+        max_entries = max(
+            (int(np.sum(owner == d)) for d in range(self.n_devices)), default=0
+        )
+        max_entries = max(max_entries, 1)
+        ent_rows = np.zeros((self.n_devices, max_entries), np.int32)
+        ent_elem = np.zeros((self.n_devices, max_entries), np.int32)
+        ent_dof = np.zeros((self.n_devices, max_entries), np.int32)
+        ent_val = np.zeros((self.n_devices, max_entries))
+        for d in range(self.n_devices):
+            sel = owner == d
+            cnt = int(np.sum(sel))
+            ent_rows[d, :cnt] = rows[sel]
+            ent_elem[d, :cnt] = elem_of_entry[sel] - d * per_dev  # local index
+            ent_dof[d, :cnt] = local_dof[sel]
+            ent_val[d, :cnt] = vals[sel]  # padding has val 0 -> no-op
+
+        shard_e = NamedSharding(mesh, P("e"))
+        self.blocks = jax.device_put(blocks, NamedSharding(mesh, P("e", None, None)))
+        lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(blocks))
+        self.lu = jax.device_put(lu, NamedSharding(mesh, P("e", None, None)))
+        self.piv = jax.device_put(piv, NamedSharding(mesh, P("e", None)))
+        self.ent_rows = jax.device_put(ent_rows, shard_e)
+        self.ent_elem = jax.device_put(ent_elem, shard_e)
+        self.ent_dof = jax.device_put(ent_dof, shard_e)
+        self.ent_val = jax.device_put(ent_val, shard_e)
+        self.dof_sharding = NamedSharding(mesh, P("e", None))
+
+    # -- shard_map kernels ---------------------------------------------
+
+    def _trace_local(self, dofs_local, ent_rows, ent_elem, ent_dof, ent_val):
+        """Per-device partial G x followed by a psum over the mesh axis."""
+        contrib = ent_val[0] * dofs_local[ent_elem[0], ent_dof[0]]
+        partial_sum = jax.ops.segment_sum(
+            contrib, ent_rows[0], num_segments=max(self.n_lagrange, 1)
+        )
+        return jax.lax.psum(partial_sum, "e")
+
+    def _trace_t_local(self, lam, ent_rows, ent_elem, ent_dof, ent_val, shape):
+        """Local G^T lambda scatter (lambda replicated)."""
+        out = jnp.zeros(shape)
+        return out.at[ent_elem[0], ent_dof[0]].add(ent_val[0] * lam[ent_rows[0]])
+
+    def make_schur_matvec(self):
+        """Jitted sharded S = G A^{-1} G^T matvec."""
+        per_dev = self.e_padded // self.n_devices
+        n = self.n_dofs_per_element
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None),
+                P("e", None, None),
+                P("e", None),
+                P("e"),
+                P("e"),
+                P("e"),
+                P("e"),
+            ),
+            out_specs=P(None),
+        )
+        def schur(lam, lu, piv, ent_rows, ent_elem, ent_dof, ent_val):
+            gt = self._trace_t_local(
+                lam, ent_rows, ent_elem, ent_dof, ent_val, (per_dev, n)
+            )
+            ainv = jax.scipy.linalg.lu_solve((lu, piv), gt[..., None])[..., 0]
+            return self._trace_local(ainv, ent_rows, ent_elem, ent_dof, ent_val)
+
+        def matvec(lam):
+            return schur(
+                lam,
+                self.lu,
+                self.piv,
+                self.ent_rows,
+                self.ent_elem,
+                self.ent_dof,
+                self.ent_val,
+            )
+
+        return jax.jit(matvec)
+
+    def make_residual_step(self):
+        """Jitted sharded saddle application: (u, lam) -> (A u + G^T lam, G u).
+
+        This is the communication pattern of one full solve iteration: the
+        element part is local, the trace part needs one psum.
+        """
+        per_dev = self.e_padded // self.n_devices
+        n = self.n_dofs_per_element
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P("e", None),
+                P(None),
+                P("e", None, None),
+                P("e"),
+                P("e"),
+                P("e"),
+                P("e"),
+            ),
+            out_specs=(P("e", None), P(None)),
+        )
+        def step(dofs, lam, blocks, ent_rows, ent_elem, ent_dof, ent_val):
+            au = jnp.einsum("eij,ej->ei", blocks, dofs)
+            gt = self._trace_t_local(
+                lam, ent_rows, ent_elem, ent_dof, ent_val, (per_dev, n)
+            )
+            trace = self._trace_local(dofs, ent_rows, ent_elem, ent_dof, ent_val)
+            return au + gt, trace
+
+        def apply_saddle(dofs, lam):
+            return step(
+                dofs,
+                lam,
+                self.blocks,
+                self.ent_rows,
+                self.ent_elem,
+                self.ent_dof,
+                self.ent_val,
+            )
+
+        return jax.jit(apply_saddle)
+
+    # -- data movement --------------------------------------------------
+
+    def shard_dofs(self, flat: np.ndarray) -> jnp.ndarray:
+        """Global flat DoF vector -> sharded [E_padded, n] batch."""
+        arr = np.asarray(flat).reshape(self.e_real, self.n_dofs_per_element)
+        arr = _pad_to_multiple(arr, self.n_devices)
+        return jax.device_put(arr, self.dof_sharding)
+
+    def unshard_dofs(self, dofs: jnp.ndarray) -> np.ndarray:
+        """Sharded batch -> global flat DoF vector."""
+        return np.asarray(dofs)[: self.e_real].reshape(-1)
+
+
+def sharded_schur_solve(
+    system: ShardedBlockSystem,
+    rhs_flat: np.ndarray,
+    constraints: np.ndarray,
+    maximum_iterations: int,
+    tolerance: float,
+):
+    """CG on the sharded Schur complement; element work stays sharded."""
+    matvec = system.make_schur_matvec()
+    per_dev = system.e_padded // system.n_devices
+    n = system.n_dofs_per_element
+
+    # A^{-1} b and the Schur RHS.
+    b = system.shard_dofs(rhs_flat)
+    ainv_b = jax.scipy.linalg.lu_solve((system.lu, system.piv), b[..., None])[..., 0]
+
+    @partial(
+        jax.shard_map,
+        mesh=system.mesh,
+        in_specs=(P("e", None), P("e"), P("e"), P("e"), P("e")),
+        out_specs=P(None),
+    )
+    def trace_of(dofs, ent_rows, ent_elem, ent_dof, ent_val):
+        return system._trace_local(dofs, ent_rows, ent_elem, ent_dof, ent_val)
+
+    trace_rhs = (
+        trace_of(
+            ainv_b,
+            system.ent_rows,
+            system.ent_elem,
+            system.ent_dof,
+            system.ent_val,
+        )
+        - jnp.asarray(constraints)
+    )
+
+    lam = jnp.zeros(system.n_lagrange)
+    res = trace_rhs - matvec(lam)
+    p = res
+    mag2 = float(jnp.vdot(res, res))
+    iters = 0
+    for iters in range(maximum_iterations):
+        sp_ = matvec(p)
+        denom = float(jnp.vdot(sp_, p))
+        if denom == 0:
+            break
+        alpha = mag2 / denom
+        lam = lam + alpha * p
+        res = res - alpha * sp_
+        new_mag2 = float(jnp.vdot(res, res))
+        if new_mag2 < tolerance * tolerance:
+            mag2 = new_mag2
+            break
+        p = res + (new_mag2 / mag2) * p
+        mag2 = new_mag2
+
+    # Back substitution: u = A^{-1}(b - G^T lam)
+    @partial(
+        jax.shard_map,
+        mesh=system.mesh,
+        in_specs=(
+            P(None),
+            P("e", None, None),
+            P("e", None),
+            P("e", None),
+            P("e"),
+            P("e"),
+            P("e"),
+            P("e"),
+        ),
+        out_specs=P("e", None),
+    )
+    def backsub(lam, lu, piv, b_loc, ent_rows, ent_elem, ent_dof, ent_val):
+        gt = system._trace_t_local(
+            lam, ent_rows, ent_elem, ent_dof, ent_val, (per_dev, n)
+        )
+        return jax.scipy.linalg.lu_solve((lu, piv), (b_loc - gt)[..., None])[..., 0]
+
+    u = backsub(
+        lam,
+        system.lu,
+        system.piv,
+        b,
+        system.ent_rows,
+        system.ent_elem,
+        system.ent_dof,
+        system.ent_val,
+    )
+    return system.unshard_dofs(u), np.asarray(lam), float(np.sqrt(mag2)), iters + 1

@@ -1,0 +1,111 @@
+"""Multi-device element-parallel solve on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.compiler import CompiledSystem
+from mfv2d_tpu.ops.basis import FemCache
+from mfv2d_tpu.parallel.sharding import ShardedBlockSystem, sharded_schur_solve
+from mfv2d_tpu.solver.discretization import discretize_mesh
+from mfv2d_tpu.solver.iterative import BlockSaddleSystem, solve_schur_iterative
+from mfv2d_tpu.solver.solve import (
+    ConvergenceSettings,
+    SystemEvaluator,
+    compute_linear_system,
+)
+
+
+def u_exact(x, y):
+    return 2 * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y) + 5
+
+
+def source_exact(x, y):
+    return -(np.pi**2) * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+
+def _setup(n=4, p=3):
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(n, n, p)
+    cache = FemCache(3)
+    disc = discretize_mesh(mesh, system.unknown_forms, cache)
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+    return disc, forcing, matrices, lagrange_mat, lagrange_vec
+
+
+@pytest.fixture(scope="module")
+def device_mesh():
+    devices = np.array(jax.devices())
+    assert devices.size >= 8, "conftest should provide 8 virtual CPU devices"
+    return Mesh(devices[:8], axis_names=("e",))
+
+
+def test_sharded_operators_match_single_device(device_mesh):
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup()
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+
+    rng = np.random.default_rng(0)
+    lam = rng.normal(size=lagrange_mat.shape[0])
+    x = rng.normal(size=disc.n_dofs)
+
+    # Schur matvec parity
+    schur_sharded = np.asarray(sharded.make_schur_matvec()(jnp.asarray(lam)))
+    schur_single = np.asarray(single.apply_schur(jnp.asarray(lam)))
+    assert np.allclose(schur_sharded, schur_single, atol=1e-10)
+
+    # Full saddle application parity
+    apply_saddle = sharded.make_residual_step()
+    au, gu = apply_saddle(sharded.shard_dofs(x), jnp.asarray(lam))
+    au_single = single.apply_diagonal(jnp.asarray(x)) + single.apply_trace_transpose(
+        jnp.asarray(lam)
+    )
+    gu_single = single.apply_trace(jnp.asarray(x))
+    assert np.allclose(sharded.unshard_dofs(au), np.asarray(au_single), atol=1e-10)
+    assert np.allclose(np.asarray(gu), np.asarray(gu_single), atol=1e-10)
+
+
+def test_sharded_schur_solve_matches(device_mesh):
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    conv = ConvergenceSettings(3000, 1e-11, 0.0)
+    u_ref, lam_ref, _, _ = solve_schur_iterative(
+        single, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    u_sh, lam_sh, res, iters = sharded_schur_solve(
+        sharded, forcing, lagrange_vec, 3000, 1e-11
+    )
+    assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-7), np.abs(
+        u_sh - np.asarray(u_ref)
+    ).max()
+
+
+def test_uneven_element_count_padding(device_mesh):
+    """9 elements over 8 devices: the padded path must still be exact."""
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 2)
+    assert disc.n_leaves == 9
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    rng = np.random.default_rng(5)
+    lam = rng.normal(size=lagrange_mat.shape[0])
+    assert np.allclose(
+        np.asarray(sharded.make_schur_matvec()(jnp.asarray(lam))),
+        np.asarray(single.apply_schur(jnp.asarray(lam))),
+        atol=1e-10,
+    )
