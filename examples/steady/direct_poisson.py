@@ -1,0 +1,41 @@
+"""Poisson equation in the direct formulation (ref: plot_direct_poisson.py).
+
+0-form u with strong Dirichlet BCs and auxiliary 1-form q."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import numpy as np
+from common import curved_square_deformation, l2_point_error, report
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.models import poisson
+
+
+def main():
+    model = poisson.direct_poisson()
+    for p in range(1, 7):
+        mesh = mf.examples.unit_square_mesh(
+            6, 6, p, deformation=curved_square_deformation
+        )
+        bc = mf.BoundaryCondition2DSteady(
+            model.u, mesh.boundary_indices, poisson.u_exact
+        )
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, boundary_conditions=[bc]),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(absolute_tolerance=1e-10, relative_tolerance=0)
+            ),
+            recon_order=12,
+        )
+        grid = sols[-1]
+        report(
+            f"direct_poisson p={p}",
+            l2_u=l2_point_error(grid, "u", poisson.u_exact),
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Steady linear advection-diffusion (ref: plot_linear_adv_dif.py)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import numpy as np
+from common import l2_point_error, report
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.models import transport
+
+NU = -0.05
+
+
+def a_field(x, y):
+    return np.stack(((3 * y - x), (2 - y + 0 * x)), axis=-1)
+
+
+def u_exact(x, y):
+    return 2 * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+
+def q_exact(x, y):
+    return np.stack(
+        (
+            -np.pi * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y),
+            -np.pi * np.cos(np.pi / 2 * x) * np.sin(np.pi / 2 * y),
+        ),
+        axis=-1,
+    )
+
+
+def source_exact(x, y):
+    return np.sum(a_field(x, y) * q_exact(x, y), axis=-1) - NU * np.pi**2 * u_exact(
+        x, y
+    ) / 2
+
+
+def main():
+    model = transport.linear_advection_diffusion(NU, a_field, u_exact, source_exact)
+    for p in (2, 3, 4, 5):
+        mesh = mf.examples.unit_square_mesh(4, 4, p)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(absolute_tolerance=1e-10, relative_tolerance=0)
+            ),
+            recon_order=10,
+        )
+        report(
+            f"linear_adv_dif p={p}",
+            l2_u=l2_point_error(sols[-1], "u", u_exact),
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Poisson equation in the mixed formulation (ref: plot_mixed_poisson.py).
+
+Solves -lap(u) = f with u a 2-form and flux q a 1-form, weak BCs, and
+reports p-convergence of the L2 and H1 errors on a curved mesh.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import numpy as np
+from common import curved_square_deformation, l2_point_error, report
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.models import poisson
+
+
+def main():
+    model = poisson.mixed_poisson()
+    for p in range(1, 7):
+        mesh = mf.examples.unit_square_mesh(
+            6, 6, p, deformation=curved_square_deformation
+        )
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(absolute_tolerance=1e-10, relative_tolerance=0)
+            ),
+            recon_order=12,
+        )
+        grid = sols[-1]
+        report(
+            f"mixed_poisson p={p}",
+            l2_u=l2_point_error(grid, "u", poisson.u_exact),
+            h1_q=l2_point_error(grid, "q", poisson.grad_u_exact),
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Steady Stokes flow in VVP form (ref: plot_stokes_flow.py)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import numpy as np
+from common import l2_point_error, report
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.models import flow
+
+
+def main():
+    for p in (2, 4, 6):
+        model = flow.stokes_flow()
+        mesh = mf.examples.unit_square_mesh(4, 4, p)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(absolute_tolerance=1e-10, relative_tolerance=0)
+            ),
+            recon_order=10,
+        )
+        grid = sols[-1]
+        report(
+            f"stokes p={p}",
+            err_vel=l2_point_error(grid, "vel", flow.stokes_velocity_exact),
+            err_vor=l2_point_error(grid, "vor", flow.stokes_vorticity_exact),
+            div_max=float(np.abs(grid.point_data["div"]).max()),
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""Unsteady scalar reaction march (ref: plot_reaction.py)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import numpy as np
+from common import report
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.models import transport
+
+ALPHA = 1.5
+
+
+def final_u(x, y):
+    return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+
+def main():
+    model = transport.reaction(ALPHA, final_u)
+    for nt in (8, 16, 32, 64):
+        mesh = mf.examples.unit_square_mesh(6, 6, 3)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system),
+            mf.SolverSettings(mf.ConvergenceSettings(20, 1e-10, 0)),
+            time_settings=mf.TimeSettings(
+                dt=1.0 / nt, nt=nt, time_march_relations=model.time_march_relations
+            ),
+            recon_order=6,
+        )
+        sol = sols[-1]
+        exact = final_u(sol.points[:, 0], sol.points[:, 1]) * (1 - np.exp(-ALPHA))
+        err = float(np.max(np.abs(sol.point_data["u"] - exact)))
+        report(f"reaction nt={nt}", err=err)
+
+
+if __name__ == "__main__":
+    main()

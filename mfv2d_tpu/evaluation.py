@@ -76,6 +76,22 @@ class ElementBatch:
         self.jac = batch_jacobian(self.tb, self.corners)
         self._mass: dict[tuple[int, bool], jnp.ndarray] = {}
 
+    @classmethod
+    def from_parts(cls, basis: Basis2D, tb, jac, n_elements: int) -> "ElementBatch":
+        """Build from precomputed Jacobian terms (no corners).
+
+        Used to re-batch per-element slices under ``jax.vmap`` (e.g. for
+        exact Newton Jacobians of the element residual).
+        """
+        out = cls.__new__(cls)
+        out.basis = basis
+        out.tb = tb
+        out.corners = None
+        out.n_elements = n_elements
+        out.jac = jac
+        out._mass = {}
+        return out
+
     @property
     def orders(self) -> tuple[int, int]:
         return (self.tb.p1, self.tb.p2)

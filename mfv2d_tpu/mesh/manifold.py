@@ -17,6 +17,11 @@ from dataclasses import dataclass
 import numpy as np
 import numpy.typing as npt
 
+try:  # Native dual-topology kernel (src/core.cpp); Python fallback below.
+    from mfv2d_tpu import _core
+except ImportError:  # pragma: no cover - depends on the build environment
+    _core = None
+
 _INVALID = -1
 
 
@@ -211,6 +216,32 @@ class Manifold2D:
         Dual surface of primal point p: all primal lines touching p, in line
         index order, positively oriented if the line begins at p.
         """
+        if _core is not None:
+            lines_arr = np.array(
+                [(ln.begin.unpack(), ln.end.unpack()) for ln in self._lines],
+                np.int64,
+            ).reshape(-1, 2)
+            surf_flat = []
+            surf_offsets = [0]
+            for s in self._surfaces:
+                surf_flat.extend(gid.unpack() for gid in s.lines)
+                surf_offsets.append(len(surf_flat))
+            dual_lines_arr, dual_surf_flat, dual_surf_off = _core.dual_from_primal(
+                self._n_points,
+                lines_arr,
+                np.asarray(surf_flat, np.int64),
+                np.asarray(surf_offsets, np.int64),
+            )
+            dual_lines = [
+                Line(GeoID.pack(int(b)), GeoID.pack(int(e)))
+                for b, e in dual_lines_arr
+            ]
+            dual_surfaces = [
+                Surface(*(int(v) for v in dual_surf_flat[s0:s1]))
+                for s0, s1 in zip(dual_surf_off[:-1], dual_surf_off[1:])
+            ]
+            return Manifold2D(self.n_surfaces, dual_lines, dual_surfaces)
+
         n_lines = self.n_lines
         begins = [GeoID(_INVALID) for _ in range(n_lines)]
         ends = [GeoID(_INVALID) for _ in range(n_lines)]

@@ -15,6 +15,11 @@ from functools import lru_cache
 import numpy as np
 import numpy.typing as npt
 
+try:  # Native host kernels (src/core.cpp); NumPy fallback below.
+    from mfv2d_tpu import _core
+except ImportError:  # pragma: no cover - depends on the build environment
+    _core = None
+
 
 def _legendre_and_derivative(n: int, x: npt.NDArray[np.float64]):
     """Evaluate P_n and P_n' at ``x`` via the Bonnet recurrence."""
@@ -49,6 +54,11 @@ def gauss_lobatto_nodes_weights(
     n = int(n_points)
     if n < 2:
         raise ValueError("GLL rule requires at least 2 points.")
+    if _core is not None:
+        nodes, weights = _core.gll_nodes_weights(n, tol, max_iter)
+        nodes.setflags(write=False)
+        weights.setflags(write=False)
+        return nodes, weights
     if n == 2:
         nodes = np.array([-1.0, 1.0])
         weights = np.array([1.0, 1.0])
@@ -93,6 +103,8 @@ def lagrange1d(roots: npt.ArrayLike, x: npt.ArrayLike) -> npt.NDArray[np.float64
     """
     r = np.asarray(roots, np.float64)
     xv = np.asarray(x, np.float64)
+    if _core is not None:
+        return _core.lagrange_values(r, xv)
     n = r.size
     out = np.empty(xv.shape + (n,), np.float64)
     for j in range(n):
@@ -109,6 +121,8 @@ def dlagrange1d(roots: npt.ArrayLike, x: npt.ArrayLike) -> npt.NDArray[np.float6
     """
     r = np.asarray(roots, np.float64)
     xv = np.asarray(x, np.float64)
+    if _core is not None:
+        return _core.lagrange_values(r, xv, 1)
     n = r.size
     out = np.zeros(xv.shape + (n,), np.float64)
     for j in range(n):

@@ -249,6 +249,7 @@ def solve_system_2d(
                     fine_scales,
                     sg_operator,
                     False,
+                    newton=solver_settings.method == "newton",
                 )
             )
             changes[time_index] = float(max_residual)
@@ -293,6 +294,7 @@ def solve_system_2d(
                 fine_scales,
                 sg_operator,
                 True,
+                newton=solver_settings.method == "newton",
             )
         )
         changes = np.asarray(all_residuals)[:iter_cnt]

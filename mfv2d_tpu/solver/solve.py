@@ -67,6 +67,9 @@ class SolverSettings:
     convergence: ConvergenceSettings = ConvergenceSettings()
     relaxation: float = 1.0
     linear_solver: str = "direct"
+    method: str = "picard"
+    """Nonlinear iteration: "picard" (frozen operator, the reference scheme)
+    or "newton" (exact Jacobian via jax.jacfwd, rebuilt every iteration)."""
 
 
 @dataclass(frozen=True)
@@ -235,6 +238,70 @@ class SystemEvaluator:
             out[bucket.gather] = np.asarray(val)
         return out
 
+    def element_jacobians(self, solution: np.ndarray) -> list[np.ndarray]:
+        """Exact per-element Jacobians d(LHS - RHS)/du via jax.jacfwd.
+
+        The reference's Picard loop freezes the linear operator; the true
+        Newton operator additionally carries the derivative of the
+        solution-dependent interior-product fields.  Element independence
+        makes the Jacobian block-diagonal, so it is computed as a vmap of a
+        single-element jacfwd over each bucket.
+        """
+        from mfv2d_tpu.evaluation import ElementBatch
+        from mfv2d_tpu.ops.geometry import JacobianTerms
+
+        out: list[np.ndarray] = []
+        for i, bucket in enumerate(self.disc.buckets):
+            key = (i, 2)
+            if key not in self._vec_fns:
+                basis = bucket.batch.basis
+                tb = bucket.batch.tb
+                statics = self._static_fields[i]
+                static_keys = list(statics.keys())
+                compiled = self.compiled
+                form_spec = self.form_spec
+
+                def single(dofs_n, jac_terms, static_vals):
+                    jac1 = JacobianTerms(*(t[None] for t in jac_terms))
+                    b1 = ElementBatch.from_parts(basis, tb, jac1, 1)
+                    st = {
+                        k: v[None] for k, v in zip(static_keys, static_vals)
+                    }
+                    vec = compute_element_vectors(
+                        form_spec,
+                        compiled.lhs_blocks,
+                        b1,
+                        dofs_n[None],
+                        static_fields=st,
+                    )
+                    if compiled.rhs_blocks is not None:
+                        vec = vec - compute_element_vectors(
+                            form_spec,
+                            compiled.rhs_blocks,
+                            b1,
+                            dofs_n[None],
+                            static_fields=st,
+                        )
+                    return vec[0]
+
+                jac_fn = jax.jit(
+                    jax.vmap(
+                        jax.jacfwd(single, argnums=0),
+                        in_axes=(0, tuple([0] * 5), tuple([0] * len(static_keys))),
+                    )
+                )
+                self._vec_fns[key] = (jac_fn, static_keys)
+
+            jac_fn, static_keys = self._vec_fns[key]
+            bucket = self.disc.buckets[i]
+            dofs = jnp.asarray(solution[bucket.gather])
+            jac_terms = tuple(t for t in bucket.batch.jac)
+            static_vals = tuple(
+                self._static_fields[i][k] for k in static_keys
+            )
+            out.append(np.asarray(jac_fn(dofs, jac_terms, static_vals)))
+        return out
+
     def matrices_per_leaf(self, matrices: list[np.ndarray]) -> list[np.ndarray]:
         """Reorder per-bucket matrix batches into leaf order."""
         out: list[np.ndarray | None] = [None] * self.disc.n_leaves
@@ -323,6 +390,7 @@ def non_linear_solve_run(
     fine_scales: np.ndarray | None = None,
     sg_operator=None,
     return_all_residuals: bool = False,
+    newton: bool = False,
 ):
     """Picard / defect-correction iteration (reference solve_system.py:354).
 
@@ -369,6 +437,15 @@ def non_linear_solve_run(
         if not (max_residual > atol and max_residual > max_mag * rtol):
             break
 
+        if newton and iter_cnt > 0:
+            # Rebuild the factorization with the exact Jacobian at the
+            # current iterate (first step reuses the assembled operator).
+            solver = FrozenSaddleSolver(
+                evaluator.matrices_per_leaf(
+                    evaluator.element_jacobians(solution)
+                ),
+                lagrange_mat,
+            )
         d_solution = solver.solve(residual)
         if len(global_lagrange):
             solution = solution + relax * d_solution[: -global_lagrange.size]

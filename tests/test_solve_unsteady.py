@@ -170,3 +170,27 @@ def test_steady_navier_stokes():
     err_vor = np.sqrt(np.mean((sol.point_data["vor"] - w_exact) ** 2))
     assert err_vel < 1e-4, err_vel
     assert err_vor < 1e-3, err_vor
+
+
+def test_newton_navier_stokes_high_re():
+    """Exact-Jacobian Newton converges where frozen Picard cannot (Re=50)."""
+    from mfv2d_tpu.models import flow
+
+    model = flow.navier_stokes(50.0)
+    mesh = mf.examples.unit_square_mesh(4, 4, 4)
+    bc = mf.BoundaryCondition2DSteady(
+        model.velocity, mesh.boundary_indices, flow.ns_velocity_exact
+    )
+    sols, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+        mf.SolverSettings(
+            mf.ConvergenceSettings(10, 1e-11, 0), method="newton"
+        ),
+        recon_order=8,
+    )
+    sol = sols[-1]
+    assert int(stats.iter_history[-1]) <= 4  # quadratic convergence
+    v_exact = flow.ns_velocity_exact(sol.points[:, 0], sol.points[:, 1])
+    err_vel = np.sqrt(np.mean(np.sum((sol.point_data["vel"] - v_exact) ** 2, -1)))
+    assert err_vel < 1e-4, err_vel
