@@ -24,6 +24,7 @@ class FlowModel:
     velocity: KFormUnknown
     pressure: KFormUnknown
     divergence: KFormUnknown | None = None
+    time_march_relations: dict | None = None
 
 
 # -- Stokes (manufactured solution) -----------------------------------------
@@ -139,4 +140,4 @@ def cavity_flow(reynolds: float, lid_velocity) -> FlowModel:
         == -(vel * w_vel @ vor),
         w_pre @ vel.derivative == 0,
     )
-    return FlowModel(system, vor, vel, pre)
+    return FlowModel(system, vor, vel, pre, time_march_relations={w_vel: vel})
