@@ -290,7 +290,7 @@ def translate_to_codes(*ops: MatOp):
     return tuple(out)
 
 
-BlockOps = list[MatOp] | None
+BlockOps = tuple[MatOp, ...] | None
 SystemBlocks = tuple[tuple[BlockOps, ...], ...]
 
 
@@ -300,7 +300,8 @@ def _row_for_expr(system: KFormSystem, expr: KSum | None) -> tuple[BlockOps, ...
     blocks = translate_implicit_ksum(expr)
     row: list[BlockOps] = []
     for f in system.unknown_forms.iter_forms():
-        row.append(blocks.get(f))
+        ops = blocks.get(f)
+        row.append(tuple(ops) if ops is not None else None)
     return tuple(row)
 
 

@@ -477,3 +477,82 @@ def compute_element_projector(
             raise ValueError(f"Invalid form order {order}.")
         out.append(jnp.linalg.solve(batch_out.mass(order, False), cross))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cached jitted evaluators
+# ---------------------------------------------------------------------------
+#
+# Jitted element evaluation keyed on the *mathematical* signature
+# (orders, integration orders, block structure, form spec, field keys) rather
+# than on Python object identity, so repeated solves, time steps, and
+# refinement rounds reuse compiled executables whenever shapes match.
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _cached_element_fn(
+    orders: tuple[int, int],
+    int_orders: tuple[int, int],
+    blocks,
+    spec_items,
+    static_keys,
+    mode: str,
+):
+    import jax
+
+    from mfv2d_tpu.ops.basis import FemCache
+
+    basis = FemCache(0).get_basis2d(
+        orders[0], orders[1], int_orders[0], int_orders[1]
+    )
+    form_spec = ElementFormSpecification(*spec_items)
+
+    if mode == "vector":
+
+        @jax.jit
+        def fn(corners, dofs, static_vals):
+            batch = ElementBatch(basis, corners)
+            statics = dict(zip(static_keys, static_vals))
+            return compute_element_vectors(
+                form_spec, blocks, batch, dofs, static_fields=statics
+            )
+
+    elif mode == "matrix":
+
+        @jax.jit
+        def fn(corners, dofs, static_vals):
+            batch = ElementBatch(basis, corners)
+            statics = dict(zip(static_keys, static_vals))
+            return compute_element_matrices(
+                form_spec, blocks, batch, dofs=dofs, static_fields=statics
+            )
+
+    else:
+        raise ValueError(mode)
+    return fn
+
+
+def element_vector_fn(batch: ElementBatch, blocks, form_spec, static_keys=()):
+    """Shape-cached jitted ``(corners, dofs, static_vals) -> [E, N]``."""
+    return _cached_element_fn(
+        batch.orders,
+        batch.basis.integration_orders,
+        blocks,
+        tuple((n, int(o)) for n, o in form_spec),
+        tuple(static_keys),
+        "vector",
+    )
+
+
+def element_matrix_fn(batch: ElementBatch, blocks, form_spec, static_keys=()):
+    """Shape-cached jitted ``(corners, dofs, static_vals) -> [E, N, N]``."""
+    return _cached_element_fn(
+        batch.orders,
+        batch.basis.integration_orders,
+        blocks,
+        tuple((n, int(o)) for n, o in form_spec),
+        tuple(static_keys),
+        "matrix",
+    )

@@ -182,49 +182,63 @@ class SystemEvaluator:
         self._vec_fns: dict[tuple[int, int], Callable] = {}
 
     def _vector_fn(self, i_bucket: int, which: str) -> Callable:
-        key = (i_bucket, 0 if which == "lhs" else 1)
-        if key not in self._vec_fns:
-            blocks = (
-                self.compiled.lhs_blocks if which == "lhs" else self.compiled.rhs_blocks
-            )
-            bucket = self.disc.buckets[i_bucket]
-            statics = self._static_fields[i_bucket]
+        from mfv2d_tpu.evaluation import element_vector_fn
 
-            @jax.jit
-            def fn(dofs):
-                return compute_element_vectors(
-                    self.form_spec,
-                    blocks,
-                    bucket.batch,
-                    dofs,
-                    static_fields=statics,
-                    field_keys=self.compiled.fields,
-                )
+        blocks = (
+            self.compiled.lhs_blocks if which == "lhs" else self.compiled.rhs_blocks
+        )
+        bucket = self.disc.buckets[i_bucket]
+        statics = self._static_fields[i_bucket]
+        static_keys = tuple(statics.keys())
+        fn = element_vector_fn(bucket.batch, blocks, self.form_spec, static_keys)
+        static_vals = tuple(statics[k] for k in static_keys)
+        corners = bucket.batch.corners
 
-            self._vec_fns[key] = fn
-        return self._vec_fns[key]
+        def wrapped(dofs):
+            return fn(corners, dofs, static_vals)
+
+        return wrapped
 
     def element_matrices(
         self, which: SystemBlocks, solution: np.ndarray | None = None
     ) -> list[np.ndarray]:
         """Batched element matrices per bucket for the given block set."""
+        from mfv2d_tpu.evaluation import element_matrix_fn
+
         out = []
         for i, bucket in enumerate(self.disc.buckets):
             dofs = (
                 jnp.asarray(solution[bucket.gather]) if solution is not None else None
             )
-            out.append(
-                np.asarray(
-                    compute_element_matrices(
-                        self.form_spec,
-                        which,
-                        bucket.batch,
-                        dofs=dofs,
-                        static_fields=self._static_fields[i],
-                        field_keys=self.compiled.fields,
+            statics = self._static_fields[i]
+            static_keys = tuple(statics.keys())
+            if dofs is None:
+                # Fall back to direct (untraced) evaluation: jit caching per
+                # dofs=None signature is not worth a second cache key.
+                out.append(
+                    np.asarray(
+                        compute_element_matrices(
+                            self.form_spec,
+                            which,
+                            bucket.batch,
+                            dofs=None,
+                            static_fields=statics,
+                        )
                     )
                 )
-            )
+            else:
+                fn = element_matrix_fn(
+                    bucket.batch, which, self.form_spec, static_keys
+                )
+                out.append(
+                    np.asarray(
+                        fn(
+                            bucket.batch.corners,
+                            dofs,
+                            tuple(statics[k] for k in static_keys),
+                        )
+                    )
+                )
         return out
 
     def residual_value(self, solution: np.ndarray) -> np.ndarray:

@@ -95,13 +95,13 @@ def test_translate_mixed_poisson_blocks():
     assert blk_pu is not None
     assert any(type(op) is Incidence for op in blk_pu)
     blk_pq = rows[0][iq]
-    assert blk_pq == [MassMat(UnknownFormOrder.FORM_ORDER_1, False), Scale(-1.0)]
+    assert blk_pq == (MassMat(UnknownFormOrder.FORM_ORDER_1, False), Scale(-1.0))
     # Row 1 (weight v): <v, dq> = M2 E21 on q column.
     blk_vq = rows[1][iq]
-    assert blk_vq == [
+    assert blk_vq == (
         Incidence(UnknownFormOrder.FORM_ORDER_1, False),
         MassMat(UnknownFormOrder.FORM_ORDER_2, False),
-    ]
+    )
     assert rows[1][iu] is None
 
 
