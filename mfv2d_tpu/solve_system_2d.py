@@ -174,6 +174,10 @@ def solve_system_2d(
         solver = FrozenSaddleSolver(
             evaluator.matrices_per_leaf(matrices), lagrange_mat
         )
+    elif solver_settings.linear_solver == "dense":
+        from mfv2d_tpu.solver.iterative import DenseSaddleSolver
+
+        solver = DenseSaddleSolver(disc, matrices, lagrange_mat)
     else:
         from mfv2d_tpu.solver.iterative import IterativeSaddleSolver
 
@@ -221,7 +225,43 @@ def solve_system_2d(
     rtol = conv.relative_tolerance
     fine_scales = None
 
-    if time_settings is not None:
+    use_fused_march = (
+        time_settings is not None
+        and compiled.rhs_blocks is None
+        and compiled.nonlin_blocks is None
+        and sg_operator is None
+        and not print_residual
+        and solver_settings.linear_solver == "dense"
+    )
+    if use_fused_march:
+        # Linear march: run the entire scan on device (solver/fused.py).
+        from mfv2d_tpu.solver.fused import fused_linear_time_march
+
+        nt = time_settings.nt
+        dt = time_settings.dt
+        us, global_lagrange = fused_linear_time_march(
+            disc,
+            matrices,
+            lagrange_mat,
+            explicit_vec,
+            time_carry_index_array,
+            solution,
+            old_solution_carry,
+            np.asarray(time_carry_term),
+            dt,
+            nt,
+        )
+        changes = np.zeros(nt)
+        iters = np.ones(nt, np.uint32)
+        for time_index in range(nt):
+            if (time_index % time_settings.sample_rate) == 0 or time_index + 1 == nt:
+                grid = reconstruct_mesh_from_solution(
+                    disc, recon_order, us[time_index]
+                )
+                grid.field_data["time"] = np.array([(time_index + 1) * dt])
+                resulting_grids.append(grid)
+        solution = us[-1]
+    elif time_settings is not None:
         nt = time_settings.nt
         dt = time_settings.dt
         changes = np.zeros(nt)

@@ -1,0 +1,139 @@
+"""Fully device-resident solve loops (lax.scan / while_loop).
+
+For linear systems the whole trapezoidal time march is one compiled XLA
+computation: per step a pair of triangular solves against the frozen dense
+LU, the block-diagonal matvec, and the carry-term update, scanned over time.
+No host round trips between steps — on a TPU behind a network tunnel this is
+the difference between nt x RTT and one dispatch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from mfv2d_tpu.solver.discretization import Discretization
+
+
+def _dense_saddle(disc: Discretization, element_matrices, lagrange_mat):
+    n = disc.n_dofs
+    n_lag = 0 if lagrange_mat is None else lagrange_mat.shape[0]
+    total = n + n_lag
+    mat = np.zeros((total, total))
+    for bucket, blocks in zip(disc.buckets, element_matrices):
+        for j in range(blocks.shape[0]):
+            idx = bucket.gather[j]
+            mat[np.ix_(idx, idx)] = blocks[j]
+    if lagrange_mat is not None:
+        g = lagrange_mat.toarray()
+        mat[:n, n:] = g.T
+        mat[n:, :n] = g
+    return mat, n_lag
+
+
+def fused_linear_time_march(
+    disc: Discretization,
+    element_matrices: list[np.ndarray],
+    lagrange_mat: sp.csr_array | None,
+    explicit_vec: np.ndarray,
+    carry_indices: np.ndarray,
+    initial_solution: np.ndarray,
+    initial_carry: np.ndarray,
+    initial_carry_term: np.ndarray,
+    dt: float,
+    nt: int,
+):
+    """Run the whole linear trapezoidal march as one jitted scan.
+
+    Returns (solutions [nt, n_dofs], final lagrange multipliers).  The march
+    semantics match the host loop exactly (one linear solve per step, carry
+    update 2/dt (dual_new - dual_old) - carry).
+    """
+    mat, n_lag = _dense_saddle(disc, element_matrices, lagrange_mat)
+    n = disc.n_dofs
+    lu_piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
+
+    gathers = [jnp.asarray(b.gather) for b in disc.buckets]
+    blocks = [jnp.asarray(m) for m in element_matrices]
+    # Per-bucket dual (mass) application arrays for the carry projection.
+    mass_blocks = []
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        offsets = disc.form_spec.form_offsets(p1, p2)
+        n_e = disc.form_spec.total_size(p1, p2)
+        e = bucket.batch.n_elements
+        big = np.zeros((e, n_e, n_e))
+        for i in range(len(disc.form_spec)):
+            m = np.asarray(bucket.batch.mass(disc.form_spec[i][1], False))
+            big[:, offsets[i] : offsets[i + 1], offsets[i] : offsets[i + 1]] = m
+        mass_blocks.append(jnp.asarray(big))
+
+    if lagrange_mat is not None:
+        coo = lagrange_mat.tocoo()
+        g_rows = jnp.asarray(coo.row, jnp.int32)
+        g_cols = jnp.asarray(coo.col, jnp.int32)
+        g_vals = jnp.asarray(coo.data)
+    else:
+        g_rows = jnp.zeros(0, jnp.int32)
+        g_cols = jnp.zeros(0, jnp.int32)
+        g_vals = jnp.zeros(0)
+
+    carry_idx = jnp.asarray(carry_indices, jnp.int32)
+    explicit = jnp.asarray(explicit_vec)
+    two_over_dt = 2.0 / dt
+
+    def block_apply(x):
+        y = jnp.zeros_like(x)
+        for b, gather in zip(blocks, gathers):
+            y = y.at[gather].set(jnp.einsum("eij,ej->ei", b, x[gather]))
+        return y
+
+    def dual_apply(x):
+        y = jnp.zeros_like(x)
+        for m, gather in zip(mass_blocks, gathers):
+            y = y.at[gather].set(jnp.einsum("eij,ej->ei", m, x[gather]))
+        return y
+
+    def trace_apply(x):
+        contrib = g_vals * x[g_cols]
+        return jax.ops.segment_sum(contrib, g_rows, num_segments=max(n_lag, 1))[
+            :n_lag
+        ]
+
+    def trace_t_apply(lam):
+        out = jnp.zeros(n)
+        if n_lag == 0:
+            return out
+        return out.at[g_cols].add(g_vals * lam[g_rows])
+
+    @jax.jit
+    def march(u0, lam0, carry0, carry_term0):
+        def step(state, _):
+            u, lam, old_carry, carry_term = state
+            current_carry = two_over_dt * old_carry + carry_term
+            base = explicit.at[carry_idx].add(current_carry)
+            value = block_apply(u) + trace_t_apply(lam)
+            value_full = jnp.concatenate([value, trace_apply(u)])
+            residual = base - value_full
+            d = jax.scipy.linalg.lu_solve(lu_piv, residual)
+            u_new = u + d[:n]
+            lam_new = lam + d[n:]
+            dual = dual_apply(u_new)
+            new_carry = dual[carry_idx]
+            new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
+            return (u_new, lam_new, new_carry, new_carry_term), u_new
+
+        (_, lam_f, _, _), us = jax.lax.scan(
+            step, (u0, lam0, carry0, carry_term0), None, length=nt
+        )
+        return us, lam_f
+
+    us, lam_f = march(
+        jnp.asarray(initial_solution),
+        jnp.zeros(n_lag),
+        jnp.asarray(initial_carry),
+        jnp.asarray(initial_carry_term),
+    )
+    return np.asarray(us), np.asarray(lam_f)

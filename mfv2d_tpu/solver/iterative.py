@@ -411,3 +411,40 @@ class IterativeSaddleSolver:
         else:
             raise ValueError(f"Unknown iterative method {self.method!r}.")
         return np.concatenate([np.asarray(u), np.asarray(lam)])
+
+
+class DenseSaddleSolver:
+    """On-device dense LU of the full saddle matrix.
+
+    For the moderate system sizes of 2D spectral meshes (10^3..10^4 DoFs) a
+    dense factorization on the accelerator beats a host sparse LU plus
+    per-iteration host round-trips; the factorization lives on-device and
+    every Picard/time step is a pair of batched triangular solves.
+    """
+
+    def __init__(
+        self,
+        disc: Discretization,
+        element_matrices: list[np.ndarray],
+        lagrange_mat: sp.csr_array | None,
+    ) -> None:
+        n = disc.n_dofs
+        self.n_lagrange = 0 if lagrange_mat is None else lagrange_mat.shape[0]
+        total = n + self.n_lagrange
+        mat = np.zeros((total, total))
+        for bucket, blocks in zip(disc.buckets, element_matrices):
+            for j in range(blocks.shape[0]):
+                idx = bucket.gather[j]
+                mat[np.ix_(idx, idx)] = blocks[j]
+        if lagrange_mat is not None:
+            g = lagrange_mat.toarray()
+            mat[:n, n:] = g.T
+            mat[n:, :n] = g
+        self._lu = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
+        self._solve = jax.jit(
+            lambda lu, piv, b: jax.scipy.linalg.lu_solve((lu, piv), b)
+        )
+
+    def solve(self, rhs: np.ndarray) -> np.ndarray:
+        lu, piv = self._lu
+        return np.asarray(self._solve(lu, piv, jnp.asarray(rhs)))

@@ -158,3 +158,29 @@ def test_end_to_end_with_iterative_solver():
         )
         results[method] = sols[-1].point_data["u"]
     assert np.allclose(results["schur"], results["direct"], atol=1e-5)
+
+
+def test_end_to_end_with_dense_solver():
+    """solve_system_2d with the on-device dense LU matches direct."""
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    results = {}
+    for method in ("direct", "dense"):
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(system),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(absolute_tolerance=1e-10, relative_tolerance=0),
+                linear_solver=method,
+            ),
+            recon_order=6,
+        )
+        results[method] = sols[-1].point_data["u"]
+    assert np.allclose(results["dense"], results["direct"], atol=1e-8)

@@ -194,3 +194,37 @@ def test_newton_navier_stokes_high_re():
     v_exact = flow.ns_velocity_exact(sol.points[:, 0], sol.points[:, 1])
     err_vel = np.sqrt(np.mean(np.sum((sol.point_data["vel"] - v_exact) ** 2, -1)))
     assert err_vel < 1e-4, err_vel
+
+
+def test_fused_device_march_matches_host_loop():
+    """The on-device scanned march equals the host-loop march exactly."""
+    results = {}
+    for solver in ("direct", "dense"):
+        u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+        v = u.weight
+        system = mf.KFormSystem(
+            ALPHA * (v.derivative @ u.derivative)
+            == (ALPHA * np.pi**2 / 2) * (v @ steady_u),
+        )
+        mesh = mf.examples.unit_square_mesh(3, 3, 3)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(
+                system,
+                boundary_conditions=[
+                    mf.BoundaryCondition2DSteady(u, mesh.boundary_indices, steady_u)
+                ],
+                initial_conditions={u: steady_u},
+            ),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(20, 1e-10, 0), linear_solver=solver
+            ),
+            time_settings=mf.TimeSettings(
+                dt=0.05, nt=6, time_march_relations={v: u}
+            ),
+            recon_order=5,
+        )
+        results[solver] = [np.array(s.point_data["u"]) for s in sols]
+    assert len(results["direct"]) == len(results["dense"])
+    for a, b in zip(results["direct"], results["dense"]):
+        assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
