@@ -17,6 +17,23 @@ import jax
 # without f64 cannot hit the reference tolerances.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: refinement loops and repeated solves re-trace
+# the same shapes; caching compiled executables across processes removes the
+# dominant wall-time cost of small runs.  Opt out with
+# MFV2D_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("MFV2D_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "mfv2d_tpu_jax"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Also cache CPU executables (off by default).
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:  # pragma: no cover - older jax without the options
+        pass
+
 
 class _Config:
     """Runtime configuration knobs."""

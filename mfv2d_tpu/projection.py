@@ -147,3 +147,90 @@ def reconstruct(
         return out / det
 
     raise ValueError(f"Order of the differential form {form_order} is not valid.")
+
+
+def _jacobian_np(corners, xi, eta):
+    """Pure-NumPy Jacobian terms (host paths avoid eager JAX dispatch)."""
+    c = np.asarray(corners, np.float64)
+    t0 = np.asarray(xi, np.float64)
+    t1 = np.asarray(eta, np.float64)
+    single = c.ndim == 2
+    if single:
+        c = c[None]
+    x = c[..., 0][..., None, None]
+    y = c[..., 1][..., None, None]
+    x0, x1, x2, x3 = (x[:, i] for i in range(4))
+    y0, y1, y2, y3 = (y[:, i] for i in range(4))
+    j00 = ((x1 - x0) * (1 - t1) + (x2 - x3) * (1 + t1)) / 4
+    j01 = ((y1 - y0) * (1 - t1) + (y2 - y3) * (1 + t1)) / 4
+    j10 = ((x3 - x0) * (1 - t0) + (x2 - x1) * (1 + t0)) / 4
+    j11 = ((y3 - y0) * (1 - t0) + (y2 - y1) * (1 + t0)) / 4
+    det = j00 * j11 - j10 * j01
+    shape = det.shape
+    out = tuple(np.broadcast_to(v, shape) for v in (j00, j01, j10, j11, det))
+    if single:
+        out = tuple(v[0] for v in out)
+    return out
+
+
+def reconstruct_batched(
+    corners,
+    basis: Basis2D,
+    form_order: UnknownFormOrder,
+    dofs,
+    xi,
+    eta,
+) -> np.ndarray:
+    """Point values of a k-form for a whole batch of elements (NumPy).
+
+    ``corners`` is ``[E, 4, 2]``, ``dofs`` is ``[E, n]``; returns
+    ``[E, *grid]`` (with a trailing component axis for 1-forms).  Identical
+    math to :func:`reconstruct`, vectorized over elements for the output
+    grids (the per-leaf host loop dominated solve wall time otherwise).
+    """
+    form_order = UnknownFormOrder(form_order)
+    c = np.asarray(dofs, np.float64)
+    corners = np.asarray(corners, np.float64)
+    p1 = basis.basis_xi.order
+    p2 = basis.basis_eta.order
+    xi = np.asarray(xi, np.float64)
+    eta = np.asarray(eta, np.float64)
+    grid_shape = np.broadcast(xi, eta).shape
+    npts = int(np.prod(grid_shape))
+
+    def flat(vals2d):
+        # x.shape + (n,) -> (npts, n)
+        return np.broadcast_to(
+            vals2d, grid_shape + (vals2d.shape[-1],)
+        ).reshape(npts, -1)
+
+    if form_order == UnknownFormOrder.FORM_ORDER_0:
+        vx = flat(lagrange1d(basis.basis_xi.roots, xi))
+        ve = flat(lagrange1d(basis.basis_eta.roots, eta))
+        # basis index (i2, i1) -> i2 * (p1+1) + i1
+        table = (ve[:, :, None] * vx[:, None, :]).reshape(npts, -1)
+        return (c @ table.T).reshape((c.shape[0],) + grid_shape)
+
+    j00, j01, j10, j11, det = _jacobian_np(corners, xi, eta)
+
+    ex = flat(-np.cumsum(dlagrange1d(basis.basis_xi.roots, xi)[..., :-1], axis=-1))
+    ee = flat(-np.cumsum(dlagrange1d(basis.basis_eta.roots, eta)[..., :-1], axis=-1))
+
+    if form_order == UnknownFormOrder.FORM_ORDER_1:
+        vx = flat(lagrange1d(basis.basis_xi.roots, xi))
+        ve = flat(lagrange1d(basis.basis_eta.roots, eta))
+        n_h = p1 * (p2 + 1)
+        table_h = (ve[:, :, None] * ex[:, None, :]).reshape(npts, -1)
+        table_v = (ee[:, :, None] * vx[:, None, :]).reshape(npts, -1)
+        out_eta = (c[:, :n_h] @ table_h.T).reshape((c.shape[0],) + grid_shape)
+        out_xi = (c[:, n_h:] @ table_v.T).reshape((c.shape[0],) + grid_shape)
+        fx = (out_xi * j00 + out_eta * j10) / det
+        fy = (out_xi * j01 + out_eta * j11) / det
+        return np.stack((fx, fy), axis=-1)
+
+    if form_order == UnknownFormOrder.FORM_ORDER_2:
+        table = (ee[:, :, None] * ex[:, None, :]).reshape(npts, -1)
+        vals = (c @ table.T).reshape((c.shape[0],) + grid_shape)
+        return vals / det
+
+    raise ValueError(f"Order of the differential form {form_order} is not valid.")

@@ -299,10 +299,6 @@ def error_estimate_with_custom_estimator(
                 nodes_xi, nodes_eta,
             )
         jac = jacobian(corners, nodes_xi, nodes_eta)
-        w = (
-            np.asarray(jac.det)
-            * np.ones_like(np.asarray(jac.det))
-        )
         rule_w1 = (
             basis.basis_xi.rule.weights
             if recon_order_1 is None

@@ -572,68 +572,95 @@ def reconstruct_mesh_from_solution(
     solution: np.ndarray,
     vms_solution: np.ndarray | None = None,
 ) -> ReconstructedGrid:
-    """Sample every form on a per-element nodal grid (VTK Lagrange cells)."""
+    """Sample every form on a per-element nodal grid (VTK Lagrange cells).
+
+    Reconstruction is vectorized per order bucket (reconstruct_batched); the
+    per-leaf host loop this replaces dominated warm-solve wall time.
+    """
+    from mfv2d_tpu.projection import _jacobian_np, reconstruct_batched
+
     form_spec = disc.form_spec
-    xvals: list[np.ndarray] = []
-    yvals: list[np.ndarray] = []
-    order_list: list[tuple[int, int]] = []
+    n_leaves = disc.n_leaves
+    per_leaf_points: list[np.ndarray | None] = [None] * n_leaves
+    per_leaf_forms: list[dict | None] = [None] * n_leaves
+    per_leaf_vms: list[dict | None] = [None] * n_leaves
+    order_list = [tuple(int(v) for v in disc.element_orders[i]) for i in range(n_leaves)]
+
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        ro = max(p1, p2) if recon_order is None else recon_order
+        nodes = np.linspace(-1.0, 1.0, ro + 1)
+        xi = nodes[None, :]
+        eta = nodes[:, None]
+        corners = np.asarray(bucket.batch.corners)
+        e = corners.shape[0]
+        # Physical points via bilinear interpolation (NumPy).
+        b11 = (1 - xi) / 2
+        b12 = (1 + xi) / 2
+        b21 = (1 - eta) / 2
+        b22 = (1 + eta) / 2
+        cx = corners[..., 0][:, :, None, None]
+        cy = corners[..., 1][:, :, None, None]
+        ex = (cx[:, 0] * b11 + cx[:, 1] * b12) * b21 + (
+            cx[:, 3] * b11 + cx[:, 2] * b12
+        ) * b22
+        ey = (cy[:, 0] * b11 + cy[:, 1] * b12) * b21 + (
+            cy[:, 3] * b11 + cy[:, 2] * b12
+        ) * b22
+
+        dofs = np.asarray(solution)[bucket.gather]
+        basis = bucket.batch.basis
+        offsets = form_spec.form_offsets(p1, p2)
+        form_vals = {}
+        vms_vals = {}
+        for idx, (name, order) in enumerate(form_spec):
+            fd = dofs[:, offsets[idx] : offsets[idx + 1]]
+            vals = reconstruct_batched(corners, basis, order, fd, xi, eta)
+            shape = (e, -1, 2) if order == UnknownFormOrder.FORM_ORDER_1 else (e, -1)
+            form_vals[name] = np.reshape(vals, shape)
+            if vms_solution is not None:
+                vdofs = np.asarray(vms_solution)[bucket.gather][
+                    :, offsets[idx] : offsets[idx + 1]
+                ]
+                m = np.asarray(bucket.batch.mass(order, False))
+                vdofs = np.linalg.solve(m, vdofs[..., None])[..., 0]
+                vvals = reconstruct_batched(corners, basis, order, vdofs, xi, eta)
+                vms_vals[name] = np.reshape(vvals, shape)
+
+        for j, rank in enumerate(bucket.leaf_ranks):
+            rank = int(rank)
+            per_leaf_points[rank] = np.stack(
+                [ex[j].ravel(), ey[j].ravel()], axis=1
+            )
+            per_leaf_forms[rank] = {k: v[j] for k, v in form_vals.items()}
+            if vms_solution is not None:
+                per_leaf_vms[rank] = {k: v[j] for k, v in vms_vals.items()}
+
     cell_arrays: list[np.ndarray] = []
     node_cnt = 0
+    xy_parts: list[np.ndarray] = []
     build: dict[str, list[np.ndarray]] = {n: [] for n in form_spec.names}
     vms_build: dict[str, list[np.ndarray]] = (
         {n: [] for n in form_spec.names} if vms_solution is not None else {}
     )
-
-    for i_leaf in range(disc.n_leaves):
-        p1, p2 = (int(v) for v in disc.element_orders[i_leaf])
-        orders = (p1, p2)
-        order_list.append(orders)
-        ro = max(orders) if recon_order is None else recon_order
-        nodes = np.linspace(-1.0, 1.0, ro + 1)
-        corners = disc.mesh.get_leaf_corners(disc.leaf_indices[i_leaf])
-        basis = disc.basis_cache.get_basis2d(p1, p2)
+    for rank in range(n_leaves):
+        p1, p2 = order_list[rank]
+        ro = max(p1, p2) if recon_order is None else recon_order
         ordering = vtk_lagrange_ordering(ro).astype(np.int64) + node_cnt
         cell_arrays.append(np.concatenate(((ordering.size,), ordering)))
         node_cnt += ordering.size
-        ex, ey = physical_coordinates(corners, nodes[None, :], nodes[:, None])
-        xvals.append(np.asarray(ex).ravel())
-        yvals.append(np.asarray(ey).ravel())
-
-        e0 = disc.element_offsets[i_leaf]
-        element_dofs = solution[e0 : e0 + disc.element_sizes[i_leaf]]
-        for idx, (name, order) in enumerate(form_spec):
-            off = form_spec.form_offset(idx, p1, p2)
-            size = form_spec.form_size(idx, p1, p2)
-            vals = reconstruct(
-                corners,
-                basis,
-                order,
-                element_dofs[off : off + size],
-                nodes[None, :],
-                nodes[:, None],
-            )
-            shape = (-1, 2) if order == UnknownFormOrder.FORM_ORDER_1 else (-1,)
-            build[name].append(np.reshape(vals, shape))
+        xy_parts.append(per_leaf_points[rank])
+        for name in form_spec.names:
+            build[name].append(per_leaf_forms[rank][name])
             if vms_solution is not None:
-                # Fine-scale values are dual DoFs; convert via mass inverse.
-                vdofs = vms_solution[e0 : e0 + disc.element_sizes[i_leaf]][
-                    off : off + size
-                ]
-                batch = ElementBatch(basis, corners[None])
-                m = np.asarray(batch.mass(order, False))[0]
-                vdofs = np.linalg.solve(m, vdofs)
-                vvals = reconstruct(
-                    corners, basis, order, vdofs, nodes[None, :], nodes[:, None]
-                )
-                vms_build[name].append(np.reshape(vvals, shape))
+                vms_build[name].append(per_leaf_vms[rank][name])
 
-    points = np.stack(
-        [np.concatenate(xvals), np.concatenate(yvals), np.zeros(node_cnt)], axis=1
-    )
+    xy = np.concatenate(xy_parts, axis=0)
+    points = np.concatenate([xy, np.zeros((node_cnt, 1))], axis=1)
     grid = ReconstructedGrid(
         points=points,
         cells=np.concatenate(cell_arrays).astype(np.int64),
-        cell_types=np.full(disc.n_leaves, VTK_LAGRANGE_QUADRILATERAL, np.uint8),
+        cell_types=np.full(n_leaves, VTK_LAGRANGE_QUADRILATERAL, np.uint8),
     )
     for name in build:
         grid.point_data[name] = np.concatenate(build[name], axis=0)
