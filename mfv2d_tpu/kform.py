@@ -349,7 +349,7 @@ class KInnerProduct(TermEvaluatable):
         if weight.order != unknown.order:
             raise ValueError(
                 "The K forms are not of the same (primal) order"
-                f" ({weight.order} vs {unknown.order})"
+                f" ({weight.order.value - 1}-form vs {unknown.order.value - 1}-form)"
             )
         object.__setattr__(self, "unknown_form", unknown)
         object.__setattr__(self, "weight_form", weight)
