@@ -43,3 +43,75 @@ class ReconstructedGrid:
         for k, v in self.field_data.items():
             grid.field_data[k] = v
         return grid
+
+    def save_vtu(self, path) -> None:
+        """Write the grid as a VTK XML UnstructuredGrid (.vtu) file.
+
+        Plain-ascii writer with no external dependencies; the output loads
+        in ParaView/VTK (Lagrange quadrilateral cells need VTK >= 8.2).
+        """
+        import io
+
+        def arr_to_text(a):
+            a = np.asarray(a)
+            if a.ndim == 1:
+                return " ".join(repr(float(v)) if a.dtype.kind == "f" else str(int(v)) for v in a)
+            return "\n".join(
+                " ".join(repr(float(v)) if a.dtype.kind == "f" else str(int(v)) for v in row)
+                for row in a
+            )
+
+        # Unpack the VTK cell array [n, i0..in-1, n, ...] into conn/offsets.
+        conn: list[int] = []
+        offsets: list[int] = []
+        i = 0
+        cells = np.asarray(self.cells)
+        while i < cells.size:
+            n = int(cells[i])
+            conn.extend(int(v) for v in cells[i + 1 : i + 1 + n])
+            offsets.append(len(conn))
+            i += 1 + n
+
+        buf = io.StringIO()
+        w = buf.write
+        w('<?xml version="1.0"?>\n')
+        w('<VTKFile type="UnstructuredGrid" version="1.0" byte_order="LittleEndian">\n')
+        w("<UnstructuredGrid>\n")
+        w(
+            f'<Piece NumberOfPoints="{len(self.points)}"'
+            f' NumberOfCells="{self.n_cells}">\n'
+        )
+        w("<Points>\n")
+        w('<DataArray type="Float64" NumberOfComponents="3" format="ascii">\n')
+        w(arr_to_text(self.points))
+        w("\n</DataArray>\n</Points>\n")
+        w("<Cells>\n")
+        w('<DataArray type="Int64" Name="connectivity" format="ascii">\n')
+        w(arr_to_text(np.asarray(conn, np.int64)))
+        w("\n</DataArray>\n")
+        w('<DataArray type="Int64" Name="offsets" format="ascii">\n')
+        w(arr_to_text(np.asarray(offsets, np.int64)))
+        w("\n</DataArray>\n")
+        w('<DataArray type="UInt8" Name="types" format="ascii">\n')
+        w(arr_to_text(self.cell_types))
+        w("\n</DataArray>\n</Cells>\n")
+
+        def data_section(tag, data):
+            w(f"<{tag}>\n")
+            for name, vals in data.items():
+                vals = np.asarray(vals)
+                ncomp = 1 if vals.ndim == 1 else vals.shape[1]
+                dtype = "Float64" if vals.dtype.kind == "f" else "Int64"
+                w(
+                    f'<DataArray type="{dtype}" Name="{name}"'
+                    f' NumberOfComponents="{ncomp}" format="ascii">\n'
+                )
+                w(arr_to_text(vals.astype(np.float64 if dtype == "Float64" else np.int64)))
+                w("\n</DataArray>\n")
+            w(f"</{tag}>\n")
+
+        data_section("PointData", self.point_data)
+        data_section("CellData", self.cell_data)
+        w("</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())

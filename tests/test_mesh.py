@@ -140,3 +140,24 @@ def test_split_predicates():
     assert mesh.element_count == 4  # original untouched
     out2 = mesh.split_breath_first(2, pred)
     assert out2.element_count == 8
+
+
+def test_vtu_writer(tmp_path):
+    """Grids save as well-formed .vtu XML with all data arrays."""
+    import xml.etree.ElementTree as ET
+
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.models import poisson
+
+    model = poisson.mixed_poisson()
+    mesh = unit_square_mesh(2, 2, 2)
+    sols, _, _ = mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system), recon_order=3
+    )
+    path = tmp_path / "out.vtu"
+    sols[-1].save_vtu(path)
+    root = ET.parse(path).getroot()
+    piece = root.find(".//Piece")
+    assert int(piece.attrib["NumberOfCells"]) == 4
+    names = {d.attrib.get("Name") for d in root.iter("DataArray")}
+    assert {"connectivity", "offsets", "types", "u", "q", "orders"} <= names
