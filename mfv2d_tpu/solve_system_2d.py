@@ -314,6 +314,33 @@ def solve_system_2d(
                     f"Time step {time_index:d} finished in {iter_cnt:d} iterations"
                     f" with residual of {float(max_residual):.5e}"
                 )
+    elif (
+        solver_settings.linear_solver == "dense"
+        and sg_operator is None
+        and not print_residual
+        and solver_settings.method != "newton"
+    ):
+        # Steady solve fully on device (solver/fused.py).
+        from mfv2d_tpu.solver.fused import fused_picard_solve
+
+        solution, global_lagrange, iter_cnt, all_residuals, _ = fused_picard_solve(
+            disc,
+            evaluator,
+            matrices,
+            lagrange_mat,
+            explicit_vec,
+            solution,
+            global_lagrange,
+            max_iterations,
+            relax,
+            atol,
+            rtol,
+            max_mag,
+        )
+        changes = np.asarray(all_residuals)[:iter_cnt]
+        iters = np.array((iter_cnt,), np.uint32)
+        grid = reconstruct_mesh_from_solution(disc, recon_order, solution)
+        resulting_grids.append(grid)
     else:
         solution, global_lagrange, iter_cnt, all_residuals, fine_scales = (
             non_linear_solve_run(

@@ -137,3 +137,119 @@ def fused_linear_time_march(
         jnp.asarray(initial_carry_term),
     )
     return np.asarray(us), np.asarray(lam_f)
+
+
+def fused_picard_solve(
+    disc: Discretization,
+    evaluator,
+    element_matrices: list[np.ndarray],
+    lagrange_mat: sp.csr_array | None,
+    explicit_vec: np.ndarray,
+    solution0: np.ndarray,
+    lagrange0: np.ndarray,
+    max_iterations: int,
+    relax: float,
+    atol: float,
+    rtol: float,
+    max_mag: float,
+):
+    """The steady Picard loop as one on-device lax.while_loop.
+
+    Residual evaluation (including in-trace nonlinear field reconstruction),
+    the dense-LU solve, and the convergence test all run inside a single
+    compiled computation; only the final state returns to the host.
+    Semantics match solver.solve.non_linear_solve_run.
+    """
+    from mfv2d_tpu.evaluation import compute_element_vectors
+
+    mat, n_lag = _dense_saddle(disc, element_matrices, lagrange_mat)
+    n = disc.n_dofs
+    lu_piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
+
+    if lagrange_mat is not None:
+        coo = lagrange_mat.tocoo()
+        g_rows = jnp.asarray(coo.row, jnp.int32)
+        g_cols = jnp.asarray(coo.col, jnp.int32)
+        g_vals = jnp.asarray(coo.data)
+    else:
+        g_rows = jnp.zeros(0, jnp.int32)
+        g_cols = jnp.zeros(0, jnp.int32)
+        g_vals = jnp.zeros(0)
+
+    gathers = [jnp.asarray(b.gather) for b in disc.buckets]
+    statics = evaluator._static_fields
+    compiled = evaluator.compiled
+    form_spec = evaluator.form_spec
+    base = jnp.asarray(explicit_vec)
+
+    def residual_value(u):
+        out = jnp.zeros(n)
+        for i, bucket in enumerate(disc.buckets):
+            dofs = u[gathers[i]]
+            val = compute_element_vectors(
+                form_spec, compiled.lhs_blocks, bucket.batch, dofs,
+                static_fields=statics[i],
+            )
+            if compiled.rhs_blocks is not None:
+                val = val - compute_element_vectors(
+                    form_spec, compiled.rhs_blocks, bucket.batch, dofs,
+                    static_fields=statics[i],
+                )
+            out = out.at[gathers[i]].set(val)
+        return out
+
+    def trace_apply(x):
+        contrib = g_vals * x[g_cols]
+        return jax.ops.segment_sum(contrib, g_rows, num_segments=max(n_lag, 1))[
+            :n_lag
+        ]
+
+    def trace_t_apply(lam):
+        out = jnp.zeros(n)
+        if n_lag == 0:
+            return out
+        return out.at[g_cols].add(g_vals * lam[g_rows])
+
+    @jax.jit
+    def solve(u0, lam0):
+        def cond(state):
+            _, _, it, _, converged, _ = state
+            return jnp.logical_and(it < max_iterations, jnp.logical_not(converged))
+
+        def body(state):
+            u, lam, it, residuals, _, _ = state
+            value = residual_value(u) + trace_t_apply(lam)
+            full = jnp.concatenate([value, trace_apply(u)])
+            res_vec = base - full
+            mres = jnp.max(jnp.abs(res_vec))
+            residuals = residuals.at[it].set(mres)
+            conv = jnp.logical_not(
+                jnp.logical_and(mres > atol, mres > max_mag * rtol)
+            )
+            d = jax.scipy.linalg.lu_solve(lu_piv, res_vec)
+            u_new = jnp.where(conv, u, u + relax * d[:n])
+            lam_new = jnp.where(conv, lam, lam + relax * d[n:])
+            it_new = jnp.where(conv, it, it + 1)
+            return (u_new, lam_new, it_new, residuals, conv, mres)
+
+        state = (
+            u0,
+            lam0,
+            jnp.int32(0),
+            jnp.zeros(max_iterations),
+            jnp.bool_(False),
+            jnp.inf,
+        )
+        u, lam, it, residuals, _, mres = jax.lax.while_loop(cond, body, state)
+        return u, lam, it, residuals, mres
+
+    u, lam, it, residuals, mres = solve(
+        jnp.asarray(solution0), jnp.asarray(lagrange0)
+    )
+    return (
+        np.asarray(u),
+        np.asarray(lam),
+        int(it),
+        np.asarray(residuals),
+        float(mres),
+    )

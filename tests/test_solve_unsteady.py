@@ -228,3 +228,32 @@ def test_fused_device_march_matches_host_loop():
     assert len(results["direct"]) == len(results["dense"])
     for a, b in zip(results["direct"], results["dense"]):
         assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
+
+
+def test_fused_device_picard_matches_host_loop():
+    """On-device while_loop Picard (dense solver) bit-matches the host loop."""
+    from mfv2d_tpu.models import flow
+
+    model = flow.navier_stokes(5.0)
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    bc = mf.BoundaryCondition2DSteady(
+        model.velocity, mesh.boundary_indices, flow.ns_velocity_exact
+    )
+    results = {}
+    for solver in ("direct", "dense"):
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(15, 1e-9, 0), linear_solver=solver
+            ),
+            recon_order=5,
+        )
+        results[solver] = (
+            np.array(sols[-1].point_data["vel"]),
+            int(stats.iter_history[-1]),
+            np.array(stats.residual_history),
+        )
+    assert results["direct"][1] == results["dense"][1]
+    assert np.allclose(results["direct"][0], results["dense"][0], atol=1e-10)
+    assert np.allclose(results["direct"][2], results["dense"][2], rtol=1e-10)
