@@ -42,8 +42,8 @@ def _pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarra
 class ShardedBlockSystem:
     """Element-sharded saddle system over a 1D device mesh.
 
-    Currently supports a single order bucket (uniform p); the hp case shards
-    each bucket independently with the same pattern.
+    Supports a single order bucket directly; for hp meshes use
+    :class:`MultiBucketShardedSystem`, which wraps one of these per bucket.
 
     Parameters
     ----------
@@ -66,7 +66,8 @@ class ShardedBlockSystem:
     ) -> None:
         if len(disc.buckets) != 1:
             raise NotImplementedError(
-                "Sharded path currently expects a uniform-order mesh."
+                "ShardedBlockSystem expects a uniform-order mesh; use"
+                " MultiBucketShardedSystem for hp meshes."
             )
         self.mesh = mesh
         self.n_devices = mesh.devices.size
@@ -327,3 +328,176 @@ def sharded_schur_solve(
         system.ent_val,
     )
     return system.unshard_dofs(u), np.asarray(lam), float(np.sqrt(mag2)), iters + 1
+
+
+class MultiBucketShardedSystem:
+    """hp-mesh sharding: one element-sharded block system per order bucket.
+
+    Each bucket's elements are distributed over the same device mesh; the
+    Schur matvec sums the per-bucket ``G A^{-1} G^T`` contributions, each of
+    which ends in a psum, so lambda stays replicated.  Bucket matvecs are
+    issued back-to-back and overlap across the mesh.
+    """
+
+    def __init__(
+        self,
+        disc: Discretization,
+        element_matrices: list[np.ndarray],
+        lagrange_mat: sp.csr_array | None,
+        mesh: Mesh,
+    ) -> None:
+        from mfv2d_tpu.solver.discretization import Discretization as _D
+
+        self.n_lagrange = 0 if lagrange_mat is None else lagrange_mat.shape[0]
+        self.subsystems = []
+        for bucket, mats in zip(disc.buckets, element_matrices):
+            # Build a single-bucket view with column indices relative to the
+            # bucket's own flat DoF vector (elements packed contiguously).
+            n = mats.shape[1]
+            e = mats.shape[0]
+            sub_disc = _D(
+                mesh=disc.mesh,
+                form_spec=disc.form_spec,
+                basis_cache=disc.basis_cache,
+                leaf_indices=tuple(
+                    disc.leaf_indices[int(r)] for r in bucket.leaf_ranks
+                ),
+                element_orders=disc.element_orders[bucket.leaf_ranks],
+                element_sizes=np.full(e, n, np.int64),
+                element_offsets=np.arange(e + 1, dtype=np.int64) * n,
+                buckets=[bucket],
+            )
+            # Remap the global constraint columns into bucket-local columns.
+            if lagrange_mat is not None:
+                coo = lagrange_mat.tocoo()
+                col_map = np.full(disc.n_dofs, -1, np.int64)
+                flat = bucket.gather.reshape(-1)
+                col_map[flat] = np.arange(flat.size)
+                sel = col_map[coo.col] >= 0
+                sub_g = sp.csr_array(
+                    (
+                        coo.data[sel],
+                        (coo.row[sel], col_map[coo.col[sel]]),
+                    ),
+                    shape=(self.n_lagrange, e * n),
+                )
+            else:
+                sub_g = None
+            # The sub-bucket's gather map is the identity layout.
+            local_bucket = type(bucket)(
+                orders=bucket.orders,
+                leaf_ranks=np.arange(e),
+                batch=bucket.batch,
+                gather=np.arange(e * n, dtype=np.int64).reshape(e, n),
+            )
+            sub_disc.buckets = [local_bucket]
+            self.subsystems.append(
+                (bucket, ShardedBlockSystem(sub_disc, mats, sub_g, mesh))
+            )
+        self.disc = disc
+
+    def make_schur_matvec(self):
+        fns = [sub.make_schur_matvec() for _, sub in self.subsystems]
+
+        def matvec(lam):
+            out = None
+            for fn in fns:
+                v = fn(lam)
+                out = v if out is None else out + v
+            return out
+
+        return matvec
+
+    def schur_rhs(self, rhs_flat: np.ndarray, constraints: np.ndarray):
+        """G A^{-1} b - c across buckets."""
+        total = -jnp.asarray(constraints)
+        self._ainv_b = []
+        for bucket, sub in self.subsystems:
+            b = np.asarray(rhs_flat)[bucket.gather].reshape(-1)
+            b_sh = sub.shard_dofs(b)
+            ainv = jax.scipy.linalg.lu_solve((sub.lu, sub.piv), b_sh[..., None])[
+                ..., 0
+            ]
+            self._ainv_b.append(ainv)
+            from jax.sharding import PartitionSpec as P
+
+            @partial(
+                jax.shard_map,
+                mesh=sub.mesh,
+                in_specs=(P("e", None), P("e"), P("e"), P("e"), P("e")),
+                out_specs=P(None),
+            )
+            def trace_of(dofs, er, ee, ed, ev):
+                return sub._trace_local(dofs, er, ee, ed, ev)
+
+            total = total + trace_of(
+                ainv, sub.ent_rows, sub.ent_elem, sub.ent_dof, sub.ent_val
+            )
+        return total
+
+    def solve_schur(self, rhs_flat, constraints, maximum_iterations, tolerance):
+        """CG on the multi-bucket Schur complement."""
+        matvec = self.make_schur_matvec()
+        trace_rhs = self.schur_rhs(rhs_flat, constraints)
+        lam = jnp.zeros(self.n_lagrange)
+        res = trace_rhs - matvec(lam)
+        p = res
+        mag2 = float(jnp.vdot(res, res))
+        iters = 0
+        for iters in range(maximum_iterations):
+            sp_ = matvec(p)
+            denom = float(jnp.vdot(sp_, p))
+            if denom == 0:
+                break
+            alpha = mag2 / denom
+            lam = lam + alpha * p
+            res = res - alpha * sp_
+            new_mag2 = float(jnp.vdot(res, res))
+            if new_mag2 < tolerance * tolerance:
+                mag2 = new_mag2
+                break
+            p = res + (new_mag2 / mag2) * p
+            mag2 = new_mag2
+
+        # Back substitution per bucket.
+        out = np.zeros(self.disc.n_dofs)
+        for (bucket, sub), ainv_b in zip(self.subsystems, self._ainv_b):
+            from jax.sharding import PartitionSpec as P
+
+            per_dev = sub.e_padded // sub.n_devices
+            n = sub.n_dofs_per_element
+
+            @partial(
+                jax.shard_map,
+                mesh=sub.mesh,
+                in_specs=(
+                    P(None),
+                    P("e", None, None),
+                    P("e", None),
+                    P("e", None),
+                    P("e"),
+                    P("e"),
+                    P("e"),
+                    P("e"),
+                ),
+                out_specs=P("e", None),
+            )
+            def backsub(lam_, lu, piv, ainv, er, ee, ed, ev):
+                gt_local = sub._trace_t_local(lam_, er, ee, ed, ev, (per_dev, n))
+                corr = jax.scipy.linalg.lu_solve((lu, piv), gt_local[..., None])[
+                    ..., 0
+                ]
+                return ainv - corr
+
+            u_local = backsub(
+                lam,
+                sub.lu,
+                sub.piv,
+                ainv_b,
+                sub.ent_rows,
+                sub.ent_elem,
+                sub.ent_dof,
+                sub.ent_val,
+            )
+            out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u_local)
+        return out, np.asarray(lam), float(np.sqrt(mag2)), iters + 1

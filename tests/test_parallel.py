@@ -109,3 +109,55 @@ def test_uneven_element_count_padding(device_mesh):
         np.asarray(single.apply_schur(jnp.asarray(lam))),
         atol=1e-10,
     )
+
+
+def test_multibucket_sharded_solve(device_mesh):
+    """hp mesh (two order buckets) sharded solve matches single-device."""
+    from mfv2d_tpu.parallel.sharding import MultiBucketShardedSystem
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    orders = np.array(
+        [[2, 2], [3, 3], [2, 2], [3, 3], [2, 2], [3, 3], [2, 2], [3, 3], [2, 2]]
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, orders)
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.solver.discretization import discretize_mesh
+    from mfv2d_tpu.solver.solve import SystemEvaluator, compute_linear_system
+
+    disc = discretize_mesh(mesh, system.unknown_forms, FemCache(3))
+    assert len(disc.buckets) == 2
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    conv = ConvergenceSettings(3000, 1e-11, 0.0)
+    u_ref, lam_ref, _, _ = solve_schur_iterative(
+        single, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+
+    sharded = MultiBucketShardedSystem(disc, matrices, lagrange_mat, device_mesh)
+    # matvec parity first
+    rng = np.random.default_rng(2)
+    lam = jnp.asarray(rng.normal(size=lagrange_mat.shape[0]))
+    assert np.allclose(
+        np.asarray(sharded.make_schur_matvec()(lam)),
+        np.asarray(single.apply_schur(lam)),
+        atol=1e-10,
+    )
+    u_sh, lam_sh, res, iters = sharded.solve_schur(
+        forcing, lagrange_vec, 3000, 1e-11
+    )
+    assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-7), np.abs(
+        u_sh - np.asarray(u_ref)
+    ).max()
