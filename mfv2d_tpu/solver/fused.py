@@ -17,6 +17,41 @@ import scipy.sparse as sp
 from mfv2d_tpu.solver.discretization import Discretization
 
 
+def _device_lu_solver(mat: np.ndarray, refinements: int = 12):
+    """Trace-compatible dense solve: f64 LU, or refined f32 LU on TPU.
+
+    TPU XLA implements LuDecomposition only in f32; iterative refinement
+    with an f64 residual matvec recovers double accuracy (see
+    solver.iterative.MixedPrecisionLU).
+    """
+    if jax.default_backend() == "tpu":
+        a64 = jnp.asarray(mat, jnp.float64)
+        lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat, jnp.float32))
+
+        def solve(b):
+            x = jax.scipy.linalg.lu_solve((lu, piv), b.astype(jnp.float32)).astype(
+                jnp.float64
+            )
+
+            def body(_, x):
+                r = b - a64 @ x
+                dx = jax.scipy.linalg.lu_solve(
+                    (lu, piv), r.astype(jnp.float32)
+                ).astype(jnp.float64)
+                return x + dx
+
+            return jax.lax.fori_loop(0, refinements, body, x)
+
+        return solve
+
+    lu_piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
+
+    def solve(b):
+        return jax.scipy.linalg.lu_solve(lu_piv, b)
+
+    return solve
+
+
 def _dense_saddle(disc: Discretization, element_matrices, lagrange_mat):
     n = disc.n_dofs
     n_lag = 0 if lagrange_mat is None else lagrange_mat.shape[0]
@@ -53,7 +88,7 @@ def fused_linear_time_march(
     """
     mat, n_lag = _dense_saddle(disc, element_matrices, lagrange_mat)
     n = disc.n_dofs
-    lu_piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
+    lu_solve_fn = _device_lu_solver(mat)
 
     gathers = [jnp.asarray(b.gather) for b in disc.buckets]
     blocks = [jnp.asarray(m) for m in element_matrices]
@@ -117,7 +152,7 @@ def fused_linear_time_march(
             value = block_apply(u) + trace_t_apply(lam)
             value_full = jnp.concatenate([value, trace_apply(u)])
             residual = base - value_full
-            d = jax.scipy.linalg.lu_solve(lu_piv, residual)
+            d = lu_solve_fn(residual)
             u_new = u + d[:n]
             lam_new = lam + d[n:]
             dual = dual_apply(u_new)
@@ -164,7 +199,7 @@ def fused_picard_solve(
 
     mat, n_lag = _dense_saddle(disc, element_matrices, lagrange_mat)
     n = disc.n_dofs
-    lu_piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
+    lu_solve_fn = _device_lu_solver(mat)
 
     if lagrange_mat is not None:
         coo = lagrange_mat.tocoo()
@@ -226,7 +261,7 @@ def fused_picard_solve(
             conv = jnp.logical_not(
                 jnp.logical_and(mres > atol, mres > max_mag * rtol)
             )
-            d = jax.scipy.linalg.lu_solve(lu_piv, res_vec)
+            d = lu_solve_fn(res_vec)
             u_new = jnp.where(conv, u, u + relax * d[:n])
             lam_new = jnp.where(conv, lam, lam + relax * d[n:])
             it_new = jnp.where(conv, it, it + 1)

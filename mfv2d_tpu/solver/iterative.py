@@ -124,6 +124,24 @@ class BlockSaddleSystem:
             self.apply_diagonal_inverse(self.apply_trace_transpose(lam))
         )
 
+    def schur_jacobi_diagonal(self) -> jnp.ndarray:
+        """Cheap approximation of diag(S) for Jacobi preconditioning.
+
+        Uses diag(A) in place of A: diag(S)[r] ~= sum_c G[r,c]^2 / diag(A)[c].
+        Exact when A is diagonal; in practice a solid scaling for the
+        interface-mass-like constraint rows.
+        """
+        diag_a = jnp.zeros(self.n_dofs)
+        for blocks, gather in zip(self.blocks, self.gathers):
+            d = jnp.diagonal(blocks, axis1=1, axis2=2)
+            diag_a = diag_a.at[gather].set(d)
+        safe = jnp.where(jnp.abs(diag_a) > 1e-300, diag_a, 1.0)
+        contrib = self.g_vals * self.g_vals / jnp.abs(safe[self.g_cols])
+        diag_s = jax.ops.segment_sum(
+            contrib, self.g_rows, num_segments=max(self.n_lagrange, 1)
+        )[: self.n_lagrange]
+        return jnp.where(diag_s > 0, diag_s, 1.0)
+
 
 # ---------------------------------------------------------------------------
 # Generic Krylov methods (reference solving.py:178-436)
@@ -290,19 +308,34 @@ def solve_schur_iterative(
     rhs: jnp.ndarray,
     constraints: jnp.ndarray,
     convergence: ConvergenceSettings,
+    preconditioner: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, float, int]:
     """Solve via the trace Schur complement (reference solving.py:439-500).
 
     CG on S lambda = G A^{-1} b - c, then u = A^{-1}(b - G^T lambda).
+    ``preconditioner="jacobi"`` scales by the diag(A)-approximate diag(S);
+    measured neutral-to-slightly-negative on Poisson trace systems (the
+    1-form mass blocks are far from diagonal), so plain CG is the default —
+    a real trace preconditioner is BACKLOG item 7.
     """
     inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
     trace_rhs = system.apply_trace(inv_a_b) - jnp.asarray(constraints)
-    lam, residual, iters = cg_general(
-        system.apply_schur,
-        trace_rhs,
-        jnp.zeros(system.n_lagrange),
-        convergence,
-    )
+    if preconditioner == "jacobi" and system.n_lagrange > 0:
+        inv_diag = 1.0 / system.schur_jacobi_diagonal()
+        lam, residual, iters = pcg_general(
+            system.apply_schur,
+            lambda v: inv_diag * v,
+            trace_rhs,
+            jnp.zeros(system.n_lagrange),
+            convergence,
+        )
+    else:
+        lam, residual, iters = cg_general(
+            system.apply_schur,
+            trace_rhs,
+            jnp.zeros(system.n_lagrange),
+            convergence,
+        )
     u = inv_a_b - system.apply_diagonal_inverse(system.apply_trace_transpose(lam))
     return u, lam, residual, iters
 
@@ -440,11 +473,56 @@ class DenseSaddleSolver:
             g = lagrange_mat.toarray()
             mat[:n, n:] = g.T
             mat[n:, :n] = g
-        self._lu = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
-        self._solve = jax.jit(
-            lambda lu, piv, b: jax.scipy.linalg.lu_solve((lu, piv), b)
-        )
+        if jax.default_backend() == "tpu":
+            # TPU XLA has no f64 LuDecomposition; use the refined-f32 path.
+            self._mplu = MixedPrecisionLU(mat)
+            self._lu = None
+        else:
+            self._mplu = None
+            self._lu = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
+            self._solve = jax.jit(
+                lambda lu, piv, b: jax.scipy.linalg.lu_solve((lu, piv), b)
+            )
 
     def solve(self, rhs: np.ndarray) -> np.ndarray:
+        if self._mplu is not None:
+            return np.asarray(self._mplu.solve(rhs))
         lu, piv = self._lu
         return np.asarray(self._solve(lu, piv, jnp.asarray(rhs)))
+
+
+class MixedPrecisionLU:
+    """f32 LU factorization refined to f64 accuracy by iterative refinement.
+
+    TPU XLA implements LuDecomposition only for f32/c64; factoring a float32
+    copy and refining  x <- x + LU32^{-1}(b - A x)  with the residual matvec
+    in float64 recovers full double accuracy in a few iterations whenever
+    cond(A) * eps_f32 < 1 — and runs the O(n^3) factorization at MXU speed.
+    """
+
+    def __init__(self, mat: np.ndarray, refinements: int = 12) -> None:
+        self.a64 = jnp.asarray(mat, jnp.float64)
+        lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat, jnp.float32))
+        self._lu = (lu, piv)
+        self.refinements = refinements
+
+        @jax.jit
+        def solve(lu, piv, a64, b):
+            x = jax.scipy.linalg.lu_solve(
+                (lu, piv), b.astype(jnp.float32)
+            ).astype(jnp.float64)
+
+            def body(_, x):
+                r = b - a64 @ x
+                dx = jax.scipy.linalg.lu_solve(
+                    (lu, piv), r.astype(jnp.float32)
+                ).astype(jnp.float64)
+                return x + dx
+
+            return jax.lax.fori_loop(0, refinements, body, x)
+
+        self._solve = solve
+
+    def solve(self, b) -> jnp.ndarray:
+        lu, piv = self._lu
+        return self._solve(lu, piv, self.a64, jnp.asarray(b, jnp.float64))
