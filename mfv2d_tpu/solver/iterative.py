@@ -54,8 +54,16 @@ class BlockSaddleSystem:
         self.disc = disc
         self.n_dofs = disc.n_dofs
         self.blocks = [jnp.asarray(m) for m in element_matrices]
+        # TPU XLA only implements f32 LuDecomposition; factor in f32 there
+        # and recover f64 accuracy with iterative refinement in
+        # apply_diagonal_inverse.
+        self._refine_inverse = jax.default_backend() == "tpu"
+        factor_dtype = jnp.float32 if self._refine_inverse else None
         self.lu_factors = [
-            jax.scipy.linalg.lu_factor(b) for b in self.blocks
+            jax.scipy.linalg.lu_factor(
+                b.astype(factor_dtype) if factor_dtype else b
+            )
+            for b in self.blocks
         ]
         self.gathers = [jnp.asarray(b.gather) for b in disc.buckets]
 
@@ -85,11 +93,25 @@ class BlockSaddleSystem:
         return y
 
     def apply_diagonal_inverse(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A^{-1} x via the batched LU factorizations."""
+        """y = A^{-1} x via the batched LU factorizations.
+
+        On TPU the factors are f32; two refinement sweeps with f64 residual
+        matvecs restore double accuracy per application.
+        """
         y = jnp.zeros_like(x)
-        for lu, gather in zip(self.lu_factors, self.gathers):
+        for lu, blocks, gather in zip(self.lu_factors, self.blocks, self.gathers):
             xe = x[gather]
-            ye = jax.scipy.linalg.lu_solve(lu, xe[..., None])[..., 0]
+            if not self._refine_inverse:
+                ye = jax.scipy.linalg.lu_solve(lu, xe[..., None])[..., 0]
+            else:
+                ye = jax.scipy.linalg.lu_solve(
+                    lu, xe.astype(jnp.float32)[..., None]
+                )[..., 0].astype(x.dtype)
+                for _ in range(2):
+                    r = xe - jnp.einsum("eij,ej->ei", blocks, ye)
+                    ye = ye + jax.scipy.linalg.lu_solve(
+                        lu, r.astype(jnp.float32)[..., None]
+                    )[..., 0].astype(x.dtype)
             y = y.at[gather].set(ye)
         return y
 

@@ -1,0 +1,109 @@
+"""Edge cases: tiny meshes, p=1, validation errors, sampling rates."""
+
+import numpy as np
+import pytest
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.models import poisson
+
+
+def test_single_element_mesh():
+    """A 1x1 mesh has no continuity constraints, only weak BCs."""
+    model = poisson.mixed_poisson()
+    mesh = mf.examples.unit_square_mesh(1, 1, 4)
+    sols, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system),
+        mf.SolverSettings(mf.ConvergenceSettings(10, 1e-10, 0)),
+        recon_order=6,
+    )
+    assert stats.n_lagrange == 0
+    g = sols[-1]
+    err = np.sqrt(
+        np.mean((g.point_data["u"] - poisson.u_exact(g.points[:, 0], g.points[:, 1])) ** 2)
+    )
+    assert err < 0.2  # single coarse element; just well-posedness
+
+
+def test_p1_everywhere():
+    model = poisson.mixed_poisson()
+    mesh = mf.examples.unit_square_mesh(6, 6, 1)
+    sols, stats, _ = mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system), recon_order=2
+    )
+    assert np.all(np.isfinite(sols[-1].point_data["u"]))
+
+
+def test_invalid_time_settings():
+    model = poisson.mixed_poisson()
+    mesh = mf.examples.unit_square_mesh(2, 2, 2)
+    with pytest.raises(ValueError, match="no time march relations"):
+        mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system),
+            time_settings=mf.TimeSettings(dt=0.1, nt=2, time_march_relations={}),
+        )
+    u = model.u
+    v = u.weight
+    with pytest.raises(ValueError, match="Sample rate"):
+        mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system),
+            time_settings=mf.TimeSettings(
+                dt=0.1, nt=2, time_march_relations={v: u}, sample_rate=0
+            ),
+        )
+
+
+def test_constrained_form_validation():
+    model = poisson.mixed_poisson()
+    other = mf.KFormUnknown("zz", mf.UnknownFormOrder.FORM_ORDER_2)
+    mesh = mf.examples.unit_square_mesh(2, 2, 2)
+    with pytest.raises(ValueError, match="not involved"):
+        mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, constrained_forms=[(0.0, other)]),
+        )
+
+
+def test_sample_rate_subsampling():
+    from mfv2d_tpu.models import transport
+
+    def steady_u(x, y):
+        return np.cos(np.pi * x / 2) * np.cos(np.pi * y / 2)
+
+    model = transport.heat_direct(0.02, 1.0, steady_u)
+    mesh = mf.examples.unit_square_mesh(2, 2, 2)
+    bc = mf.BoundaryCondition2DSteady(model.u, mesh.boundary_indices, steady_u)
+    sols, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system, boundary_conditions=[bc]),
+        mf.SolverSettings(mf.ConvergenceSettings(10, 1e-9, 0)),
+        time_settings=mf.TimeSettings(
+            dt=0.1, nt=8, time_march_relations=model.time_march_relations,
+            sample_rate=4,
+        ),
+        recon_order=3,
+    )
+    # initial + steps 0, 4 (sampled) + final step 7
+    assert len(sols) == 4
+    times = [float(s.field_data["time"][0]) for s in sols]
+    assert times == [0.0, pytest.approx(0.1), pytest.approx(0.5), pytest.approx(0.8)]
+
+
+def test_upper_order_limit_forces_splits():
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    model = poisson.mixed_poisson()
+    settings = mf.RefinementSettings(
+        error_estimate=mf.ErrorEstimateExplicit(model.u, poisson.u_exact),
+        refinement_limit=mf.RefinementLimitElementCount(1.0, 2),
+        h_refinement_ratio=0.0,
+        upper_order_limit=3,  # p already at the cap -> must h-split
+    )
+    sols, stats, new_mesh = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system),
+        refinement_settings=settings,
+        recon_order=4,
+    )
+    assert new_mesh.leaf_count > mesh.leaf_count
