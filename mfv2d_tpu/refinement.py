@@ -110,6 +110,36 @@ def compute_legendre_error_estimates(
     return float(np.sum(err**2 * w * det)), float(np.abs(estimate))
 
 
+def compute_legendre_directional_costs(
+    order_1: int,
+    order_2: int,
+    xi: npt.NDArray[np.float64],
+    eta: npt.NDArray[np.float64],
+    w: npt.NDArray[np.float64],
+    det: npt.NDArray[np.float64],
+    err: npt.NDArray[np.float64],
+) -> tuple[float, float]:
+    """Directional error content: energy in the high-xi vs high-eta modes.
+
+    Beyond the reference: the error spectrum's upper mode bands indicate
+    which direction's order limits the approximation, enabling anisotropic
+    (p1 vs p2) refinement decisions.
+    """
+    if err.ndim == 3:
+        err = np.linalg.norm(err, axis=-1)
+    coeffs = compute_legendre_coefficients(order_1, order_2, xi, eta, err * w * det, det)
+    norm = 4 / (
+        (2 * np.arange(order_1 + 1) + 1)[None, :]
+        * (2 * np.arange(order_2 + 1) + 1)[:, None]
+    )
+    energy = coeffs * coeffs * norm
+    hi1 = max(order_1 // 2, 1)
+    hi2 = max(order_2 // 2, 1)
+    p1_cost = float(np.sum(energy[:, hi1:]))
+    p2_cost = float(np.sum(energy[hi2:, :]))
+    return p1_cost, p2_cost
+
+
 class ErrorCalculationFunction(Protocol):
     """User error function: (x, y, w, **form values) -> (error, h_cost)."""
 
@@ -214,6 +244,9 @@ class RefinementSettings:
     report_order_distribution: bool = False
     upper_order_limit: int | None = None
     lower_order_limit: int | None = None
+    anisotropic_p: bool = False
+    """Raise only the direction(s) whose high-mode error energy dominates
+    (directional Legendre spectrum); extension beyond the reference."""
 
 
 # ---------------------------------------------------------------------------
@@ -256,9 +289,13 @@ def _legendre_estimate_for_element(
         recon_err = reconstruct(corners, b, form_order, error_dofs_or_vals, xi, eta)
     else:
         recon_err = np.asarray(error_dofs_or_vals)
-    return compute_legendre_error_estimates(
+    err, h_cost = compute_legendre_error_estimates(
         p1, p2, rule_1.nodes, rule_2.nodes, weights, det, recon_u, recon_err
     )
+    dir_cost = compute_legendre_directional_costs(
+        p1, p2, rule_1.nodes, rule_2.nodes, weights, det, recon_err
+    )
+    return err, h_cost, dir_cost
 
 
 def error_estimate_with_custom_estimator(
@@ -274,6 +311,7 @@ def error_estimate_with_custom_estimator(
     required = [form_specs.index(u) for u in required_unknowns]
     element_error = np.empty(disc.n_leaves)
     href_cost = np.empty(disc.n_leaves)
+    dir_cost = np.ones((disc.n_leaves, 2))
     for i_leaf in range(disc.n_leaves):
         p1, p2, basis, corners = _element_quadrature_data(disc, i_leaf)
         e0 = disc.element_offsets[i_leaf]
@@ -325,7 +363,7 @@ def error_estimate_with_custom_estimator(
                 "Error calculation function returned a negative error estimate."
             )
         element_error[i_leaf], href_cost[i_leaf] = vals
-    return element_error, href_cost
+    return element_error, href_cost, dir_cost
 
 
 def error_estimate_with_explicit_solution(
@@ -341,6 +379,7 @@ def error_estimate_with_explicit_solution(
     idx = form_specs.index(target)
     element_error = np.empty(disc.n_leaves)
     href_cost = np.empty(disc.n_leaves)
+    dir_cost = np.ones((disc.n_leaves, 2))
     for i_leaf in range(disc.n_leaves):
         p1, p2, basis, corners = _element_quadrature_data(disc, i_leaf)
         e0 = disc.element_offsets[i_leaf]
@@ -371,7 +410,16 @@ def error_estimate_with_explicit_solution(
             recon_u,
             exact - recon_u,
         )
-    return element_error, href_cost
+        dir_cost[i_leaf] = compute_legendre_directional_costs(
+            p1,
+            p2,
+            rule_1.nodes[None, :],
+            rule_2.nodes[:, None],
+            rule_1.weights[None, :] * rule_2.weights[:, None],
+            np.asarray(jac.det),
+            exact - recon_u,
+        )
+    return element_error, href_cost, dir_cost
 
 
 def error_estimate_with_order_reduction(
@@ -387,6 +435,7 @@ def error_estimate_with_order_reduction(
     single_spec = ElementFormSpecification(target)
     element_error = np.empty(disc.n_leaves)
     href_cost = np.empty(disc.n_leaves)
+    dir_cost = np.ones((disc.n_leaves, 2))
 
     for bucket in disc.buckets:
         p1, p2 = bucket.orders
@@ -400,6 +449,7 @@ def error_estimate_with_order_reduction(
             for rank in bucket.leaf_ranks:
                 element_error[rank] = val
                 href_cost[rank] = val
+                dir_cost[rank] = (1.0, 1.0)
             continue
 
         lower_basis = disc.basis_cache.get_basis2d(
@@ -419,12 +469,13 @@ def error_estimate_with_order_reduction(
         basis = bucket.batch.basis
         for j, rank in enumerate(bucket.leaf_ranks):
             corners = disc.mesh.get_leaf_corners(disc.leaf_indices[rank])
-            e, h = _legendre_estimate_for_element(
+            e, h, d = _legendre_estimate_for_element(
                 disc, int(rank), basis, corners, target.order, dofs[j], err_dofs[j]
             )
             element_error[rank] = e
             href_cost[rank] = h
-    return element_error, href_cost
+            dir_cost[rank] = d
+    return element_error, href_cost, dir_cost
 
 
 def _fine_residuals(
@@ -569,6 +620,7 @@ def error_estimate_with_local_inversion(
     )
     element_error = np.empty(disc.n_leaves)
     href_cost = np.empty(disc.n_leaves)
+    dir_cost = np.ones((disc.n_leaves, 2))
 
     fine_batches, projected, residuals, _ = _fine_residuals(
         disc, system, compiled, solution, order_increase, boundary_conditions
@@ -640,7 +692,7 @@ def error_estimate_with_local_inversion(
             off = form_specs.form_offset(unknown_index, *pf)
             count = form_specs.form_size(unknown_index, *pf)
             corners = disc.mesh.get_leaf_corners(disc.leaf_indices[rank])
-            e, h = _legendre_estimate_for_element(
+            e, h, d = _legendre_estimate_for_element(
                 disc,
                 int(rank),
                 fine_batch.basis,
@@ -652,7 +704,8 @@ def error_estimate_with_local_inversion(
             )
             element_error[rank] = e
             href_cost[rank] = h
-    return element_error, href_cost
+            dir_cost[rank] = d
+    return element_error, href_cost, dir_cost
 
 
 def error_estimate_with_vms(
@@ -821,6 +874,7 @@ def error_estimate_with_vms(
     fine_scale_dofs = u
     element_error = np.empty(disc.n_leaves)
     href_cost = np.empty(disc.n_leaves)
+    dir_cost = np.ones((disc.n_leaves, 2))
     unknown_index = form_specs.index(target)
     for bucket, fine_batch in zip(disc.buckets, fine_batches):
         pf = fine_batch.orders
@@ -832,7 +886,7 @@ def error_estimate_with_vms(
             local = fine_scale_dofs[fine_offsets[rank] : fine_offsets[rank + 1]]
             target_dofs = m_inv[j] @ local[off : off + count]
             corners = disc.mesh.get_leaf_corners(disc.leaf_indices[rank])
-            e, h = _legendre_estimate_for_element(
+            e, h, d = _legendre_estimate_for_element(
                 disc,
                 rank,
                 fine_batch.basis,
@@ -844,7 +898,8 @@ def error_estimate_with_vms(
             )
             element_error[rank] = e
             href_cost[rank] = h
-    return element_error, href_cost
+            dir_cost[rank] = d
+    return element_error, href_cost, dir_cost
 
 
 # ---------------------------------------------------------------------------
@@ -863,8 +918,14 @@ def refine_mesh_based_on_error(
     href_cost: np.ndarray,
     order_limit: int | None,
     lower_order_limit: int | None,
+    dir_cost: np.ndarray | None = None,
 ) -> Mesh:
-    """Split or p-raise elements in decreasing-error order until the limit."""
+    """Split or p-raise elements in decreasing-error order until the limit.
+
+    With ``dir_cost`` (per-element [p1_cost, p2_cost] from the directional
+    Legendre spectrum), p-refinement raises only the direction(s) whose
+    high-mode energy dominates — anisotropic hp, beyond the reference.
+    """
     error_order = np.flip(np.argsort(element_error))
     ordered_indices = np.asarray(leaf_indices)[error_order]
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -883,6 +944,20 @@ def refine_mesh_based_on_error(
             and (order_1 >= order_limit or order_2 >= order_limit)
         )
 
+    def p_raise(i_leaf, order_1, order_2):
+        """New orders after a p-refinement step (possibly anisotropic)."""
+        if dir_cost is None:
+            return order_1 + 1, order_2 + 1
+        c1, c2 = dir_cost[i_leaf]
+        total = c1 + c2
+        if total <= 0:
+            return order_1 + 1, order_2 + 1
+        d1 = order_1 + 1 if c1 >= 0.33 * total else order_1
+        d2 = order_2 + 1 if c2 >= 0.33 * total else order_2
+        if (d1, d2) == (order_1, order_2):
+            return order_1 + 1, order_2 + 1
+        return d1, d2
+
     if isinstance(refinement_limit, RefinementLimitElementCount):
         budget = min(
             mesh.leaf_count * refinement_limit.maximum_fraction,
@@ -897,7 +972,7 @@ def refine_mesh_based_on_error(
                 new_orders = (max(o1 // 2, 1), max(o2 // 2, 1))
                 mesh.split_element(int(idx), *([new_orders] * 4))
             else:
-                mesh.set_leaf_orders(int(idx), o1 + 1, o2 + 1)
+                mesh.set_leaf_orders(int(idx), *p_raise(i_leaf, o1, o2))
             refined += 1
     elif isinstance(refinement_limit, RefinementLimitUnknownCount):
         budget = min(
@@ -915,8 +990,9 @@ def refine_mesh_based_on_error(
                 mesh.split_element(int(idx), *([new_orders] * 4))
                 new_unknowns = 4 * form_specs.total_size(*new_orders)
             else:
-                mesh.set_leaf_orders(int(idx), o1 + 1, o2 + 1)
-                new_unknowns = form_specs.total_size(o1 + 1, o2 + 1)
+                raised = p_raise(i_leaf, o1, o2)
+                mesh.set_leaf_orders(int(idx), *raised)
+                new_unknowns = form_specs.total_size(*raised)
             added += new_unknowns - original
     elif isinstance(refinement_limit, RefinementLimitErrorValue):
         total_error = np.sum(element_error)
@@ -953,11 +1029,12 @@ def perform_mesh_refinement(
     order_limit: int | None,
     lower_order_limit: int | None,
     constrained: Sequence[tuple[float, KFormUnknown]],
+    anisotropic_p: bool = False,
 ) -> tuple[Mesh, np.ndarray, np.ndarray]:
     """Estimate per-element errors and produce a refined mesh."""
     if isinstance(error_estimator, ErrorEstimateCustom):
         ro = error_estimator.reconstruction_orders
-        element_error, href_cost = error_estimate_with_custom_estimator(
+        element_error, href_cost, dir_cost = error_estimate_with_custom_estimator(
             disc,
             solution,
             error_estimator.required_forms,
@@ -966,7 +1043,7 @@ def perform_mesh_refinement(
             ro[1] if ro is not None else None,
         )
     elif isinstance(error_estimator, ErrorEstimateLocalInverse):
-        element_error, href_cost = error_estimate_with_local_inversion(
+        element_error, href_cost, dir_cost = error_estimate_with_local_inversion(
             disc,
             solution,
             system,
@@ -978,7 +1055,7 @@ def perform_mesh_refinement(
             [form for _, form in constrained],
         )
     elif isinstance(error_estimator, ErrorEstimateL2OrderReduction):
-        element_error, href_cost = error_estimate_with_order_reduction(
+        element_error, href_cost, dir_cost = error_estimate_with_order_reduction(
             disc,
             solution,
             error_estimator.target_form,
@@ -987,7 +1064,7 @@ def perform_mesh_refinement(
         )
     elif isinstance(error_estimator, ErrorEstimateExplicit):
         ro = error_estimator.reconstruction_orders
-        element_error, href_cost = error_estimate_with_explicit_solution(
+        element_error, href_cost, dir_cost = error_estimate_with_explicit_solution(
             disc,
             solution,
             error_estimator.target_form,
@@ -996,7 +1073,7 @@ def perform_mesh_refinement(
             ro[1] if ro is not None else None,
         )
     elif isinstance(error_estimator, ErrorEstimateVMS):
-        element_error, href_cost = error_estimate_with_vms(
+        element_error, href_cost, dir_cost = error_estimate_with_vms(
             disc,
             solution,
             system,
@@ -1030,6 +1107,7 @@ def perform_mesh_refinement(
             href_cost,
             order_limit,
             lower_order_limit,
+            dir_cost=dir_cost if anisotropic_p else None,
         ),
         element_error,
         href_cost,

@@ -409,6 +409,7 @@ def solve_system_2d(
             refinement_settings.upper_order_limit,
             refinement_settings.lower_order_limit,
             system_settings.constrained_forms,
+            anisotropic_p=refinement_settings.anisotropic_p,
         )
         resulting_grids[-1].cell_data["error_estimate"] = error_estimates
         resulting_grids[-1].cell_data["h_ref_cost_estimate"] = h_ref_cost

@@ -195,3 +195,49 @@ def test_refinement_loop_with_h_splits_reduces_error():
 
 def u_exact_form():
     return mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+
+
+def test_anisotropic_p_refinement():
+    """A solution varying only in x should drive p1-only raises."""
+
+    def u_aniso(x, y):
+        return np.sin(3 * np.pi * x) + 0.001 * y
+
+    def source_aniso(x, y):
+        return -9 * np.pi**2 * np.sin(3 * np.pi * x)
+
+    def flux_aniso(x, y):
+        gx = 3 * np.pi * np.cos(3 * np.pi * x)
+        gy = 0.001 + 0 * y
+        return np.stack((gy, -gx), axis=-1)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    p = q.weight
+    system = mf.KFormSystem(
+        v.derivative @ u.derivative == -(v @ source_aniso) + (v ^ flux_aniso),
+        p @ u.derivative - p @ q == 0,
+        sorting=lambda f: f.order,
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 2)
+    bc = mf.BoundaryCondition2DSteady(u, mesh.boundary_indices, u_aniso)
+    settings = mf.RefinementSettings(
+        error_estimate=mf.ErrorEstimateExplicit(u, u_aniso),
+        refinement_limit=mf.RefinementLimitElementCount(1.0, 9),
+        h_refinement_ratio=0.0,
+        anisotropic_p=True,
+    )
+    sols, stats, new_mesh = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(system, boundary_conditions=[bc]),
+        mf.SolverSettings(mf.ConvergenceSettings(10, 1e-10, 0)),
+        refinement_settings=settings,
+        recon_order=6,
+    )
+    orders = [new_mesh.get_leaf_orders(int(i)) for i in new_mesh.get_leaf_indices()]
+    raised_p1_only = sum(1 for o in orders if o == (3, 2))
+    raised_both = sum(1 for o in orders if o == (3, 3))
+    # The x-only solution must drive p1-dominant refinement.
+    assert raised_p1_only > 0, orders
+    assert raised_p1_only >= raised_both, orders
