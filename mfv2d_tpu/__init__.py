@@ -64,6 +64,9 @@ from mfv2d_tpu.refinement import (
 from mfv2d_tpu.solver.solve import ConvergenceSettings as ConvergenceSettings
 from mfv2d_tpu.solver.solve import SolutionStatistics as SolutionStatistics
 from mfv2d_tpu.solver.solve import SolverSettings as SolverSettings
+from mfv2d_tpu.checkpoint import CheckpointSettings as CheckpointSettings
+from mfv2d_tpu.checkpoint import load_mesh as load_mesh
+from mfv2d_tpu.checkpoint import save_mesh as save_mesh
 from mfv2d_tpu.solver.solve import SystemSettings as SystemSettings
 from mfv2d_tpu.solver.solve import TimeSettings as TimeSettings
 from mfv2d_tpu.solver.solve import VMSSettings as VMSSettings

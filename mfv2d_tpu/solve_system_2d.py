@@ -52,6 +52,7 @@ def solve_system_2d(
     *,
     recon_order: int | None = None,
     print_residual: bool = False,
+    checkpoint_settings=None,
 ) -> tuple[Sequence[ReconstructedGrid], SolutionStatistics, Mesh]:
     """Solve the k-form system on the mesh; see the reference docstring.
 
@@ -225,6 +226,26 @@ def solve_system_2d(
     rtol = conv.relative_tolerance
     fine_scales = None
 
+    # Resume a checkpointed march: restore solution + carry state and skip
+    # the already-completed steps (mfv2d_tpu/checkpoint.py).
+    start_index = 0
+    if checkpoint_settings is not None and checkpoint_settings.resume_from:
+        from mfv2d_tpu.checkpoint import load_march_state
+
+        if time_settings is None:
+            raise ValueError("Checkpoint resume requires time_settings.")
+        state = load_march_state(checkpoint_settings.resume_from)
+        if state["solution"].size != disc.n_dofs:
+            raise ValueError(
+                "Checkpoint DoF count does not match the mesh/system:"
+                f" {state['solution'].size} != {disc.n_dofs}."
+            )
+        solution = state["solution"]
+        global_lagrange = state["lagrange"]
+        old_solution_carry = state["old_carry"]
+        time_carry_term = state["carry_term"]
+        start_index = state["time_index"]
+
     use_fused_march = (
         time_settings is not None
         and compiled.rhs_blocks is None
@@ -232,6 +253,7 @@ def solve_system_2d(
         and sg_operator is None
         and not print_residual
         and solver_settings.linear_solver == "dense"
+        and checkpoint_settings is None
     )
     if use_fused_march:
         # Linear march: run the entire scan on device (solver/fused.py).
@@ -266,7 +288,7 @@ def solve_system_2d(
         dt = time_settings.dt
         changes = np.zeros(nt)
         iters = np.zeros(nt, np.uint32)
-        for time_index in range(nt):
+        for time_index in range(start_index, nt):
             assert old_solution_carry is not None and time_carry_term is not None
             current_carry = 2 / dt * old_solution_carry + time_carry_term
 
@@ -301,6 +323,23 @@ def solve_system_2d(
                 2 / dt * (new_solution_carry - old_solution_carry) - time_carry_term
             )
             old_solution_carry = new_solution_carry
+
+            if checkpoint_settings is not None and (
+                (time_index + 1) % checkpoint_settings.every == 0
+                or time_index + 1 == nt
+            ):
+                from mfv2d_tpu.checkpoint import save_march_state
+
+                save_march_state(
+                    checkpoint_settings.path,
+                    mesh,
+                    solution,
+                    global_lagrange,
+                    old_solution_carry,
+                    time_carry_term,
+                    time_index + 1,
+                    dt,
+                )
 
             if (time_index % time_settings.sample_rate) == 0 or time_index + 1 == nt:
                 grid = reconstruct_mesh_from_solution(

@@ -1,0 +1,122 @@
+"""Checkpoint/resume: mesh serialization and split time marches."""
+
+import numpy as np
+
+import mfv2d_tpu as mf
+from mfv2d_tpu.checkpoint import (
+    load_march_state,
+    load_mesh,
+    mesh_from_arrays,
+    mesh_to_arrays,
+    save_mesh,
+)
+from mfv2d_tpu.models import transport
+
+
+def test_mesh_roundtrip(tmp_path):
+    mesh = mf.examples.unit_square_mesh(3, 2, 2)
+    mesh.split_element(1, (1, 1), (2, 1), (1, 2), (2, 2))
+    path = tmp_path / "mesh.npz"
+    save_mesh(path, mesh)
+    back = load_mesh(path)
+
+    assert back.element_count == mesh.element_count
+    assert back.leaf_count == mesh.leaf_count
+    assert np.array_equal(back.boundary_indices, mesh.boundary_indices)
+    assert np.all(back.get_leaf_indices() == mesh.get_leaf_indices())
+    for idx in mesh.get_leaf_indices():
+        idx = int(idx)
+        assert np.array_equal(back.get_leaf_corners(idx), mesh.get_leaf_corners(idx))
+        assert back.get_leaf_orders(idx) == mesh.get_leaf_orders(idx)
+        assert back.get_element_parent(idx) == mesh.get_element_parent(idx)
+    # dual topology reconstructed identically
+    for i in range(1, mesh.dual.n_lines + 1):
+        assert back.dual.get_line(i) == mesh.dual.get_line(i)
+
+
+def test_mesh_roundtrip_is_solvable(tmp_path):
+    """A reloaded mesh must drive a solve to the same answer."""
+    from mfv2d_tpu.models import poisson
+
+    model = poisson.mixed_poisson()
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    back = mesh_from_arrays(mesh_to_arrays(mesh))
+    kw = dict(recon_order=4)
+    sols_a, _, _ = mf.solve_system_2d(mesh, mf.SystemSettings(model.system), **kw)
+    sols_b, _, _ = mf.solve_system_2d(back, mf.SystemSettings(model.system), **kw)
+    assert np.allclose(
+        sols_a[-1].point_data["u"], sols_b[-1].point_data["u"], atol=1e-12
+    )
+
+
+def test_march_checkpoint_resume(tmp_path):
+    """nt=4 march + resume to nt=8 bit-matches a single nt=8 march."""
+    ALPHA = 1.5
+
+    def final_u(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    model = transport.reaction(ALPHA, final_u)
+    nt, t_end = 8, 0.5
+    dt = t_end / nt
+    settings = lambda n: mf.TimeSettings(  # noqa: E731
+        dt=dt, nt=n, time_march_relations=model.time_march_relations
+    )
+    solver = mf.SolverSettings(mf.ConvergenceSettings(20, 1e-10, 0))
+    ckpt = tmp_path / "march.npz"
+
+    # Reference: one uninterrupted nt=8 march.
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    sols_full, _, _ = mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system), solver,
+        time_settings=settings(nt), recon_order=4,
+    )
+
+    # First half: nt=4 with a checkpoint at the end.
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system), solver,
+        time_settings=settings(nt // 2), recon_order=4,
+        checkpoint_settings=mf.CheckpointSettings(str(ckpt), every=4),
+    )
+    state = load_march_state(ckpt)
+    assert state["time_index"] == nt // 2
+    assert state["dt"] == dt
+
+    # Second half: resume to nt=8.
+    mesh2 = state["mesh"]
+    sols_res, _, _ = mf.solve_system_2d(
+        mesh2, mf.SystemSettings(model.system), solver,
+        time_settings=settings(nt), recon_order=4,
+        checkpoint_settings=mf.CheckpointSettings(
+            str(ckpt), every=4, resume_from=str(ckpt)
+        ),
+    )
+    assert float(sols_res[-1].field_data["time"][0]) == t_end
+    assert np.allclose(
+        sols_res[-1].point_data["u"], sols_full[-1].point_data["u"], atol=1e-13
+    ), np.abs(sols_res[-1].point_data["u"] - sols_full[-1].point_data["u"]).max()
+
+
+def test_resume_rejects_wrong_mesh(tmp_path):
+    import pytest
+
+    ALPHA = 1.0
+    model = transport.reaction(ALPHA, lambda x, y: x * 0 + 1.0)
+    settings = mf.TimeSettings(
+        dt=0.1, nt=2, time_march_relations=model.time_march_relations
+    )
+    ckpt = tmp_path / "m.npz"
+    mesh = mf.examples.unit_square_mesh(2, 2, 2)
+    mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system), time_settings=settings,
+        checkpoint_settings=mf.CheckpointSettings(str(ckpt), every=2),
+    )
+    bigger = mf.examples.unit_square_mesh(3, 3, 2)
+    with pytest.raises(ValueError, match="DoF count"):
+        mf.solve_system_2d(
+            bigger, mf.SystemSettings(model.system), time_settings=settings,
+            checkpoint_settings=mf.CheckpointSettings(
+                str(ckpt), resume_from=str(ckpt)
+            ),
+        )
