@@ -36,6 +36,9 @@ from mfv2d_tpu.compiler import system_as_string as system_as_string
 
 # Boundary conditions
 from mfv2d_tpu.boundary import BoundaryCondition2DSteady as BoundaryCondition2DSteady
+from mfv2d_tpu.boundary import (
+    BoundaryCondition2DUnsteady as BoundaryCondition2DUnsteady,
+)
 
 # Refinement
 from mfv2d_tpu.refinement import ErrorEstimateCustom as ErrorEstimateCustom

@@ -63,13 +63,37 @@ class BoundaryCondition2DSteady(BoundaryCondition2D):
 
 @dataclass(frozen=True, init=False)
 class BoundaryCondition2DUnsteady(BoundaryCondition2D):
-    """Unsteady variant (defined for parity; not used by the solver yet)."""
+    """Strong condition with a time-dependent value ``func(x, y, t)``.
+
+    The reference defines this type but never evaluates it
+    (python/mfv2d/boundary.py); here the time march re-evaluates the
+    prescribed values at each new time level ``t = (n + 1) dt``.
+    """
 
     func: Function2D
 
     def __init__(self, form: KFormUnknown, indices, func) -> None:
         super().__init__(form, indices)
         object.__setattr__(self, "func", func)
+
+
+def freeze_unsteady_boundary_conditions(
+    boundary_conditions: Sequence[BoundaryCondition2D], t: float
+) -> list[BoundaryCondition2DSteady]:
+    """Bind unsteady conditions to time ``t``; steady ones pass through."""
+    out: list[BoundaryCondition2DSteady] = []
+    for bc in boundary_conditions:
+        if isinstance(bc, BoundaryCondition2DUnsteady):
+            out.append(
+                BoundaryCondition2DSteady(
+                    bc.form,
+                    bc.indices,
+                    lambda x, y, _f=bc.func, _t=t: _f(x, y, _t),
+                )
+            )
+        else:
+            out.append(bc)
+    return out
 
 
 def _element_weak_boundary_condition(

@@ -32,6 +32,7 @@ from mfv2d_tpu.solver.solve import (
     TimeSettings,
     VMSSettings,
     compute_element_dual_from_primal_global,
+    compute_forcing_vector,
     compute_initial_solution,
     compute_linear_system,
     find_time_carry_indices,
@@ -78,6 +79,26 @@ def solve_system_2d(
 
     constrained_forms = system_settings.constrained_forms
     boundary_conditions = system_settings.boundary_conditions
+
+    from mfv2d_tpu.boundary import (
+        BoundaryCondition2DUnsteady,
+        freeze_unsteady_boundary_conditions,
+    )
+
+    has_unsteady_bcs = any(
+        isinstance(bc, BoundaryCondition2DUnsteady)
+        for bc in (boundary_conditions or [])
+    )
+    if has_unsteady_bcs:
+        if time_settings is None:
+            raise ValueError(
+                "Unsteady boundary conditions require time_settings."
+            )
+        # Step n solves for t = (n + 1) dt; the initial system is frozen at
+        # the first time level and re-evaluated inside the march loop.
+        boundary_conditions = freeze_unsteady_boundary_conditions(
+            boundary_conditions, time_settings.dt
+        )
     for _, form in constrained_forms:
         if form not in system.unknown_forms:
             raise ValueError(
@@ -254,6 +275,7 @@ def solve_system_2d(
         and not print_residual
         and solver_settings.linear_solver == "dense"
         and checkpoint_settings is None
+        and not has_unsteady_bcs
     )
     if use_fused_march:
         # Linear march: run the entire scan on device (solver/fused.py).
@@ -288,8 +310,43 @@ def solve_system_2d(
         dt = time_settings.dt
         changes = np.zeros(nt)
         iters = np.zeros(nt, np.uint32)
+        pure_forcing = (
+            compute_forcing_vector(disc, system) if has_unsteady_bcs else None
+        )
         for time_index in range(start_index, nt):
             assert old_solution_carry is not None and time_carry_term is not None
+            if has_unsteady_bcs and time_index > 0:
+                # Re-evaluate the prescribed boundary values at the new time
+                # level; the constraint matrix itself is time-independent.
+                from mfv2d_tpu.continuity import add_system_constraints
+
+                frozen = freeze_unsteady_boundary_conditions(
+                    system_settings.boundary_conditions, (time_index + 1) * dt
+                )
+                forcing_t = pure_forcing.copy()
+                vec_views = [
+                    forcing_t[
+                        disc.element_offsets[i] : disc.element_offsets[i + 1]
+                    ]
+                    for i in range(disc.n_leaves)
+                ]
+                _, lagrange_vec_t = add_system_constraints(
+                    system,
+                    mesh,
+                    basis_cache,
+                    constrained_forms,
+                    frozen,
+                    disc.leaf_indices,
+                    disc.element_offsets,
+                    vec_views,
+                )
+                assert lagrange_vec_t.size == lagrange_vec.size
+                explicit_vec = (
+                    np.concatenate((forcing_t, lagrange_vec_t))
+                    if lagrange_mat is not None
+                    else forcing_t
+                )
+                max_mag = float(np.abs(explicit_vec).max())
             current_carry = 2 / dt * old_solution_carry + time_carry_term
 
             solution, global_lagrange, iter_cnt, max_residual, fine_scales = (
@@ -444,7 +501,7 @@ def solve_system_2d(
             refinement_settings.h_refinement_ratio,
             refinement_settings.refinement_limit,
             refinement_settings.report_error_distribution,
-            system_settings.boundary_conditions,
+            boundary_conditions,
             refinement_settings.upper_order_limit,
             refinement_settings.lower_order_limit,
             system_settings.constrained_forms,

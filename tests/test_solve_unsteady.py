@@ -257,3 +257,72 @@ def test_fused_device_picard_matches_host_loop():
     assert results["direct"][1] == results["dense"][1]
     assert np.allclose(results["direct"][0], results["dense"][0], atol=1e-10)
     assert np.allclose(results["direct"][2], results["dense"][2], rtol=1e-10)
+
+
+def test_unsteady_boundary_conditions():
+    """Heat equation driven by time-dependent Dirichlet data.
+
+    u(x, y, t) = e^t cosh(x) satisfies u_t = lap(u) with no source, so the
+    entire dynamics enters through the boundary values; second order in dt.
+    """
+
+    def exact(x, y, t):
+        return np.exp(t) * np.cosh(x)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    system = mf.KFormSystem(v.derivative @ u.derivative == 0 * (v @ u))
+    t_end = 0.5
+
+    def run(nt):
+        mesh = mf.examples.unit_square_mesh(4, 4, 4)
+        sols, _, _ = mf.solve_system_2d(
+            mesh,
+            system_settings=mf.SystemSettings(
+                system,
+                boundary_conditions=[
+                    mf.BoundaryCondition2DUnsteady(
+                        u, mesh.boundary_indices, exact
+                    )
+                ],
+                initial_conditions={u: lambda x, y: np.cosh(x)},
+            ),
+            solver_settings=mf.SolverSettings(
+                mf.ConvergenceSettings(20, 1e-11, 0)
+            ),
+            time_settings=mf.TimeSettings(
+                dt=t_end / nt, nt=nt, time_march_relations={v: u}
+            ),
+            recon_order=6,
+        )
+        sol = sols[-1]
+        assert np.isclose(float(sol.field_data["time"][0]), t_end)
+        return np.max(
+            np.abs(
+                sol.point_data["u"] - exact(sol.points[:, 0], sol.points[:, 1], t_end)
+            )
+        )
+
+    errors = [run(nt) for nt in (8, 16, 32)]
+    assert errors[0] / errors[1] > 3.0, errors
+    assert errors[1] / errors[2] > 3.0, errors
+    assert errors[-1] < 5e-5, errors
+
+
+def test_unsteady_bc_requires_time_settings():
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    system = mf.KFormSystem(v.derivative @ u.derivative == 0 * (v @ u))
+    mesh = mf.examples.unit_square_mesh(2, 2, 2)
+    with pytest.raises(ValueError, match="time_settings"):
+        mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(
+                system,
+                boundary_conditions=[
+                    mf.BoundaryCondition2DUnsteady(
+                        u, mesh.boundary_indices, lambda x, y, t: x + t
+                    )
+                ],
+            ),
+        )
