@@ -277,6 +277,19 @@ def solve_system_2d(
         and checkpoint_settings is None
         and not has_unsteady_bcs
     )
+    # Nonlinear marches fuse too (scan over steps, while_loop Picard inside)
+    # when the dense on-device solver is selected and nothing forces a host
+    # loop (VMS, Newton rebuilds, per-step output, checkpoints, unsteady BC).
+    use_fused_nonlinear_march = (
+        not use_fused_march
+        and time_settings is not None
+        and sg_operator is None
+        and not print_residual
+        and solver_settings.linear_solver == "dense"
+        and checkpoint_settings is None
+        and not has_unsteady_bcs
+        and solver_settings.method != "newton"
+    )
     if use_fused_march:
         # Linear march: run the entire scan on device (solver/fused.py).
         from mfv2d_tpu.solver.fused import fused_linear_time_march
@@ -297,6 +310,37 @@ def solve_system_2d(
         )
         changes = np.zeros(nt)
         iters = np.ones(nt, np.uint32)
+        for time_index in range(nt):
+            if (time_index % time_settings.sample_rate) == 0 or time_index + 1 == nt:
+                grid = reconstruct_mesh_from_solution(
+                    disc, recon_order, us[time_index]
+                )
+                grid.field_data["time"] = np.array([(time_index + 1) * dt])
+                resulting_grids.append(grid)
+        solution = us[-1]
+    elif use_fused_nonlinear_march:
+        from mfv2d_tpu.solver.fused import fused_nonlinear_time_march
+
+        nt = time_settings.nt
+        dt = time_settings.dt
+        us, global_lagrange, iters, changes = fused_nonlinear_time_march(
+            disc,
+            evaluator,
+            matrices,
+            lagrange_mat,
+            explicit_vec,
+            time_carry_index_array,
+            solution,
+            old_solution_carry,
+            np.asarray(time_carry_term),
+            dt,
+            nt,
+            max_iterations,
+            relax,
+            atol,
+            rtol,
+            max_mag,
+        )
         for time_index in range(nt):
             if (time_index % time_settings.sample_rate) == 0 or time_index + 1 == nt:
                 grid = reconstruct_mesh_from_solution(

@@ -53,19 +53,9 @@ def _device_lu_solver(mat: np.ndarray, refinements: int = 12):
 
 
 def _dense_saddle(disc: Discretization, element_matrices, lagrange_mat):
-    n = disc.n_dofs
-    n_lag = 0 if lagrange_mat is None else lagrange_mat.shape[0]
-    total = n + n_lag
-    mat = np.zeros((total, total))
-    for bucket, blocks in zip(disc.buckets, element_matrices):
-        for j in range(blocks.shape[0]):
-            idx = bucket.gather[j]
-            mat[np.ix_(idx, idx)] = blocks[j]
-    if lagrange_mat is not None:
-        g = lagrange_mat.toarray()
-        mat[:n, n:] = g.T
-        mat[n:, :n] = g
-    return mat, n_lag
+    from mfv2d_tpu.solver.iterative import assemble_dense_saddle
+
+    return assemble_dense_saddle(disc, element_matrices, lagrange_mat)
 
 
 def fused_linear_time_march(
@@ -287,4 +277,160 @@ def fused_picard_solve(
         int(it),
         np.asarray(residuals),
         float(mres),
+    )
+
+
+def fused_nonlinear_time_march(
+    disc: Discretization,
+    evaluator,
+    element_matrices: list[np.ndarray],
+    lagrange_mat: sp.csr_array | None,
+    explicit_vec: np.ndarray,
+    carry_indices: np.ndarray,
+    initial_solution: np.ndarray,
+    initial_carry: np.ndarray,
+    initial_carry_term: np.ndarray,
+    dt: float,
+    nt: int,
+    max_iterations: int,
+    relax: float,
+    atol: float,
+    rtol: float,
+    max_mag: float,
+):
+    """Nonlinear trapezoidal march fully on device.
+
+    Outer lax.scan over time steps; inner lax.while_loop Picard iteration
+    per step with the frozen dense LU (semantics match the host loop:
+    non_linear_solve_run per step, then the carry update).  Returns
+    (solutions [nt, n], final multipliers, iters [nt], residuals [nt]).
+    """
+    from mfv2d_tpu.evaluation import compute_element_vectors
+
+    mat, n_lag = _dense_saddle(disc, element_matrices, lagrange_mat)
+    n = disc.n_dofs
+    lu_solve_fn = _device_lu_solver(mat)
+
+    gathers = [jnp.asarray(b.gather) for b in disc.buckets]
+    statics = evaluator._static_fields
+    compiled = evaluator.compiled
+    form_spec = evaluator.form_spec
+
+    # Per-bucket dual (mass) application for the carry projection.
+    mass_blocks = []
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        offsets = disc.form_spec.form_offsets(p1, p2)
+        n_e = disc.form_spec.total_size(p1, p2)
+        e = bucket.batch.n_elements
+        big = np.zeros((e, n_e, n_e))
+        for i in range(len(disc.form_spec)):
+            m = np.asarray(bucket.batch.mass(disc.form_spec[i][1], False))
+            big[:, offsets[i] : offsets[i + 1], offsets[i] : offsets[i + 1]] = m
+        mass_blocks.append(jnp.asarray(big))
+
+    if lagrange_mat is not None:
+        coo = lagrange_mat.tocoo()
+        g_rows = jnp.asarray(coo.row, jnp.int32)
+        g_cols = jnp.asarray(coo.col, jnp.int32)
+        g_vals = jnp.asarray(coo.data)
+    else:
+        g_rows = jnp.zeros(0, jnp.int32)
+        g_cols = jnp.zeros(0, jnp.int32)
+        g_vals = jnp.zeros(0)
+
+    carry_idx = jnp.asarray(carry_indices, jnp.int32)
+    explicit = jnp.asarray(explicit_vec)
+    two_over_dt = 2.0 / dt
+
+    def residual_value(u):
+        out = jnp.zeros(n)
+        for i, bucket in enumerate(disc.buckets):
+            dofs = u[gathers[i]]
+            val = compute_element_vectors(
+                form_spec, compiled.lhs_blocks, bucket.batch, dofs,
+                static_fields=statics[i],
+            )
+            if compiled.rhs_blocks is not None:
+                val = val - compute_element_vectors(
+                    form_spec, compiled.rhs_blocks, bucket.batch, dofs,
+                    static_fields=statics[i],
+                )
+            out = out.at[gathers[i]].set(val)
+        return out
+
+    def dual_apply(x):
+        y = jnp.zeros_like(x)
+        for m, gather in zip(mass_blocks, gathers):
+            y = y.at[gather].set(jnp.einsum("eij,ej->ei", m, x[gather]))
+        return y
+
+    def trace_apply(x):
+        contrib = g_vals * x[g_cols]
+        return jax.ops.segment_sum(contrib, g_rows, num_segments=max(n_lag, 1))[
+            :n_lag
+        ]
+
+    def trace_t_apply(lam):
+        out = jnp.zeros(n)
+        if n_lag == 0:
+            return out
+        return out.at[g_cols].add(g_vals * lam[g_rows])
+
+    @jax.jit
+    def march(u0, lam0, carry0, carry_term0):
+        def step(state, _):
+            u, lam, old_carry, carry_term = state
+            current_carry = two_over_dt * old_carry + carry_term
+            base = explicit.at[carry_idx].add(current_carry)
+
+            def cond(s):
+                _, _, it, converged, _ = s
+                return jnp.logical_and(
+                    it < max_iterations, jnp.logical_not(converged)
+                )
+
+            def body(s):
+                ui, lami, it, _, _ = s
+                value = residual_value(ui) + trace_t_apply(lami)
+                full = jnp.concatenate([value, trace_apply(ui)])
+                res_vec = base - full
+                mres = jnp.max(jnp.abs(res_vec))
+                conv = jnp.logical_not(
+                    jnp.logical_and(mres > atol, mres > max_mag * rtol)
+                )
+                d = lu_solve_fn(res_vec)
+                u_new = jnp.where(conv, ui, ui + relax * d[:n])
+                lam_new = jnp.where(conv, lami, lami + relax * d[n:])
+                it_new = jnp.where(conv, it, it + 1)
+                return (u_new, lam_new, it_new, conv, mres)
+
+            u_new, lam_new, iters, _, mres = jax.lax.while_loop(
+                cond, body, (u, lam, jnp.int32(0), jnp.bool_(False), jnp.inf)
+            )
+            dual = dual_apply(u_new)
+            new_carry = dual[carry_idx]
+            new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
+            return (u_new, lam_new, new_carry, new_carry_term), (
+                u_new,
+                iters,
+                mres,
+            )
+
+        (_, lam_f, _, _), (us, iters, residuals) = jax.lax.scan(
+            step, (u0, lam0, carry0, carry_term0), None, length=nt
+        )
+        return us, lam_f, iters, residuals
+
+    us, lam_f, iters, residuals = march(
+        jnp.asarray(initial_solution),
+        jnp.zeros(n_lag),
+        jnp.asarray(initial_carry),
+        jnp.asarray(initial_carry_term),
+    )
+    return (
+        np.asarray(us),
+        np.asarray(lam_f),
+        np.asarray(iters, np.uint32),
+        np.asarray(residuals),
     )

@@ -379,13 +379,20 @@ def solve_gmres_iterative(
     constraints: jnp.ndarray,
     convergence: ConvergenceSettings,
 ) -> tuple[jnp.ndarray, jnp.ndarray, float, int]:
-    """GMRES on the full saddle system."""
+    """GMRES on the full saddle system.
+
+    Large systems default to restarted GMRES(200): an unbounded Krylov basis
+    of n maximum_iterations vectors is O(n^2) memory, which dominates for
+    n_dofs beyond ~10^4.
+    """
     full_rhs = jnp.concatenate([jnp.asarray(rhs), jnp.asarray(constraints)])
+    restart = 200 if convergence.maximum_iterations > 500 else None
     x, residual, iters = gmres_general(
         lambda v: _full_apply(system, v),
         full_rhs,
         jnp.zeros_like(full_rhs),
         convergence,
+        restart=restart,
     )
     return x[: system.n_dofs], x[system.n_dofs :], residual, iters
 
@@ -468,6 +475,26 @@ class IterativeSaddleSolver:
         return np.concatenate([np.asarray(u), np.asarray(lam)])
 
 
+def assemble_dense_saddle(
+    disc: Discretization,
+    element_matrices,
+    lagrange_mat: sp.csr_array | None,
+) -> tuple[np.ndarray, int]:
+    """Dense [[A, G^T], [G, 0]] from per-bucket element blocks."""
+    n = disc.n_dofs
+    n_lag = 0 if lagrange_mat is None else lagrange_mat.shape[0]
+    mat = np.zeros((n + n_lag, n + n_lag))
+    for bucket, blocks in zip(disc.buckets, element_matrices):
+        for j in range(blocks.shape[0]):
+            idx = bucket.gather[j]
+            mat[np.ix_(idx, idx)] = blocks[j]
+    if lagrange_mat is not None:
+        g = lagrange_mat.toarray()
+        mat[:n, n:] = g.T
+        mat[n:, :n] = g
+    return mat, n_lag
+
+
 class DenseSaddleSolver:
     """On-device dense LU of the full saddle matrix.
 
@@ -483,18 +510,9 @@ class DenseSaddleSolver:
         element_matrices: list[np.ndarray],
         lagrange_mat: sp.csr_array | None,
     ) -> None:
-        n = disc.n_dofs
-        self.n_lagrange = 0 if lagrange_mat is None else lagrange_mat.shape[0]
-        total = n + self.n_lagrange
-        mat = np.zeros((total, total))
-        for bucket, blocks in zip(disc.buckets, element_matrices):
-            for j in range(blocks.shape[0]):
-                idx = bucket.gather[j]
-                mat[np.ix_(idx, idx)] = blocks[j]
-        if lagrange_mat is not None:
-            g = lagrange_mat.toarray()
-            mat[:n, n:] = g.T
-            mat[n:, :n] = g
+        mat, self.n_lagrange = assemble_dense_saddle(
+            disc, element_matrices, lagrange_mat
+        )
         if jax.default_backend() == "tpu":
             # TPU XLA has no f64 LuDecomposition; use the refined-f32 path.
             self._mplu = MixedPrecisionLU(mat)

@@ -326,3 +326,50 @@ def test_unsteady_bc_requires_time_settings():
                 ],
             ),
         )
+
+def test_fused_nonlinear_march_matches_host_loop():
+    """Unsteady NS: the device-scanned Picard march equals the host loop."""
+    results = {}
+    for solver in ("direct", "dense"):
+        pre = mf.KFormUnknown("pre", mf.UnknownFormOrder.FORM_ORDER_2)
+        w_pre = pre.weight
+        vel = mf.KFormUnknown("vel", mf.UnknownFormOrder.FORM_ORDER_1)
+        w_vel = vel.weight
+        vor = mf.KFormUnknown("vor", mf.UnknownFormOrder.FORM_ORDER_0)
+        w_vor = vor.weight
+        system = mf.KFormSystem(
+            w_vor.derivative @ vel - w_vor @ vor == w_vor ^ exact_velocity,
+            (1 / RE) * (w_vel @ vor.derivative) + w_vel.derivative @ pre
+            == w_vel @ exact_forcing - (vel * w_vel @ vor),
+            (w_pre @ vel.derivative) == 0,
+        )
+        mesh = mf.examples.unit_square_mesh(3, 3, 3)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(
+                system,
+                [
+                    mf.BoundaryCondition2DSteady(
+                        vel, mesh.boundary_indices, exact_velocity
+                    )
+                ],
+                [(0.0, pre)],
+            ),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(30, 1e-9, 0), linear_solver=solver
+            ),
+            time_settings=mf.TimeSettings(
+                dt=0.05, nt=4, time_march_relations={w_vel: vel}
+            ),
+            recon_order=5,
+        )
+        results[solver] = (
+            [np.array(s.point_data["vel"]) for s in sols],
+            np.asarray(stats.iter_history),
+        )
+    sols_a, iters_a = results["direct"]
+    sols_b, iters_b = results["dense"]
+    assert np.array_equal(iters_a, iters_b), (iters_a, iters_b)
+    assert int(iters_a[-1]) > 1  # actually nonlinear
+    for a, b in zip(sols_a, sols_b):
+        assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
