@@ -94,28 +94,45 @@ class Mesh:
             raise ValueError("Orders must be at least 1.")
         e.orders = (int(order_1), int(order_2))
 
-    def get_leaf_indices(self) -> npt.NDArray[np.uintc]:
-        return np.array(
-            [i for i, e in enumerate(self._elements) if e.is_leaf], np.uintc
+    def _leaf_rank_map(self) -> dict[int, int]:
+        """element index -> leaf rank, cached until the element list changes.
+
+        get_leaf_index is called O(N) times per constraint assembly; a
+        linear scan per call made continuity assembly O(N^2) (12 s at the
+        64x64 BASELINE mesh before caching).
+        """
+        cache = getattr(self, "_leaf_cache", None)
+        if cache is not None and cache[0] == len(self._elements):
+            return cache[1]
+        ranks = {}
+        for i, e in enumerate(self._elements):
+            if e.is_leaf:
+                ranks[i] = len(ranks)
+        self._leaf_cache = (
+            len(self._elements),
+            ranks,
+            np.fromiter(ranks, np.uintc),
         )
+        return ranks
+
+    def get_leaf_indices(self) -> npt.NDArray[np.uintc]:
+        self._leaf_rank_map()
+        return self._leaf_cache[2].copy()
 
     def get_leaf_index(self, idx, /) -> int:
         """Rank of the leaf element among all leaves (array order)."""
-        i = int(idx)
-        if not self._elements[i].is_leaf:
+        rank = self._leaf_rank_map().get(int(idx))
+        if rank is None:
             raise ValueError(f"Element {idx} is not a leaf.")
-        return sum(1 for e in self._elements[:i] if e.is_leaf)
+        return rank
 
     def find_leaf_by_index(self, idx, /) -> int:
         """Element index of the leaf with the given leaf rank."""
+        ranks = self._leaf_rank_map()
         want = int(idx)
-        count = 0
-        for i, e in enumerate(self._elements):
-            if e.is_leaf:
-                if count == want:
-                    return i
-                count += 1
-        raise IndexError(f"No leaf with index {idx}.")
+        if want < 0 or want >= len(ranks):
+            raise IndexError(f"No leaf with index {idx}.")
+        return int(self._leaf_cache[2][want])
 
     def get_element_depth(self, idx, /) -> int:
         depth = 0
