@@ -331,6 +331,7 @@ def solve_schur_iterative(
     constraints: jnp.ndarray,
     convergence: ConvergenceSettings,
     preconditioner: str | None = None,
+    initial_lagrange: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, float, int]:
     """Solve via the trace Schur complement (reference solving.py:439-500).
 
@@ -342,20 +343,25 @@ def solve_schur_iterative(
     """
     inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
     trace_rhs = system.apply_trace(inv_a_b) - jnp.asarray(constraints)
+    lam0 = (
+        jnp.zeros(system.n_lagrange)
+        if initial_lagrange is None
+        else jnp.asarray(initial_lagrange)
+    )
     if preconditioner == "jacobi" and system.n_lagrange > 0:
         inv_diag = 1.0 / system.schur_jacobi_diagonal()
         lam, residual, iters = pcg_general(
             system.apply_schur,
             lambda v: inv_diag * v,
             trace_rhs,
-            jnp.zeros(system.n_lagrange),
+            lam0,
             convergence,
         )
     else:
         lam, residual, iters = cg_general(
             system.apply_schur,
             trace_rhs,
-            jnp.zeros(system.n_lagrange),
+            lam0,
             convergence,
         )
     u = inv_a_b - system.apply_diagonal_inverse(system.apply_trace_transpose(lam))

@@ -106,6 +106,9 @@ class VMSSettings:
     order_increase: int
     fine_scale_convergence: ConvergenceSettings
     relaxation: float = 1.0
+    # None: pick automatically (matrix-free Schur CG once the fine space
+    # exceeds ~150k DoFs, where a host sparse LU stops being practical).
+    matrix_free: bool | None = None
 
 
 @dataclass(frozen=True)

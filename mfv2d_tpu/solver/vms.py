@@ -28,6 +28,7 @@ from mfv2d_tpu.evaluation import (
 from mfv2d_tpu.kform import KFormUnknown
 from mfv2d_tpu.solver.discretization import Discretization
 from mfv2d_tpu.solver.solve import (
+    ConvergenceSettings,
     SystemEvaluator,
     VMSSettings,
     compute_element_rhs_bucket,
@@ -42,6 +43,21 @@ class _FineBucketView:
         self.batch = batch
         self.orders = batch.orders
         self.leaf_ranks = bucket.leaf_ranks
+
+
+class _GatherBucket:
+    """Bucket stand-in carrying only a gather map."""
+
+    def __init__(self, gather: np.ndarray) -> None:
+        self.gather = gather
+
+
+class _BucketsOnly:
+    """Minimal Discretization stand-in for BlockSaddleSystem."""
+
+    def __init__(self, n_dofs: int, gathers: Sequence[np.ndarray]) -> None:
+        self.n_dofs = int(n_dofs)
+        self.buckets = [_GatherBucket(g) for g in gathers]
 
 
 class SuyashGreenOperator:
@@ -68,6 +84,8 @@ class SuyashGreenOperator:
         form_specs = disc.form_spec
 
         self.fine_batches: list[ElementBatch] = []
+        fine_sym_buckets: list[np.ndarray] = []
+        coarse_sym_buckets: list[np.ndarray] = []
         fine_sizes = np.zeros(disc.n_leaves, np.int64)
         proj_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
         fine_adv_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
@@ -129,6 +147,8 @@ class SuyashGreenOperator:
             )
             # Galerkin coarse operator P^T A_f P (solve_system.py:750).
             coarse_sym = np.einsum("eij,eik,ekl->ejl", big, fine_sym, big)
+            fine_sym_buckets.append(fine_sym)
+            coarse_sym_buckets.append(coarse_sym)
 
             forcing = compute_element_rhs_bucket(
                 system, _FineBucketView(fine_batch, bucket)
@@ -177,16 +197,6 @@ class SuyashGreenOperator:
             mesh.uniform_p_change(-dk, -dk)
 
         self.fine_forcing = np.concatenate(forcing_list)
-
-        fine_block = sp.block_diag(fine_sym_leaf)
-        if fine_lag_mat is not None:
-            fine_mat = sp.block_array(
-                [[fine_block, fine_lag_mat.T], [fine_lag_mat, None]], format="csc"
-            )
-        else:
-            fine_mat = sp.csc_array(fine_block)
-        self.fine_sym_mat = fine_mat
-        self.fine_decomp = sla.splu(sp.csc_matrix(fine_mat))
         self.fine_padding = fine_lag_vec.size
 
         coarse_lag_mat, coarse_lag_vec = add_system_constraints(
@@ -199,6 +209,59 @@ class SuyashGreenOperator:
             disc.element_offsets,
             None,
         )
+        self.coarse_padding = coarse_lag_vec.size
+
+        n_fine = int(self.fine_offsets[-1])
+        # Measured at 53k fine DoFs (16x16 p=6+2): splu 138 s vs Schur-CG
+        # 190 s end-to-end, so host LU stays the default until its
+        # O(N^1.5) factorization cost and memory take over.
+        self.matrix_free = (
+            settings.matrix_free
+            if settings.matrix_free is not None
+            else n_fine > 150_000
+        )
+        if self.matrix_free:
+            # Device-resident Schur CG on both hybridized saddle systems:
+            # A is block-diagonal per element, so only the trace system is
+            # global — no sparse LU of the fine space ever materializes.
+            from mfv2d_tpu.solver.iterative import BlockSaddleSystem
+
+            fine_gathers = []
+            for bucket, fine_sym in zip(disc.buckets, fine_sym_buckets):
+                n_f = fine_sym.shape[1]
+                fine_gathers.append(
+                    self.fine_offsets[np.asarray(bucket.leaf_ranks)][:, None]
+                    + np.arange(n_f)[None, :]
+                )
+            self.fine_saddle = BlockSaddleSystem(
+                _BucketsOnly(n_fine, fine_gathers), fine_sym_buckets, fine_lag_mat
+            )
+            self.coarse_saddle = BlockSaddleSystem(
+                disc, coarse_sym_buckets, coarse_lag_mat
+            )
+            self._inner_convergence = ConvergenceSettings(
+                maximum_iterations=max(500, 4 * n_fine),
+                absolute_tolerance=1e-12,
+                relative_tolerance=1e-12,
+            )
+            self._warm_fine = None
+            self._warm_coarse = None
+            self.fine_decomp = None
+            self.coarse_decomp = None
+            self.fine_sym_mat = None
+            self.coarse_sym_mat = None
+            return
+
+        fine_block = sp.block_diag(fine_sym_leaf)
+        if fine_lag_mat is not None:
+            fine_mat = sp.block_array(
+                [[fine_block, fine_lag_mat.T], [fine_lag_mat, None]], format="csc"
+            )
+        else:
+            fine_mat = sp.csc_array(fine_block)
+        self.fine_sym_mat = fine_mat
+        self.fine_decomp = sla.splu(sp.csc_matrix(fine_mat))
+
         coarse_block = sp.block_diag(coarse_sym_leaf)
         if coarse_lag_mat is not None:
             coarse_mat = sp.block_array(
@@ -209,12 +272,33 @@ class SuyashGreenOperator:
             coarse_mat = sp.csc_array(coarse_block)
         self.coarse_sym_mat = coarse_mat
         self.coarse_decomp = sla.splu(sp.csc_matrix(coarse_mat))
-        self.coarse_padding = coarse_lag_vec.size
 
     # -- operator application ------------------------------------------
 
     def fine_scale_greens_function(self, x: np.ndarray) -> np.ndarray:
         """G' x = A_f^{-1} x - P A_c^{-1} P^T x (solve_system.py:949-961)."""
+        if self.matrix_free:
+            from mfv2d_tpu.solver.iterative import solve_schur_iterative
+
+            # Warm-start the trace CG from the previous application: the
+            # fixed-point iteration feeds G' with slowly-varying inputs.
+            u_f, lam_f, _, _ = solve_schur_iterative(
+                self.fine_saddle,
+                jnp.asarray(x),
+                jnp.zeros(self.fine_saddle.n_lagrange),
+                self._inner_convergence,
+                initial_lagrange=self._warm_fine,
+            )
+            u_c, lam_c, _, _ = solve_schur_iterative(
+                self.coarse_saddle,
+                jnp.asarray(x @ self.projector_c2f),
+                jnp.zeros(self.coarse_saddle.n_lagrange),
+                self._inner_convergence,
+                initial_lagrange=self._warm_coarse,
+            )
+            self._warm_fine = lam_f
+            self._warm_coarse = lam_c
+            return np.asarray(u_f) - self.projector_c2f @ np.asarray(u_c)
         result_fine = self.fine_decomp.solve(np.pad(x, (0, self.fine_padding)))[
             : x.size
         ]

@@ -105,3 +105,41 @@ def test_vms_solve_runs():
         np.mean((grid.point_data["u"] - u_exact(grid.points[:, 0], grid.points[:, 1])) ** 2)
     )
     assert err < 5e-2
+
+
+def test_matrix_free_greens_matches_splu():
+    """Matrix-free Schur-CG G' equals the sparse-LU G' on the same problem."""
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    v = u.weight
+    p = q.weight
+    system = mf.KFormSystem(
+        p @ q + p.derivative @ u == 0,
+        v @ q.derivative == 0,
+        sorting=lambda f: f.order,
+    )
+    cache = FemCache(order_difference=2)
+    disc = discretize_mesh(mesh, system.unknown_forms, cache)
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+
+    ops = {}
+    for matrix_free in (False, True):
+        settings = VMSSettings(
+            symmetric_system=system,
+            nonsymmetric_system=system,
+            order_increase=2,
+            fine_scale_convergence=ConvergenceSettings(10, 1e-10, 1e-10),
+            matrix_free=matrix_free,
+        )
+        ops[matrix_free] = SuyashGreenOperator(
+            system, settings, disc, evaluator, [], []
+        )
+    assert ops[True].matrix_free and not ops[False].matrix_free
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, int(ops[False].fine_offsets[-1]))
+    g_lu = ops[False].fine_scale_greens_function(x)
+    g_mf = ops[True].fine_scale_greens_function(x)
+    assert np.allclose(g_mf, g_lu, atol=1e-8), np.abs(g_mf - g_lu).max()
