@@ -53,6 +53,8 @@ class BlockSaddleSystem:
     ) -> None:
         self.disc = disc
         self.n_dofs = disc.n_dofs
+        self.lagrange_mat = lagrange_mat
+        self._blocks_np = [np.asarray(m) for m in element_matrices]
         self.blocks = [jnp.asarray(m) for m in element_matrices]
         # TPU XLA only implements f32 LuDecomposition; factor in f32 there
         # and recover f64 accuracy with iterative refinement in
@@ -145,6 +147,54 @@ class BlockSaddleSystem:
         return self.apply_trace(
             self.apply_diagonal_inverse(self.apply_trace_transpose(lam))
         )
+
+    def assemble_schur_sparse(self) -> sp.csr_array:
+        """Assemble S = G A^{-1} G^T explicitly (static condensation).
+
+        A is block-diagonal so S = sum_e G_e A_e^{-1} G_e^T with each term a
+        small dense block over the constraints touching element e; the
+        result is a sparse SPD-structured trace matrix (size n_lagrange)
+        whose sparse factorization replaces the whole CG iteration — the
+        classic hybridized-FEM direct trace solve.
+        """
+        if self.n_lagrange == 0:
+            raise ValueError("System has no constraints; Schur is empty.")
+        assert self.lagrange_mat is not None
+        gcsc = sp.csc_array(self.lagrange_mat)
+        rows_acc: list[np.ndarray] = []
+        cols_acc: list[np.ndarray] = []
+        vals_acc: list[np.ndarray] = []
+        for blocks_np, bucket in zip(self._blocks_np, self.disc.buckets):
+            gather = np.asarray(bucket.gather)
+            for j in range(blocks_np.shape[0]):
+                sub = sp.coo_array(gcsc[:, gather[j]])
+                if sub.nnz == 0:
+                    continue
+                rows, inv = np.unique(sub.row, return_inverse=True)
+                ge = np.zeros((rows.size, gather.shape[1]))
+                ge[inv, sub.col] = sub.data
+                se = ge @ np.linalg.solve(blocks_np[j], ge.T)
+                rows_acc.append(np.repeat(rows, rows.size))
+                cols_acc.append(np.tile(rows, rows.size))
+                vals_acc.append(se.ravel())
+        s = sp.coo_array(
+            (
+                np.concatenate(vals_acc),
+                (np.concatenate(rows_acc), np.concatenate(cols_acc)),
+            ),
+            shape=(self.n_lagrange, self.n_lagrange),
+        )
+        return sp.csr_array(s.tocsr())
+
+    def schur_decomposition(self):
+        """Cached sparse LU of the assembled Schur complement."""
+        decomp = getattr(self, "_schur_decomp", None)
+        if decomp is None:
+            import scipy.sparse.linalg as sla
+
+            decomp = sla.splu(sp.csc_matrix(self.assemble_schur_sparse()))
+            self._schur_decomp = decomp
+        return decomp
 
     def schur_jacobi_diagonal(self) -> jnp.ndarray:
         """Cheap approximation of diag(S) for Jacobi preconditioning.
@@ -368,6 +418,25 @@ def solve_schur_iterative(
     return u, lam, residual, iters
 
 
+def solve_schur_direct(
+    system: BlockSaddleSystem,
+    rhs: jnp.ndarray,
+    constraints: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, float, int]:
+    """Direct trace solve: factor the assembled S = G A^{-1} G^T once.
+
+    No Krylov iterations at all — the (sparse, trace-sized) Schur matrix is
+    LU-factored on the host and every subsequent solve is two triangular
+    sweeps plus batched element solves.
+    """
+    decomp = system.schur_decomposition()
+    inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
+    trace_rhs = np.asarray(system.apply_trace(inv_a_b)) - np.asarray(constraints)
+    lam = jnp.asarray(decomp.solve(trace_rhs))
+    u = inv_a_b - system.apply_diagonal_inverse(system.apply_trace_transpose(lam))
+    return u, lam, 0.0, 1
+
+
 def _full_pack(system: BlockSaddleSystem, u, lam):
     return jnp.concatenate([u, lam])
 
@@ -470,6 +539,8 @@ class IterativeSaddleSolver:
             u, lam, _, _ = solve_schur_iterative(
                 self.system, b, c, self.convergence
             )
+        elif self.method == "schur_direct":
+            u, lam, _, _ = solve_schur_direct(self.system, b, c)
         elif self.method == "gmres":
             u, lam, _, _ = solve_gmres_iterative(
                 self.system, b, c, self.convergence

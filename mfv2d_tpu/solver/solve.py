@@ -59,9 +59,11 @@ class SolverSettings:
     """Nonlinear solver settings (reference solve_system.py:554-601).
 
     ``linear_solver`` selects the inner linear solve: "direct" (host sparse
-    LU of the frozen saddle matrix, the reference behavior), or the
-    on-device matrix-free paths "schur", "pcg", "gmres"
-    (see mfv2d_tpu.solver.iterative).
+    LU of the frozen saddle matrix, the reference behavior), "dense"
+    (on-device dense LU, enables the fused scan/while_loop fast paths),
+    "schur_direct" (static condensation: assembled trace Schur complement,
+    sparse-factored once), or the on-device matrix-free paths "schur",
+    "pcg", "gmres" (see mfv2d_tpu.solver.iterative).
     """
 
     convergence: ConvergenceSettings = ConvergenceSettings()

@@ -28,7 +28,6 @@ from mfv2d_tpu.evaluation import (
 from mfv2d_tpu.kform import KFormUnknown
 from mfv2d_tpu.solver.discretization import Discretization
 from mfv2d_tpu.solver.solve import (
-    ConvergenceSettings,
     SystemEvaluator,
     VMSSettings,
     compute_element_rhs_bucket,
@@ -239,13 +238,6 @@ class SuyashGreenOperator:
             self.coarse_saddle = BlockSaddleSystem(
                 disc, coarse_sym_buckets, coarse_lag_mat
             )
-            self._inner_convergence = ConvergenceSettings(
-                maximum_iterations=max(500, 4 * n_fine),
-                absolute_tolerance=1e-12,
-                relative_tolerance=1e-12,
-            )
-            self._warm_fine = None
-            self._warm_coarse = None
             self.fine_decomp = None
             self.coarse_decomp = None
             self.fine_sym_mat = None
@@ -278,26 +270,22 @@ class SuyashGreenOperator:
     def fine_scale_greens_function(self, x: np.ndarray) -> np.ndarray:
         """G' x = A_f^{-1} x - P A_c^{-1} P^T x (solve_system.py:949-961)."""
         if self.matrix_free:
-            from mfv2d_tpu.solver.iterative import solve_schur_iterative
+            # Static condensation: the assembled trace Schur complement is
+            # factored once (trace-sized, sparse) and every G' application
+            # is batched element solves + two triangular sweeps — the full
+            # fine saddle matrix never materializes.
+            from mfv2d_tpu.solver.iterative import solve_schur_direct
 
-            # Warm-start the trace CG from the previous application: the
-            # fixed-point iteration feeds G' with slowly-varying inputs.
-            u_f, lam_f, _, _ = solve_schur_iterative(
+            u_f, _, _, _ = solve_schur_direct(
                 self.fine_saddle,
                 jnp.asarray(x),
                 jnp.zeros(self.fine_saddle.n_lagrange),
-                self._inner_convergence,
-                initial_lagrange=self._warm_fine,
             )
-            u_c, lam_c, _, _ = solve_schur_iterative(
+            u_c, _, _, _ = solve_schur_direct(
                 self.coarse_saddle,
                 jnp.asarray(x @ self.projector_c2f),
                 jnp.zeros(self.coarse_saddle.n_lagrange),
-                self._inner_convergence,
-                initial_lagrange=self._warm_coarse,
             )
-            self._warm_fine = lam_f
-            self._warm_coarse = lam_c
             return np.asarray(u_f) - self.projector_c2f @ np.asarray(u_c)
         result_fine = self.fine_decomp.solve(np.pad(x, (0, self.fine_padding)))[
             : x.size

@@ -184,3 +184,26 @@ def test_end_to_end_with_dense_solver():
         )
         results[method] = sols[-1].point_data["u"]
     assert np.allclose(results["dense"], results["direct"], atol=1e-8)
+
+
+def test_schur_direct_matches_direct():
+    """Static-condensation trace solve equals the full-system direct solve."""
+    disc, _, forcing, matrices, lagrange_mat, lagrange_vec = _setup(4, 3)
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    from mfv2d_tpu.solver.iterative import solve_schur_direct, solve_schur_iterative
+
+    conv = ConvergenceSettings(4000, 1e-12, 0.0)
+    u_ref, lam_ref, _, _ = solve_schur_iterative(
+        single, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+    u_d, lam_d, res, iters = solve_schur_direct(
+        single, jnp.asarray(forcing), jnp.asarray(lagrange_vec)
+    )
+    assert iters == 1
+    assert np.allclose(np.asarray(u_d), np.asarray(u_ref), atol=1e-8), np.abs(
+        np.asarray(u_d) - np.asarray(u_ref)
+    ).max()
+    # S must be symmetric (it is G A^-T... only when A is symmetric; the
+    # mixed Poisson saddle A here is symmetric).
+    s = single.assemble_schur_sparse()
+    assert np.abs((s - s.T).toarray()).max() < 1e-10
