@@ -32,7 +32,7 @@ os.environ.setdefault("MFV2D_TPU_ASSEMBLY_DTYPE", "float32")
 P = 4
 OVER_INT = 2
 N_ELEM = int(os.environ.get("MFV2D_TPU_BENCH_ELEMENTS", "8192"))
-CHAIN = int(os.environ.get("MFV2D_TPU_BENCH_CHAIN", "64"))
+CHAIN = int(os.environ.get("MFV2D_TPU_BENCH_CHAIN", "512"))
 
 
 def _problem():
@@ -78,30 +78,42 @@ def bench_tpu() -> float:
     rng = np.random.default_rng(7)
     xvec = jnp.asarray(rng.normal(size=(n,)).astype(dtype))
 
-    @jax.jit
     def step(c, s):
         # Assembly depends on the carried scalar so the chain is sequential;
-        # the matvec consumes every matrix entry so nothing is dead code.
+        # the matvec consumes every matrix entry (via a full reduction that
+        # feeds the next iteration) so nothing is dead code.
         cc = c * (1.0 + s * 1e-30).astype(c.dtype)
         batch = ElementBatch(basis, cc)
         m = compute_element_matrices(system.unknown_forms, compiled.lhs_blocks, batch)
         return jnp.sum(jnp.einsum("eij,j->ei", m, xvec))
 
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(c, k):
+        # The whole chain runs inside one dispatch: per-step host/relay
+        # overhead (33 ms RTT, lazy execution) never enters the measurement.
+        def body(_, carry):
+            c_, s = carry
+            return c_, step(c_, s)
+
+        return jax.lax.fori_loop(0, k, body, (c, jnp.asarray(0.0, dtype)))[1]
+
     c = corners
-    float(step(c, jnp.asarray(0.0, dtype)))  # compile + warm
+    k0 = max(2, CHAIN // 8)
+    float(chain(c, k0))  # compile + warm both lengths
+    float(chain(c, CHAIN))
 
     def run(k: int) -> float:
-        s = jnp.asarray(0.0, dtype)
         t0 = time.perf_counter()
-        for _ in range(k):
-            s = step(c, s)
-        float(s)
+        float(chain(c, k))
         return time.perf_counter() - t0
 
-    run(1)
-    t1 = min(run(1) for _ in range(3))
-    tk = min(run(CHAIN) for _ in range(3))
-    per_assembly = (tk - t1) / (CHAIN - 1)
+    # Two chain lengths subtract the fixed dispatch/fetch overhead; the min
+    # over repeats rejects relay-latency spikes.
+    t0 = min(run(k0) for _ in range(5))
+    tk = min(run(CHAIN) for _ in range(5))
+    per_assembly = (tk - t0) / (CHAIN - k0)
     return N_ELEM / per_assembly
 
 
@@ -164,11 +176,12 @@ def bench_cpu_baseline(n_elem: int = 512, reps: int = 3) -> float:
         return out
 
     assemble(corners[:4])  # warm caches
-    t0 = time.perf_counter()
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         assemble(corners)
-    dt = time.perf_counter() - t0
-    return n_elem * reps / dt
+        times.append(time.perf_counter() - t0)
+    return n_elem / min(times)
 
 
 def main() -> None:
