@@ -28,7 +28,10 @@ if not os.environ.get("MFV2D_TPU_NO_COMPILE_CACHE"):
     )
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Refinement rounds emit ~100 small programs (~33 ms each); a 0.5 s
+        # threshold persisted none of them, so every process restart paid
+        # the full compile bill again.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         # Also cache CPU executables (off by default).
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     except Exception:  # pragma: no cover - older jax without the options

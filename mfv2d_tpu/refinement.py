@@ -28,10 +28,10 @@ from mfv2d_tpu.boundary import (
 from mfv2d_tpu.compiler import CompiledSystem
 from mfv2d_tpu.evaluation import (
     ElementBatch,
-    compute_element_matrices,
     compute_element_projector,
-    compute_element_vectors,
     evaluate_static_fields,
+    jit_element_matrices,
+    jit_element_vectors,
 )
 from mfv2d_tpu.kform import Function2D, KBoundaryProjection, KFormUnknown
 from mfv2d_tpu.mesh.quadtree import Mesh
@@ -521,12 +521,12 @@ def _fine_residuals(
 
         statics = evaluate_static_fields(fine_batch, compiled.fields)
         fine_rhs = compute_element_rhs_bucket(system, _BucketView(fine_batch, bucket))
-        fine_forcing = compute_element_vectors(
+        fine_forcing = jit_element_vectors(
             disc.form_spec, compiled.lhs_blocks, fine_batch, fine_dofs,
             static_fields=statics,
         )
         if compiled.rhs_blocks is not None:
-            fine_forcing = fine_forcing - compute_element_vectors(
+            fine_forcing = fine_forcing - jit_element_vectors(
                 disc.form_spec, compiled.rhs_blocks, fine_batch, fine_dofs,
                 static_fields=statics,
             )
@@ -631,7 +631,7 @@ def error_estimate_with_local_inversion(
     ):
         statics = evaluate_static_fields(fine_batch, compiled.fields)
         local_lhs = np.asarray(
-            compute_element_matrices(
+            jit_element_matrices(
                 form_specs,
                 compiled.lhs_blocks,
                 fine_batch,
@@ -752,7 +752,7 @@ def error_estimate_with_vms(
         statics_nf = evaluate_static_fields(fine_batch, compiled_nonsym.fields)
         sym_coarse.append(
             np.asarray(
-                compute_element_matrices(
+                jit_element_matrices(
                     form_specs, compiled_sym.lhs_blocks, bucket.batch,
                     static_fields=statics_c,
                 )
@@ -760,7 +760,7 @@ def error_estimate_with_vms(
         )
         sym_fine.append(
             np.asarray(
-                compute_element_matrices(
+                jit_element_matrices(
                     form_specs, compiled_sym.lhs_blocks, fine_batch,
                     static_fields=statics_f,
                 )
@@ -768,7 +768,7 @@ def error_estimate_with_vms(
         )
         nonsym_fine.append(
             np.asarray(
-                compute_element_matrices(
+                jit_element_matrices(
                     form_specs, compiled_nonsym.lhs_blocks, fine_batch,
                     static_fields=statics_nf,
                 )

@@ -217,33 +217,18 @@ class SystemEvaluator:
             )
             statics = self._static_fields[i]
             static_keys = tuple(statics.keys())
-            if dofs is None:
-                # Fall back to direct (untraced) evaluation: jit caching per
-                # dofs=None signature is not worth a second cache key.
-                out.append(
-                    np.asarray(
-                        compute_element_matrices(
-                            self.form_spec,
-                            which,
-                            bucket.batch,
-                            dofs=None,
-                            static_fields=statics,
-                        )
+            fn = element_matrix_fn(
+                bucket.batch, which, self.form_spec, static_keys
+            )
+            out.append(
+                np.asarray(
+                    fn(
+                        bucket.batch.corners,
+                        dofs,
+                        tuple(statics[k] for k in static_keys),
                     )
                 )
-            else:
-                fn = element_matrix_fn(
-                    bucket.batch, which, self.form_spec, static_keys
-                )
-                out.append(
-                    np.asarray(
-                        fn(
-                            bucket.batch.corners,
-                            dofs,
-                            tuple(statics[k] for k in static_keys),
-                        )
-                    )
-                )
+            )
         return out
 
     def residual_value(self, solution: np.ndarray) -> np.ndarray:
