@@ -119,7 +119,12 @@ class ShardedBlockSystem:
 
         shard_e = NamedSharding(mesh, P("e"))
         self.blocks = jax.device_put(blocks, NamedSharding(mesh, P("e", None, None)))
-        lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(blocks))
+        # TPU XLA only implements LuDecomposition in f32: factor there and
+        # recover f64 accuracy with residual-refinement sweeps per solve
+        # (same treatment as the single-chip BlockSaddleSystem).
+        self._refine = jax.default_backend() == "tpu"
+        factor_src = blocks.astype(np.float32) if self._refine else blocks
+        lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(factor_src))
         self.lu = jax.device_put(lu, NamedSharding(mesh, P("e", None, None)))
         self.piv = jax.device_put(piv, NamedSharding(mesh, P("e", None)))
         self.ent_rows = jax.device_put(ent_rows, shard_e)
@@ -129,6 +134,20 @@ class ShardedBlockSystem:
         self.dof_sharding = NamedSharding(mesh, P("e", None))
 
     # -- shard_map kernels ---------------------------------------------
+
+    def _block_solve(self, lu, piv, blocks, rhs):
+        """Batched A^{-1} rhs; refined-f32 LU on TPU, plain f64 elsewhere."""
+        if not self._refine:
+            return jax.scipy.linalg.lu_solve((lu, piv), rhs[..., None])[..., 0]
+        x = jax.scipy.linalg.lu_solve(
+            (lu, piv), rhs.astype(jnp.float32)[..., None]
+        )[..., 0].astype(rhs.dtype)
+        for _ in range(2):
+            r = rhs - jnp.einsum("eij,ej->ei", blocks, x)
+            x = x + jax.scipy.linalg.lu_solve(
+                (lu, piv), r.astype(jnp.float32)[..., None]
+            )[..., 0].astype(rhs.dtype)
+        return x
 
     def _trace_local(self, dofs_local, ent_rows, ent_elem, ent_dof, ent_val):
         """Per-device partial G x followed by a psum over the mesh axis."""
@@ -155,6 +174,7 @@ class ShardedBlockSystem:
                 P(None),
                 P("e", None, None),
                 P("e", None),
+                P("e", None, None),
                 P("e"),
                 P("e"),
                 P("e"),
@@ -162,11 +182,11 @@ class ShardedBlockSystem:
             ),
             out_specs=P(None),
         )
-        def schur(lam, lu, piv, ent_rows, ent_elem, ent_dof, ent_val):
+        def schur(lam, lu, piv, blocks, ent_rows, ent_elem, ent_dof, ent_val):
             gt = self._trace_t_local(
                 lam, ent_rows, ent_elem, ent_dof, ent_val, (per_dev, n)
             )
-            ainv = jax.scipy.linalg.lu_solve((lu, piv), gt[..., None])[..., 0]
+            ainv = self._block_solve(lu, piv, blocks, gt)
             return self._trace_local(ainv, ent_rows, ent_elem, ent_dof, ent_val)
 
         def matvec(lam):
@@ -174,6 +194,7 @@ class ShardedBlockSystem:
                 lam,
                 self.lu,
                 self.piv,
+                self.blocks,
                 self.ent_rows,
                 self.ent_elem,
                 self.ent_dof,
@@ -253,7 +274,7 @@ def sharded_schur_solve(
 
     # A^{-1} b and the Schur RHS.
     b = system.shard_dofs(rhs_flat)
-    ainv_b = jax.scipy.linalg.lu_solve((system.lu, system.piv), b[..., None])[..., 0]
+    ainv_b = system._block_solve(system.lu, system.piv, system.blocks, b)
 
     @partial(
         jax.shard_map,
@@ -303,6 +324,7 @@ def sharded_schur_solve(
             P(None),
             P("e", None, None),
             P("e", None),
+            P("e", None, None),
             P("e", None),
             P("e"),
             P("e"),
@@ -311,16 +333,17 @@ def sharded_schur_solve(
         ),
         out_specs=P("e", None),
     )
-    def backsub(lam, lu, piv, b_loc, ent_rows, ent_elem, ent_dof, ent_val):
+    def backsub(lam, lu, piv, blocks, b_loc, ent_rows, ent_elem, ent_dof, ent_val):
         gt = system._trace_t_local(
             lam, ent_rows, ent_elem, ent_dof, ent_val, (per_dev, n)
         )
-        return jax.scipy.linalg.lu_solve((lu, piv), (b_loc - gt)[..., None])[..., 0]
+        return system._block_solve(lu, piv, blocks, b_loc - gt)
 
     u = backsub(
         lam,
         system.lu,
         system.piv,
+        system.blocks,
         b,
         system.ent_rows,
         system.ent_elem,
@@ -415,9 +438,7 @@ class MultiBucketShardedSystem:
         for bucket, sub in self.subsystems:
             b = np.asarray(rhs_flat)[bucket.gather].reshape(-1)
             b_sh = sub.shard_dofs(b)
-            ainv = jax.scipy.linalg.lu_solve((sub.lu, sub.piv), b_sh[..., None])[
-                ..., 0
-            ]
+            ainv = sub._block_solve(sub.lu, sub.piv, sub.blocks, b_sh)
             self._ainv_b.append(ainv)
             from jax.sharding import PartitionSpec as P
 
@@ -474,6 +495,7 @@ class MultiBucketShardedSystem:
                     P(None),
                     P("e", None, None),
                     P("e", None),
+                    P("e", None, None),
                     P("e", None),
                     P("e"),
                     P("e"),
@@ -482,17 +504,16 @@ class MultiBucketShardedSystem:
                 ),
                 out_specs=P("e", None),
             )
-            def backsub(lam_, lu, piv, ainv, er, ee, ed, ev):
+            def backsub(lam_, lu, piv, blocks, ainv, er, ee, ed, ev):
                 gt_local = sub._trace_t_local(lam_, er, ee, ed, ev, (per_dev, n))
-                corr = jax.scipy.linalg.lu_solve((lu, piv), gt_local[..., None])[
-                    ..., 0
-                ]
+                corr = sub._block_solve(lu, piv, blocks, gt_local)
                 return ainv - corr
 
             u_local = backsub(
                 lam,
                 sub.lu,
                 sub.piv,
+                sub.blocks,
                 ainv_b,
                 sub.ent_rows,
                 sub.ent_elem,

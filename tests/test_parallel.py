@@ -161,3 +161,26 @@ def test_multibucket_sharded_solve(device_mesh):
     assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-7), np.abs(
         u_sh - np.asarray(u_ref)
     ).max()
+
+
+def test_sharded_mixed_precision_branch(device_mesh, monkeypatch):
+    """The TPU refined-f32 LU branch must match the f64 path (forced on CPU)."""
+    import mfv2d_tpu.parallel.sharding as sh
+
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    monkeypatch.undo()
+    assert sharded._refine
+
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    conv = ConvergenceSettings(3000, 1e-11, 0.0)
+    u_ref, _, _, _ = solve_schur_iterative(
+        single, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+    u_sh, _, _, _ = sh.sharded_schur_solve(
+        sharded, forcing, lagrange_vec, 3000, 1e-11
+    )
+    assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-9), np.abs(
+        u_sh - np.asarray(u_ref)
+    ).max()
