@@ -458,12 +458,15 @@ def solve_system_2d(
         solver_settings.linear_solver == "dense"
         and sg_operator is None
         and not print_residual
-        and solver_settings.method != "newton"
     ):
-        # Steady solve fully on device (solver/fused.py).
-        from mfv2d_tpu.solver.fused import fused_picard_solve
+        # Steady solve fully on device (solver/fused.py): Picard with the
+        # frozen LU, or exact-Newton with in-trace Jacobian refactorization.
+        if solver_settings.method == "newton":
+            from mfv2d_tpu.solver.fused import fused_newton_solve as _fused
+        else:
+            from mfv2d_tpu.solver.fused import fused_picard_solve as _fused
 
-        solution, global_lagrange, iter_cnt, all_residuals, _ = fused_picard_solve(
+        solution, global_lagrange, iter_cnt, all_residuals, _ = _fused(
             disc,
             evaluator,
             matrices,

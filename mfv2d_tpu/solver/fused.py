@@ -434,3 +434,193 @@ def fused_nonlinear_time_march(
         np.asarray(iters, np.uint32),
         np.asarray(residuals),
     )
+
+
+def fused_newton_solve(
+    disc: Discretization,
+    evaluator,
+    element_matrices: list[np.ndarray],
+    lagrange_mat: sp.csr_array | None,
+    explicit_vec: np.ndarray,
+    solution0: np.ndarray,
+    lagrange0: np.ndarray,
+    max_iterations: int,
+    relax: float,
+    atol: float,
+    rtol: float,
+    max_mag: float,
+):
+    """Steady exact-Newton loop as one on-device lax.while_loop.
+
+    Semantics match solver.solve.non_linear_solve_run(newton=True): the
+    first iteration uses the assembled (frozen) operator, subsequent ones
+    refactor the exact per-element jacfwd Jacobian at the current iterate.
+    The dense saddle matrix is (re)assembled and LU-factored in-trace every
+    iteration.
+    """
+    import jax.numpy as _jnp
+
+    from mfv2d_tpu.evaluation import (
+        ElementBatch,
+        compute_element_vectors,
+    )
+    from mfv2d_tpu.ops.geometry import JacobianTerms
+
+    n = disc.n_dofs
+    n_lag = 0 if lagrange_mat is None else lagrange_mat.shape[0]
+    total = n + n_lag
+    mat0, _ = _dense_saddle(disc, element_matrices, lagrange_mat)
+
+    # Constant frame: zeros on the block-diagonal, G/G^T in place.
+    frame = np.zeros((total, total))
+    if lagrange_mat is not None:
+        g = lagrange_mat.toarray()
+        frame[:n, n:] = g.T
+        frame[n:, :n] = g
+        coo = lagrange_mat.tocoo()
+        g_rows = jnp.asarray(coo.row, jnp.int32)
+        g_cols = jnp.asarray(coo.col, jnp.int32)
+        g_vals = jnp.asarray(coo.data)
+    else:
+        g_rows = jnp.zeros(0, jnp.int32)
+        g_cols = jnp.zeros(0, jnp.int32)
+        g_vals = jnp.zeros(0)
+    frame = jnp.asarray(frame)
+    mat0 = jnp.asarray(mat0)
+
+    gathers = [jnp.asarray(b.gather) for b in disc.buckets]
+    statics = evaluator._static_fields
+    compiled = evaluator.compiled
+    form_spec = evaluator.form_spec
+    on_tpu = jax.default_backend() == "tpu"
+
+    def residual_value(u):
+        out = jnp.zeros(n)
+        for i, bucket in enumerate(disc.buckets):
+            dofs = u[gathers[i]]
+            val = compute_element_vectors(
+                form_spec, compiled.lhs_blocks, bucket.batch, dofs,
+                static_fields=statics[i],
+            )
+            if compiled.rhs_blocks is not None:
+                val = val - compute_element_vectors(
+                    form_spec, compiled.rhs_blocks, bucket.batch, dofs,
+                    static_fields=statics[i],
+                )
+            out = out.at[gathers[i]].set(val)
+        return out
+
+    # Per-bucket exact-Jacobian functions (vmapped jacfwd, trace-compatible).
+    jac_fns = []
+    for i, bucket in enumerate(disc.buckets):
+        basis = bucket.batch.basis
+        tb = bucket.batch.tb
+        static_keys = list(statics[i].keys())
+        static_vals = tuple(statics[i][k] for k in static_keys)
+        jac_terms = tuple(t for t in bucket.batch.jac)
+
+        def single(dofs_n, jac_terms_n, static_vals_n, basis=basis, tb=tb,
+                   static_keys=static_keys):
+            jac1 = JacobianTerms(*(t[None] for t in jac_terms_n))
+            b1 = ElementBatch.from_parts(basis, tb, jac1, 1)
+            st = {k: v[None] for k, v in zip(static_keys, static_vals_n)}
+            vec = compute_element_vectors(
+                form_spec, compiled.lhs_blocks, b1, dofs_n[None],
+                static_fields=st,
+            )
+            if compiled.rhs_blocks is not None:
+                vec = vec - compute_element_vectors(
+                    form_spec, compiled.rhs_blocks, b1, dofs_n[None],
+                    static_fields=st,
+                )
+            return vec[0]
+
+        vmapped = jax.vmap(
+            jax.jacfwd(single, argnums=0),
+            in_axes=(0, tuple([0] * 5), tuple([0] * len(static_keys))),
+        )
+        jac_fns.append(
+            (vmapped, jac_terms, static_vals)
+        )
+
+    def assemble_jacobian(u):
+        mat = frame
+        for i, gather in enumerate(gathers):
+            fn, jac_terms, static_vals = jac_fns[i]
+            blocks = fn(u[gather], jac_terms, static_vals)
+            mat = mat.at[gather[:, :, None], gather[:, None, :]].set(blocks)
+        return mat
+
+    def trace_apply(x):
+        contrib = g_vals * x[g_cols]
+        return jax.ops.segment_sum(contrib, g_rows, num_segments=max(n_lag, 1))[
+            :n_lag
+        ]
+
+    def trace_t_apply(lam):
+        out = jnp.zeros(n)
+        if n_lag == 0:
+            return out
+        return out.at[g_cols].add(g_vals * lam[g_rows])
+
+    def dense_solve(mat, b):
+        if not on_tpu:
+            lu, piv = jax.scipy.linalg.lu_factor(mat)
+            return jax.scipy.linalg.lu_solve((lu, piv), b)
+        lu, piv = jax.scipy.linalg.lu_factor(mat.astype(_jnp.float32))
+        x = jax.scipy.linalg.lu_solve(
+            (lu, piv), b.astype(_jnp.float32)
+        ).astype(b.dtype)
+
+        def body(_, x):
+            r = b - mat @ x
+            return x + jax.scipy.linalg.lu_solve(
+                (lu, piv), r.astype(_jnp.float32)
+            ).astype(b.dtype)
+
+        return jax.lax.fori_loop(0, 12, body, x)
+
+    base = jnp.asarray(explicit_vec)
+
+    @jax.jit
+    def solve(u0, lam0):
+        def cond(state):
+            _, _, it, _, converged, _ = state
+            return jnp.logical_and(it < max_iterations, jnp.logical_not(converged))
+
+        def body(state):
+            u, lam, it, residuals, _, _ = state
+            value = residual_value(u) + trace_t_apply(lam)
+            full = jnp.concatenate([value, trace_apply(u)])
+            res_vec = base - full
+            mres = jnp.max(jnp.abs(res_vec))
+            residuals = residuals.at[it].set(mres)
+            conv = jnp.logical_not(
+                jnp.logical_and(mres > atol, mres > max_mag * rtol)
+            )
+            mat = jax.lax.cond(
+                it == 0, lambda u_: mat0, assemble_jacobian, u
+            )
+            d = dense_solve(mat, res_vec)
+            u_new = jnp.where(conv, u, u + relax * d[:n])
+            lam_new = jnp.where(conv, lam, lam + relax * d[n:])
+            it_new = jnp.where(conv, it, it + 1)
+            return (u_new, lam_new, it_new, residuals, conv, mres)
+
+        state = (
+            u0, lam0, jnp.int32(0), jnp.zeros(max_iterations),
+            jnp.bool_(False), jnp.inf,
+        )
+        u, lam, it, residuals, _, mres = jax.lax.while_loop(cond, body, state)
+        return u, lam, it, residuals, mres
+
+    u, lam, it, residuals, mres = solve(
+        jnp.asarray(solution0), jnp.asarray(lagrange0)
+    )
+    return (
+        np.asarray(u),
+        np.asarray(lam),
+        int(it),
+        np.asarray(residuals),
+        float(mres),
+    )

@@ -373,3 +373,34 @@ def test_fused_nonlinear_march_matches_host_loop():
     assert int(iters_a[-1]) > 1  # actually nonlinear
     for a, b in zip(sols_a, sols_b):
         assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
+
+def test_fused_newton_matches_host_newton():
+    """Steady NS Re=50: device-fused Newton equals the host Newton loop."""
+    from mfv2d_tpu.models import flow
+
+    results = {}
+    for solver in ("direct", "dense"):
+        model = flow.navier_stokes(50.0)
+        mesh = mf.examples.unit_square_mesh(3, 3, 4)
+        bc = mf.BoundaryCondition2DSteady(
+            model.velocity, mesh.boundary_indices, flow.ns_velocity_exact
+        )
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(10, 1e-11, 0),
+                method="newton",
+                linear_solver=solver,
+            ),
+            recon_order=6,
+        )
+        results[solver] = (
+            np.array(sols[-1].point_data["vel"]),
+            int(stats.iter_history[-1]),
+        )
+    vel_a, it_a = results["direct"]
+    vel_b, it_b = results["dense"]
+    assert it_a == it_b, (it_a, it_b)
+    assert it_a <= 5  # quadratic convergence
+    assert np.allclose(vel_a, vel_b, atol=1e-8), np.abs(vel_a - vel_b).max()
