@@ -288,7 +288,6 @@ def solve_system_2d(
         and solver_settings.linear_solver == "dense"
         and checkpoint_settings is None
         and not has_unsteady_bcs
-        and solver_settings.method != "newton"
     )
     if use_fused_march:
         # Linear march: run the entire scan on device (solver/fused.py).
@@ -319,7 +318,12 @@ def solve_system_2d(
                 resulting_grids.append(grid)
         solution = us[-1]
     elif use_fused_nonlinear_march:
-        from mfv2d_tpu.solver.fused import fused_nonlinear_time_march
+        if solver_settings.method == "newton":
+            from mfv2d_tpu.solver.fused import (
+                fused_newton_time_march as fused_nonlinear_time_march,
+            )
+        else:
+            from mfv2d_tpu.solver.fused import fused_nonlinear_time_march
 
         nt = time_settings.nt
         dt = time_settings.dt

@@ -436,27 +436,17 @@ def fused_nonlinear_time_march(
     )
 
 
-def fused_newton_solve(
+def _newton_machinery(
     disc: Discretization,
     evaluator,
     element_matrices: list[np.ndarray],
     lagrange_mat: sp.csr_array | None,
-    explicit_vec: np.ndarray,
-    solution0: np.ndarray,
-    lagrange0: np.ndarray,
-    max_iterations: int,
-    relax: float,
-    atol: float,
-    rtol: float,
-    max_mag: float,
 ):
-    """Steady exact-Newton loop as one on-device lax.while_loop.
+    """Shared trace-compatible pieces for the fused Newton loops.
 
-    Semantics match solver.solve.non_linear_solve_run(newton=True): the
-    first iteration uses the assembled (frozen) operator, subsequent ones
-    refactor the exact per-element jacfwd Jacobian at the current iterate.
-    The dense saddle matrix is (re)assembled and LU-factored in-trace every
-    iteration.
+    Returns a dict with the residual evaluator, the in-trace exact-Jacobian
+    saddle assembly, the frozen operator mat0, trace operators, and a dense
+    solve (refined-f32 LU on TPU).
     """
     import jax.numpy as _jnp
 
@@ -580,6 +570,42 @@ def fused_newton_solve(
 
         return jax.lax.fori_loop(0, 12, body, x)
 
+    return dict(
+        n=n,
+        n_lag=n_lag,
+        mat0=mat0,
+        residual_value=residual_value,
+        assemble_jacobian=assemble_jacobian,
+        trace_apply=trace_apply,
+        trace_t_apply=trace_t_apply,
+        dense_solve=dense_solve,
+    )
+
+
+def fused_newton_solve(
+    disc: Discretization,
+    evaluator,
+    element_matrices: list[np.ndarray],
+    lagrange_mat: sp.csr_array | None,
+    explicit_vec: np.ndarray,
+    solution0: np.ndarray,
+    lagrange0: np.ndarray,
+    max_iterations: int,
+    relax: float,
+    atol: float,
+    rtol: float,
+    max_mag: float,
+):
+    """Steady exact-Newton loop as one on-device lax.while_loop.
+
+    Semantics match solver.solve.non_linear_solve_run(newton=True): the
+    first iteration uses the assembled (frozen) operator, subsequent ones
+    refactor the exact per-element jacfwd Jacobian at the current iterate.
+    The dense saddle matrix is (re)assembled and LU-factored in-trace every
+    iteration.
+    """
+    m = _newton_machinery(disc, evaluator, element_matrices, lagrange_mat)
+    n = m["n"]
     base = jnp.asarray(explicit_vec)
 
     @jax.jit
@@ -590,8 +616,8 @@ def fused_newton_solve(
 
         def body(state):
             u, lam, it, residuals, _, _ = state
-            value = residual_value(u) + trace_t_apply(lam)
-            full = jnp.concatenate([value, trace_apply(u)])
+            value = m["residual_value"](u) + m["trace_t_apply"](lam)
+            full = jnp.concatenate([value, m["trace_apply"](u)])
             res_vec = base - full
             mres = jnp.max(jnp.abs(res_vec))
             residuals = residuals.at[it].set(mres)
@@ -599,9 +625,9 @@ def fused_newton_solve(
                 jnp.logical_and(mres > atol, mres > max_mag * rtol)
             )
             mat = jax.lax.cond(
-                it == 0, lambda u_: mat0, assemble_jacobian, u
+                it == 0, lambda u_: m["mat0"], m["assemble_jacobian"], u
             )
-            d = dense_solve(mat, res_vec)
+            d = m["dense_solve"](mat, res_vec)
             u_new = jnp.where(conv, u, u + relax * d[:n])
             lam_new = jnp.where(conv, lam, lam + relax * d[n:])
             it_new = jnp.where(conv, it, it + 1)
@@ -623,4 +649,116 @@ def fused_newton_solve(
         int(it),
         np.asarray(residuals),
         float(mres),
+    )
+
+
+def fused_newton_time_march(
+    disc: Discretization,
+    evaluator,
+    element_matrices: list[np.ndarray],
+    lagrange_mat: sp.csr_array | None,
+    explicit_vec: np.ndarray,
+    carry_indices: np.ndarray,
+    initial_solution: np.ndarray,
+    initial_carry: np.ndarray,
+    initial_carry_term: np.ndarray,
+    dt: float,
+    nt: int,
+    max_iterations: int,
+    relax: float,
+    atol: float,
+    rtol: float,
+    max_mag: float,
+):
+    """Exact-Newton trapezoidal march fully on device.
+
+    Outer lax.scan over steps; inner while_loop Newton with in-trace
+    Jacobian refactorization (first iteration of each step uses the frozen
+    assembled operator, matching the host loop).
+    """
+    m = _newton_machinery(disc, evaluator, element_matrices, lagrange_mat)
+    n = m["n"]
+    n_lag = m["n_lag"]
+
+    # Per-bucket dual (mass) application for the carry projection.
+    gathers = [jnp.asarray(b.gather) for b in disc.buckets]
+    mass_blocks = []
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        offsets = disc.form_spec.form_offsets(p1, p2)
+        n_e = disc.form_spec.total_size(p1, p2)
+        e = bucket.batch.n_elements
+        big = np.zeros((e, n_e, n_e))
+        for i in range(len(disc.form_spec)):
+            mm = np.asarray(bucket.batch.mass(disc.form_spec[i][1], False))
+            big[:, offsets[i] : offsets[i + 1], offsets[i] : offsets[i + 1]] = mm
+        mass_blocks.append(jnp.asarray(big))
+
+    def dual_apply(x):
+        y = jnp.zeros_like(x)
+        for mb, gather in zip(mass_blocks, gathers):
+            y = y.at[gather].set(jnp.einsum("eij,ej->ei", mb, x[gather]))
+        return y
+
+    carry_idx = jnp.asarray(carry_indices, jnp.int32)
+    explicit = jnp.asarray(explicit_vec)
+    two_over_dt = 2.0 / dt
+
+    @jax.jit
+    def march(u0, lam0, carry0, carry_term0):
+        def step(state, _):
+            u, lam, old_carry, carry_term = state
+            current_carry = two_over_dt * old_carry + carry_term
+            base = explicit.at[carry_idx].add(current_carry)
+
+            def cond(s):
+                _, _, it, converged, _ = s
+                return jnp.logical_and(
+                    it < max_iterations, jnp.logical_not(converged)
+                )
+
+            def body(s):
+                ui, lami, it, _, _ = s
+                value = m["residual_value"](ui) + m["trace_t_apply"](lami)
+                full = jnp.concatenate([value, m["trace_apply"](ui)])
+                res_vec = base - full
+                mres = jnp.max(jnp.abs(res_vec))
+                conv = jnp.logical_not(
+                    jnp.logical_and(mres > atol, mres > max_mag * rtol)
+                )
+                mat = jax.lax.cond(
+                    it == 0, lambda u_: m["mat0"], m["assemble_jacobian"], ui
+                )
+                d = m["dense_solve"](mat, res_vec)
+                u_new = jnp.where(conv, ui, ui + relax * d[:n])
+                lam_new = jnp.where(conv, lami, lami + relax * d[n:])
+                it_new = jnp.where(conv, it, it + 1)
+                return (u_new, lam_new, it_new, conv, mres)
+
+            u_new, lam_new, iters, _, mres = jax.lax.while_loop(
+                cond, body, (u, lam, jnp.int32(0), jnp.bool_(False), jnp.inf)
+            )
+            dual = dual_apply(u_new)
+            new_carry = dual[carry_idx]
+            new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
+            return (u_new, lam_new, new_carry, new_carry_term), (
+                u_new, iters, mres,
+            )
+
+        (_, lam_f, _, _), (us, iters, residuals) = jax.lax.scan(
+            step, (u0, lam0, carry0, carry_term0), None, length=nt
+        )
+        return us, lam_f, iters, residuals
+
+    us, lam_f, iters, residuals = march(
+        jnp.asarray(initial_solution),
+        jnp.zeros(n_lag),
+        jnp.asarray(initial_carry),
+        jnp.asarray(initial_carry_term),
+    )
+    return (
+        np.asarray(us),
+        np.asarray(lam_f),
+        np.asarray(iters, np.uint32),
+        np.asarray(residuals),
     )

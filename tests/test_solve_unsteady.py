@@ -404,3 +404,51 @@ def test_fused_newton_matches_host_newton():
     assert it_a == it_b, (it_a, it_b)
     assert it_a <= 5  # quadratic convergence
     assert np.allclose(vel_a, vel_b, atol=1e-8), np.abs(vel_a - vel_b).max()
+
+def test_fused_newton_march_matches_host():
+    """Unsteady NS with Newton: the fused march equals the host loop."""
+    results = {}
+    for solver in ("direct", "dense"):
+        pre = mf.KFormUnknown("pre", mf.UnknownFormOrder.FORM_ORDER_2)
+        w_pre = pre.weight
+        vel = mf.KFormUnknown("vel", mf.UnknownFormOrder.FORM_ORDER_1)
+        w_vel = vel.weight
+        vor = mf.KFormUnknown("vor", mf.UnknownFormOrder.FORM_ORDER_0)
+        w_vor = vor.weight
+        system = mf.KFormSystem(
+            w_vor.derivative @ vel - w_vor @ vor == w_vor ^ exact_velocity,
+            (1 / RE) * (w_vel @ vor.derivative) + w_vel.derivative @ pre
+            == w_vel @ exact_forcing - (vel * w_vel @ vor),
+            (w_pre @ vel.derivative) == 0,
+        )
+        mesh = mf.examples.unit_square_mesh(3, 3, 3)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(
+                system,
+                [
+                    mf.BoundaryCondition2DSteady(
+                        vel, mesh.boundary_indices, exact_velocity
+                    )
+                ],
+                [(0.0, pre)],
+            ),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(15, 1e-10, 0),
+                linear_solver=solver,
+                method="newton",
+            ),
+            time_settings=mf.TimeSettings(
+                dt=0.1, nt=3, time_march_relations={w_vel: vel}
+            ),
+            recon_order=5,
+        )
+        results[solver] = (
+            np.array(sols[-1].point_data["vel"]),
+            np.asarray(stats.iter_history),
+        )
+    vel_a, it_a = results["direct"]
+    vel_b, it_b = results["dense"]
+    assert np.array_equal(it_a, it_b), (it_a, it_b)
+    assert int(it_a[0]) > 1
+    assert np.allclose(vel_a, vel_b, atol=1e-8), np.abs(vel_a - vel_b).max()
