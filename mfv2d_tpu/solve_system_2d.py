@@ -119,9 +119,12 @@ def solve_system_2d(
             raise ValueError("Problem has no time march relations.")
         system = update_system_for_time_march(time_settings, system)
 
-    compiled = CompiledSystem(system)
-    disc = discretize_mesh(mesh, system.unknown_forms, basis_cache)
-    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    from mfv2d_tpu.tracing import tracer
+
+    with tracer.stage("setup"):
+        compiled = CompiledSystem(system)
+        disc = discretize_mesh(mesh, system.unknown_forms, basis_cache)
+        evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
 
     # Initial conditions
     if system_settings.initial_conditions:
@@ -160,7 +163,8 @@ def solve_system_2d(
         old_solution_carry = None
 
     initial_solution = solution if system_settings.initial_conditions else None
-    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+    with tracer.stage("assembly+constraints"):
+        forcing, matrices, lagrange_mat, lagrange_vec = _compute_linear_system_traced(
         disc,
         system,
         evaluator,
@@ -192,6 +196,7 @@ def solve_system_2d(
     else:
         time_carry_term = None
 
+    _t_factor = __import__("time").perf_counter()
     if solver_settings.linear_solver == "direct":
         solver = FrozenSaddleSolver(
             evaluator.matrices_per_leaf(matrices), lagrange_mat
@@ -218,6 +223,8 @@ def solve_system_2d(
             method=solver_settings.linear_solver,
         )
 
+    tracer.add("factorize", __import__("time").perf_counter() - _t_factor)
+
     if vms_settings is not None:
         from mfv2d_tpu.solver.vms import SuyashGreenOperator
 
@@ -232,6 +239,7 @@ def solve_system_2d(
     else:
         sg_operator = None
 
+    _t_solve = __import__("time").perf_counter()
     resulting_grids: list[ReconstructedGrid] = []
     grid = reconstruct_mesh_from_solution(disc, recon_order, solution)
     grid.field_data["time"] = np.array([0.0])
@@ -518,6 +526,7 @@ def solve_system_2d(
         )
         resulting_grids.append(grid)
 
+    tracer.add("solve+reconstruct", __import__("time").perf_counter() - _t_solve)
     mesh_orders = disc.element_orders
     orders, counts = np.unique(mesh_orders, axis=0, return_counts=True)
     stats = SolutionStatistics(
@@ -543,6 +552,7 @@ def solve_system_2d(
             print(order_hist.format(geo_order))
             print("=" * 60)
 
+        _t_ref = __import__("time").perf_counter()
         output_mesh, error_estimates, h_ref_cost = perform_mesh_refinement(
             disc,
             solution,
@@ -558,6 +568,7 @@ def solve_system_2d(
             system_settings.constrained_forms,
             anisotropic_p=refinement_settings.anisotropic_p,
         )
+        tracer.add("refinement", __import__("time").perf_counter() - _t_ref)
         resulting_grids[-1].cell_data["error_estimate"] = error_estimates
         resulting_grids[-1].cell_data["h_ref_cost_estimate"] = h_ref_cost
         if refinement_settings.report_order_distribution:
@@ -574,7 +585,13 @@ def solve_system_2d(
     else:
         output_mesh = mesh
 
+    if tracer.enabled:
+        print(tracer.report())
     return tuple(resulting_grids), stats, output_mesh
+
+
+def _compute_linear_system_traced(*args):
+    return compute_linear_system(*args)
 
 
 def _vms_to_coarse(sg_operator, fine_scales, disc):

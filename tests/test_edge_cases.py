@@ -107,3 +107,28 @@ def test_upper_order_limit_forces_splits():
         recon_order=4,
     )
     assert new_mesh.leaf_count > mesh.leaf_count
+
+
+def test_tracer_stages(tmp_path):
+    """Stage tracing records solve phases and writes the JSONL sink."""
+    import json
+
+    from mfv2d_tpu.models import poisson
+    from mfv2d_tpu.tracing import tracer
+
+    sink = tmp_path / "trace.jsonl"
+    tracer.reset()
+    tracer.enable(str(sink))
+    try:
+        model = poisson.mixed_poisson()
+        mesh = mf.examples.unit_square_mesh(2, 2, 2)
+        mf.solve_system_2d(mesh, mf.SystemSettings(model.system), recon_order=3)
+    finally:
+        tracer.disable()
+    names = set(tracer.stages)
+    assert {"setup", "assembly+constraints", "factorize", "solve+reconstruct"} <= names
+    report = tracer.report()
+    assert "assembly+constraints" in report
+    events = [json.loads(ln) for ln in sink.read_text().splitlines()]
+    assert {e["stage"] for e in events} >= {"setup", "factorize"}
+    tracer.reset()
