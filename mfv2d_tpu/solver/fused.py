@@ -26,19 +26,14 @@ def _device_lu_solver(mat: np.ndarray, refinements: int = 12):
     """
     if jax.default_backend() == "tpu":
         a64 = jnp.asarray(mat, jnp.float64)
-        lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat, jnp.float32))
+        inv = jnp.linalg.inv(jnp.asarray(mat, jnp.float32))
 
         def solve(b):
-            x = jax.scipy.linalg.lu_solve((lu, piv), b.astype(jnp.float32)).astype(
-                jnp.float64
-            )
+            x = (inv @ b.astype(jnp.float32)).astype(jnp.float64)
 
             def body(_, x):
                 r = b - a64 @ x
-                dx = jax.scipy.linalg.lu_solve(
-                    (lu, piv), r.astype(jnp.float32)
-                ).astype(jnp.float64)
-                return x + dx
+                return x + (inv @ r.astype(jnp.float32)).astype(jnp.float64)
 
             return jax.lax.fori_loop(0, refinements, body, x)
 
@@ -557,16 +552,12 @@ def _newton_machinery(
         if not on_tpu:
             lu, piv = jax.scipy.linalg.lu_factor(mat)
             return jax.scipy.linalg.lu_solve((lu, piv), b)
-        lu, piv = jax.scipy.linalg.lu_factor(mat.astype(_jnp.float32))
-        x = jax.scipy.linalg.lu_solve(
-            (lu, piv), b.astype(_jnp.float32)
-        ).astype(b.dtype)
+        inv = _jnp.linalg.inv(mat.astype(_jnp.float32))
+        x = (inv @ b.astype(_jnp.float32)).astype(b.dtype)
 
         def body(_, x):
             r = b - mat @ x
-            return x + jax.scipy.linalg.lu_solve(
-                (lu, piv), r.astype(_jnp.float32)
-            ).astype(b.dtype)
+            return x + (inv @ r.astype(_jnp.float32)).astype(b.dtype)
 
         return jax.lax.fori_loop(0, 12, body, x)
 

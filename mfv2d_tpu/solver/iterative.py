@@ -56,17 +56,20 @@ class BlockSaddleSystem:
         self.lagrange_mat = lagrange_mat
         self._blocks_np = [np.asarray(m) for m in element_matrices]
         self.blocks = [jnp.asarray(m) for m in element_matrices]
-        # TPU XLA only implements f32 LuDecomposition; factor in f32 there
-        # and recover f64 accuracy with iterative refinement in
-        # apply_diagonal_inverse.
+        # TPU XLA only implements LuDecomposition in f32 AND executes
+        # batched triangular solves ~23x slower than a batched GEMV, so on
+        # TPU the diagonal inverse is a precomputed f32 explicit inverse
+        # applied as a GEMV, refined to f64 accuracy with residual sweeps.
         self._refine_inverse = jax.default_backend() == "tpu"
-        factor_dtype = jnp.float32 if self._refine_inverse else None
-        self.lu_factors = [
-            jax.scipy.linalg.lu_factor(
-                b.astype(factor_dtype) if factor_dtype else b
-            )
-            for b in self.blocks
-        ]
+        if self._refine_inverse:
+            self.lu_factors = [
+                jnp.linalg.inv(b.astype(jnp.float32)) for b in self.blocks
+            ]
+            self._blocks32 = [b.astype(jnp.float32) for b in self.blocks]
+        else:
+            self.lu_factors = [
+                jax.scipy.linalg.lu_factor(b) for b in self.blocks
+            ]
         self.gathers = [jnp.asarray(b.gather) for b in disc.buckets]
 
         if lagrange_mat is not None:
@@ -75,6 +78,30 @@ class BlockSaddleSystem:
             self.g_rows = jnp.asarray(coo.row, jnp.int32)
             self.g_cols = jnp.asarray(coo.col, jnp.int32)
             self.g_vals = jnp.asarray(coo.data)
+            # Padded gather layouts: TPU executes scatter/segment-sum ~10x
+            # slower than dense gathers, so both trace products are stored
+            # row-major ([n_lag, k1]: G x) and column-major ([n_dofs, k2]:
+            # G^T lam) with zero-padded entries.
+            csr = lagrange_mat.tocsr()
+            k1 = max(1, int(np.diff(csr.indptr).max()))
+            rc = np.zeros((self.n_lagrange, k1), np.int32)
+            rv = np.zeros((self.n_lagrange, k1))
+            for r in range(self.n_lagrange):
+                a, b = csr.indptr[r], csr.indptr[r + 1]
+                rc[r, : b - a] = csr.indices[a:b]
+                rv[r, : b - a] = csr.data[a:b]
+            self._row_cols = jnp.asarray(rc)
+            self._row_vals = jnp.asarray(rv)
+            csc = lagrange_mat.tocsc()
+            k2 = max(1, int(np.diff(csc.indptr).max()))
+            cr = np.zeros((self.n_dofs, k2), np.int32)
+            cv = np.zeros((self.n_dofs, k2))
+            for c in range(self.n_dofs):
+                a, b = csc.indptr[c], csc.indptr[c + 1]
+                cr[c, : b - a] = csc.indices[a:b]
+                cv[c, : b - a] = csc.data[a:b]
+            self._col_rows = jnp.asarray(cr)
+            self._col_vals = jnp.asarray(cv)
         else:
             self.n_lagrange = 0
             self.g_rows = jnp.zeros(0, jnp.int32)
@@ -95,43 +122,53 @@ class BlockSaddleSystem:
         return y
 
     def apply_diagonal_inverse(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A^{-1} x via the batched LU factorizations.
-
-        On TPU the factors are f32; two refinement sweeps with f64 residual
-        matvecs restore double accuracy per application.
+        """y = A^{-1} x: batched f64 LU solve, or on TPU a batched GEMV
+        against the precomputed f32 inverse with three f64 refinement
+        sweeps (measured 23x faster than batched triangular solves there).
         """
         y = jnp.zeros_like(x)
-        for lu, blocks, gather in zip(self.lu_factors, self.blocks, self.gathers):
+        for fac, blocks, gather in zip(self.lu_factors, self.blocks, self.gathers):
             xe = x[gather]
             if not self._refine_inverse:
-                ye = jax.scipy.linalg.lu_solve(lu, xe[..., None])[..., 0]
+                ye = jax.scipy.linalg.lu_solve(fac, xe[..., None])[..., 0]
             else:
-                ye = jax.scipy.linalg.lu_solve(
-                    lu, xe.astype(jnp.float32)[..., None]
-                )[..., 0].astype(x.dtype)
-                for _ in range(2):
+                ye = jnp.einsum(
+                    "eij,ej->ei", fac, xe.astype(jnp.float32)
+                ).astype(x.dtype)
+                for _ in range(3):
                     r = xe - jnp.einsum("eij,ej->ei", blocks, ye)
-                    ye = ye + jax.scipy.linalg.lu_solve(
-                        lu, r.astype(jnp.float32)[..., None]
-                    )[..., 0].astype(x.dtype)
+                    ye = ye + jnp.einsum(
+                        "eij,ej->ei", fac, r.astype(jnp.float32)
+                    ).astype(x.dtype)
             y = y.at[gather].set(ye)
         return y
 
     # -- trace (constraint) operator -----------------------------------
 
+    def apply_schur32(self, lam32: jnp.ndarray) -> jnp.ndarray:
+        """All-f32 S lambda for the mixed-precision inner Krylov iteration:
+        single inverse GEMV (no refinement sweeps), f32 trace gathers."""
+        x = jnp.sum(
+            self._col_vals.astype(jnp.float32) * lam32[self._col_rows], axis=1
+        )
+        y = jnp.zeros_like(x)
+        for inv, gather in zip(self.lu_factors, self.gathers):
+            y = y.at[gather].set(jnp.einsum("eij,ej->ei", inv, x[gather]))
+        return jnp.sum(
+            self._row_vals.astype(jnp.float32) * y[self._row_cols], axis=1
+        )
+
     def apply_trace(self, x: jnp.ndarray) -> jnp.ndarray:
-        """G x: gather element DoFs, weighted segment-sum into trace rows."""
-        contrib = self.g_vals * x[self.g_cols]
-        return jax.ops.segment_sum(
-            contrib, self.g_rows, num_segments=max(self.n_lagrange, 1)
-        )[: self.n_lagrange]
+        """G x as a padded row-major gather (no scatter)."""
+        if self.n_lagrange == 0:
+            return jnp.zeros(0)
+        return jnp.sum(self._row_vals * x[self._row_cols], axis=1)
 
     def apply_trace_transpose(self, lam: jnp.ndarray) -> jnp.ndarray:
-        """G^T lambda: scatter-add trace values back onto element DoFs."""
-        out = jnp.zeros(self.n_dofs)
+        """G^T lambda as a padded column-major gather (no scatter)."""
         if self.n_lagrange == 0:
-            return out
-        return out.at[self.g_cols].add(self.g_vals * lam[self.g_rows])
+            return jnp.zeros(self.n_dofs)
+        return jnp.sum(self._col_vals * lam[self._col_rows], axis=1)
 
     # -- composite operators -------------------------------------------
 
@@ -375,6 +412,104 @@ def gmres_general(
 # ---------------------------------------------------------------------------
 
 
+def _device_cg32(apply32, max_iterations: int):
+    """All-f32 CG as one jitted while_loop (for the TPU inner iteration)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(rhs32, tol32):
+        rr0 = jnp.vdot(rhs32, rhs32)
+        # tol32 is relative to the inner RHS norm.
+        stop = tol32 * tol32 * rr0
+
+        def cond(state):
+            _, _, _, rr, it = state
+            return jnp.logical_and(it < max_iterations, rr > stop)
+
+        def body(state):
+            x, r, p, rr, it = state
+            ap = apply32(p)
+            alpha = rr / jnp.vdot(p, ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rr_new = jnp.vdot(r, r)
+            p = r + (rr_new / rr) * p
+            return (x, r, p, rr_new, it + 1)
+
+        x0 = jnp.zeros_like(rhs32)
+        x, r, p, rr, it = jax.lax.while_loop(
+            cond, body, (x0, rhs32, rhs32, rr0, jnp.int32(0))
+        )
+        return x, it
+
+    return run
+
+
+def _solve_schur_mixed_tpu(
+    system: BlockSaddleSystem,
+    rhs: jnp.ndarray,
+    constraints: jnp.ndarray,
+    convergence: ConvergenceSettings,
+    initial_lagrange: jnp.ndarray | None,
+):
+    """Iterative refinement around an all-f32 device CG on the trace system.
+
+    f64 matmuls are software-emulated on TPU (~3 GFLOP/s measured), so a
+    plain f64 CG is no faster than a CPU.  Instead each outer iteration
+    computes one f64 Schur residual (refined operators) and corrects with a
+    fast f32 CG solve; cond(S) * eps_f32 < 1 gives geometric convergence to
+    full f64 accuracy with a handful of outer sweeps.
+    """
+    inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
+    trace_rhs = system.apply_trace(inv_a_b) - jnp.asarray(constraints)
+    lam0 = (
+        jnp.zeros(system.n_lagrange)
+        if initial_lagrange is None
+        else jnp.asarray(initial_lagrange)
+    )
+    tol = _stopping_tolerance(float(jnp.linalg.norm(trace_rhs)), convergence)
+    cache_key = ("mixed_refine", float(tol), convergence.maximum_iterations)
+    if cache_key in system._jit_cache:
+        refine = system._jit_cache[cache_key]
+        inv_dummy = None
+    else:
+        refine = None
+    inner = _device_cg32(system.apply_schur32, convergence.maximum_iterations)
+
+    @jax.jit
+    def _refine(trace_rhs, lam0):
+        # Whole outer refinement on device: one dispatch for the full solve
+        # (each host round trip through the relay costs ~33 ms).
+        def cond(st):
+            _, rr, _, k = st
+            return jnp.logical_and(k < 60, rr > tol * tol)
+
+        def body(st):
+            lam, _, tot, k = st
+            r = trace_rhs - system.apply_schur(lam)
+            rr = jnp.vdot(r, r)
+            fix = rr > tol * tol
+            d32, it = inner(r.astype(jnp.float32), jnp.float32(1e-6))
+            lam = jnp.where(fix, lam + d32.astype(lam.dtype), lam)
+            tot = tot + jnp.where(fix, it, 0)
+            return (lam, rr, tot, k + 1)
+
+        lam, rr, tot, _ = jax.lax.while_loop(
+            cond, body, (lam0, jnp.asarray(jnp.inf), jnp.int32(0), jnp.int32(0))
+        )
+        # Final residual after the last correction.
+        r = trace_rhs - system.apply_schur(lam)
+        return lam, jnp.linalg.norm(r), tot
+
+    if refine is None:
+        refine = _refine
+        system._jit_cache[cache_key] = refine
+    lam, r_mag, total_iters = jax.device_get(refine(trace_rhs, lam0))
+    lam = jnp.asarray(lam)
+    u = inv_a_b - system.apply_diagonal_inverse(system.apply_trace_transpose(lam))
+    return u, lam, float(r_mag), max(int(total_iters), 1)
+
+
 def solve_schur_iterative(
     system: BlockSaddleSystem,
     rhs: jnp.ndarray,
@@ -391,6 +526,10 @@ def solve_schur_iterative(
     1-form mass blocks are far from diagonal), so plain CG is the default —
     a real trace preconditioner is BACKLOG item 7.
     """
+    if system._refine_inverse and preconditioner is None and system.n_lagrange:
+        return _solve_schur_mixed_tpu(
+            system, rhs, constraints, convergence, initial_lagrange
+        )
     inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
     trace_rhs = system.apply_trace(inv_a_b) - jnp.asarray(constraints)
     lam0 = (
@@ -619,27 +758,23 @@ class MixedPrecisionLU:
 
     def __init__(self, mat: np.ndarray, refinements: int = 12) -> None:
         self.a64 = jnp.asarray(mat, jnp.float64)
-        lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat, jnp.float32))
-        self._lu = (lu, piv)
+        # Explicit f32 inverse instead of LU: TPU triangular solves are
+        # measured ~23x slower than the equivalent GEMV, and the refinement
+        # sweeps repair the inverse's accuracy exactly as they repair f32 LU.
+        self._inv = jnp.linalg.inv(jnp.asarray(mat, jnp.float32))
         self.refinements = refinements
 
         @jax.jit
-        def solve(lu, piv, a64, b):
-            x = jax.scipy.linalg.lu_solve(
-                (lu, piv), b.astype(jnp.float32)
-            ).astype(jnp.float64)
+        def solve(inv, a64, b):
+            x = (inv @ b.astype(jnp.float32)).astype(jnp.float64)
 
             def body(_, x):
                 r = b - a64 @ x
-                dx = jax.scipy.linalg.lu_solve(
-                    (lu, piv), r.astype(jnp.float32)
-                ).astype(jnp.float64)
-                return x + dx
+                return x + (inv @ r.astype(jnp.float32)).astype(jnp.float64)
 
             return jax.lax.fori_loop(0, refinements, body, x)
 
         self._solve = solve
 
     def solve(self, b) -> jnp.ndarray:
-        lu, piv = self._lu
-        return self._solve(lu, piv, self.a64, jnp.asarray(b, jnp.float64))
+        return self._solve(self._inv, self.a64, jnp.asarray(b, jnp.float64))

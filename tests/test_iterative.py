@@ -207,3 +207,17 @@ def test_schur_direct_matches_direct():
     # mixed Poisson saddle A here is symmetric).
     s = single.assemble_schur_sparse()
     assert np.abs((s - s.T).toarray()).max() < 1e-10
+
+
+def test_mixed_precision_inverse_accuracy():
+    """Refined f32-inverse solve reaches f64 accuracy on conditioned systems."""
+    from mfv2d_tpu.solver.iterative import MixedPrecisionLU
+
+    rng = np.random.default_rng(11)
+    n = 300
+    a = rng.normal(size=(n, n))
+    a = a @ a.T + 1e-2 * np.eye(n)
+    b = rng.normal(size=n)
+    x = np.asarray(MixedPrecisionLU(a).solve(b))
+    x_ref = np.linalg.solve(a, b)
+    assert np.max(np.abs(x - x_ref)) < 1e-10 * max(1, np.abs(x_ref).max())
