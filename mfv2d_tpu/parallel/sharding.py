@@ -96,26 +96,47 @@ class ShardedBlockSystem:
             vals = np.zeros(0)
 
         # Map flat DoF columns to (element, local dof) and partition entries
-        # by the owning device (elements are block-distributed).
+        # by the owning device (elements are block-distributed).  Both trace
+        # products use padded GATHER layouts: TPU scatters/segment-sums are
+        # ~10x slower than dense gathers (zero-valued padding is a no-op).
         elem_of_entry = cols // n
         local_dof = cols % n
         per_dev = self.e_padded // self.n_devices
         owner = elem_of_entry // per_dev
-        max_entries = max(
-            (int(np.sum(owner == d)) for d in range(self.n_devices)), default=0
-        )
-        max_entries = max(max_entries, 1)
-        ent_rows = np.zeros((self.n_devices, max_entries), np.int32)
-        ent_elem = np.zeros((self.n_devices, max_entries), np.int32)
-        ent_dof = np.zeros((self.n_devices, max_entries), np.int32)
-        ent_val = np.zeros((self.n_devices, max_entries))
-        for d in range(self.n_devices):
-            sel = owner == d
-            cnt = int(np.sum(sel))
-            ent_rows[d, :cnt] = rows[sel]
-            ent_elem[d, :cnt] = elem_of_entry[sel] - d * per_dev  # local index
-            ent_dof[d, :cnt] = local_dof[sel]
-            ent_val[d, :cnt] = vals[sel]  # padding has val 0 -> no-op
+        nd = self.n_devices
+        n_lag = max(self.n_lagrange, 1)
+
+        # Row-major per device: G x = psum of per-device partial row sums.
+        fill1 = np.zeros((nd, n_lag), np.int64)
+        for d, r in zip(owner, rows):
+            fill1[d, r] += 1
+        k1 = max(1, int(fill1.max()))
+        tr_elem = np.zeros((nd, n_lag, k1), np.int32)
+        tr_dof = np.zeros((nd, n_lag, k1), np.int32)
+        tr_val = np.zeros((nd, n_lag, k1))
+        fill1[:] = 0
+        for i in range(rows.size):
+            d, r = int(owner[i]), int(rows[i])
+            j = fill1[d, r]
+            tr_elem[d, r, j] = elem_of_entry[i] - d * per_dev
+            tr_dof[d, r, j] = local_dof[i]
+            tr_val[d, r, j] = vals[i]
+            fill1[d, r] += 1
+
+        # Column-major per device: G^T lam gathered per local (element, dof).
+        fill2 = np.zeros((self.e_padded, n), np.int64)
+        for e, dd in zip(elem_of_entry, local_dof):
+            fill2[e, dd] += 1
+        k2 = max(1, int(fill2.max()))
+        tt_rows = np.zeros((self.e_padded, n, k2), np.int32)
+        tt_val = np.zeros((self.e_padded, n, k2))
+        fill2[:] = 0
+        for i in range(rows.size):
+            e, dd = int(elem_of_entry[i]), int(local_dof[i])
+            j = fill2[e, dd]
+            tt_rows[e, dd, j] = rows[i]
+            tt_val[e, dd, j] = vals[i]
+            fill2[e, dd] += 1
 
         shard_e = NamedSharding(mesh, P("e"))
         self.blocks = jax.device_put(blocks, NamedSharding(mesh, P("e", None, None)))
@@ -137,10 +158,12 @@ class ShardedBlockSystem:
             lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(blocks))
             self.lu = jax.device_put(lu, NamedSharding(mesh, P("e", None, None)))
             self.piv = jax.device_put(piv, NamedSharding(mesh, P("e", None)))
-        self.ent_rows = jax.device_put(ent_rows, shard_e)
-        self.ent_elem = jax.device_put(ent_elem, shard_e)
-        self.ent_dof = jax.device_put(ent_dof, shard_e)
-        self.ent_val = jax.device_put(ent_val, shard_e)
+        self.tr_elem = jax.device_put(tr_elem, shard_e)
+        self.tr_dof = jax.device_put(tr_dof, shard_e)
+        self.tr_val = jax.device_put(tr_val, shard_e)
+        shard_e3 = NamedSharding(mesh, P("e", None, None))
+        self.tt_rows = jax.device_put(tt_rows, shard_e3)
+        self.tt_val = jax.device_put(tt_val, shard_e3)
         self.dof_sharding = NamedSharding(mesh, P("e", None))
 
     # -- shard_map kernels ---------------------------------------------
@@ -160,18 +183,16 @@ class ShardedBlockSystem:
             ).astype(rhs.dtype)
         return x
 
-    def _trace_local(self, dofs_local, ent_rows, ent_elem, ent_dof, ent_val):
-        """Per-device partial G x followed by a psum over the mesh axis."""
-        contrib = ent_val[0] * dofs_local[ent_elem[0], ent_dof[0]]
-        partial_sum = jax.ops.segment_sum(
-            contrib, ent_rows[0], num_segments=max(self.n_lagrange, 1)
+    def _trace_local(self, dofs_local, tr_elem, tr_dof, tr_val):
+        """Per-device partial G x (padded gather) + psum over the mesh axis."""
+        partial_sum = jnp.sum(
+            tr_val[0] * dofs_local[tr_elem[0], tr_dof[0]], axis=-1
         )
-        return jax.lax.psum(partial_sum, "e")
+        return jax.lax.psum(partial_sum, "e")[: self.n_lagrange]
 
-    def _trace_t_local(self, lam, ent_rows, ent_elem, ent_dof, ent_val, shape):
-        """Local G^T lambda scatter (lambda replicated)."""
-        out = jnp.zeros(shape)
-        return out.at[ent_elem[0], ent_dof[0]].add(ent_val[0] * lam[ent_rows[0]])
+    def _trace_t_local(self, lam, tt_rows, tt_val):
+        """Local G^T lambda as a padded gather (lambda replicated)."""
+        return jnp.sum(tt_val * lam[tt_rows], axis=-1)
 
     def make_schur_matvec(self):
         """Jitted sharded S = G A^{-1} G^T matvec."""
@@ -186,19 +207,18 @@ class ShardedBlockSystem:
                 P("e", None, None),
                 P("e", None),
                 P("e", None, None),
-                P("e"),
-                P("e"),
-                P("e"),
-                P("e"),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
             ),
             out_specs=P(None),
         )
-        def schur(lam, lu, piv, blocks, ent_rows, ent_elem, ent_dof, ent_val):
-            gt = self._trace_t_local(
-                lam, ent_rows, ent_elem, ent_dof, ent_val, (per_dev, n)
-            )
+        def schur(lam, lu, piv, blocks, tr_elem, tr_dof, tr_val, tt_rows, tt_val):
+            gt = self._trace_t_local(lam, tt_rows, tt_val)
             ainv = self._block_solve(lu, piv, blocks, gt)
-            return self._trace_local(ainv, ent_rows, ent_elem, ent_dof, ent_val)
+            return self._trace_local(ainv, tr_elem, tr_dof, tr_val)
 
         def matvec(lam):
             return schur(
@@ -206,10 +226,11 @@ class ShardedBlockSystem:
                 self.lu,
                 self.piv,
                 self.blocks,
-                self.ent_rows,
-                self.ent_elem,
-                self.ent_dof,
-                self.ent_val,
+                self.tr_elem,
+                self.tr_dof,
+                self.tr_val,
+                self.tt_rows,
+                self.tt_val,
             )
 
         return jax.jit(matvec)
@@ -230,19 +251,18 @@ class ShardedBlockSystem:
                 P("e", None),
                 P(None),
                 P("e", None, None),
-                P("e"),
-                P("e"),
-                P("e"),
-                P("e"),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
             ),
             out_specs=(P("e", None), P(None)),
         )
-        def step(dofs, lam, blocks, ent_rows, ent_elem, ent_dof, ent_val):
+        def step(dofs, lam, blocks, tr_elem, tr_dof, tr_val, tt_rows, tt_val):
             au = jnp.einsum("eij,ej->ei", blocks, dofs)
-            gt = self._trace_t_local(
-                lam, ent_rows, ent_elem, ent_dof, ent_val, (per_dev, n)
-            )
-            trace = self._trace_local(dofs, ent_rows, ent_elem, ent_dof, ent_val)
+            gt = self._trace_t_local(lam, tt_rows, tt_val)
+            trace = self._trace_local(dofs, tr_elem, tr_dof, tr_val)
             return au + gt, trace
 
         def apply_saddle(dofs, lam):
@@ -250,10 +270,11 @@ class ShardedBlockSystem:
                 dofs,
                 lam,
                 self.blocks,
-                self.ent_rows,
-                self.ent_elem,
-                self.ent_dof,
-                self.ent_val,
+                self.tr_elem,
+                self.tr_dof,
+                self.tr_val,
+                self.tt_rows,
+                self.tt_val,
             )
 
         return jax.jit(apply_saddle)
@@ -290,20 +311,19 @@ def sharded_schur_solve(
     @partial(
         jax.shard_map,
         mesh=system.mesh,
-        in_specs=(P("e", None), P("e"), P("e"), P("e"), P("e")),
+        in_specs=(
+            P("e", None),
+            P("e", None, None),
+            P("e", None, None),
+            P("e", None, None),
+        ),
         out_specs=P(None),
     )
-    def trace_of(dofs, ent_rows, ent_elem, ent_dof, ent_val):
-        return system._trace_local(dofs, ent_rows, ent_elem, ent_dof, ent_val)
+    def trace_of(dofs, tr_elem, tr_dof, tr_val):
+        return system._trace_local(dofs, tr_elem, tr_dof, tr_val)
 
     trace_rhs = (
-        trace_of(
-            ainv_b,
-            system.ent_rows,
-            system.ent_elem,
-            system.ent_dof,
-            system.ent_val,
-        )
+        trace_of(ainv_b, system.tr_elem, system.tr_dof, system.tr_val)
         - jnp.asarray(constraints)
     )
 
@@ -337,17 +357,13 @@ def sharded_schur_solve(
             P("e", None),
             P("e", None, None),
             P("e", None),
-            P("e"),
-            P("e"),
-            P("e"),
-            P("e"),
+            P("e", None, None),
+            P("e", None, None),
         ),
         out_specs=P("e", None),
     )
-    def backsub(lam, lu, piv, blocks, b_loc, ent_rows, ent_elem, ent_dof, ent_val):
-        gt = system._trace_t_local(
-            lam, ent_rows, ent_elem, ent_dof, ent_val, (per_dev, n)
-        )
+    def backsub(lam, lu, piv, blocks, b_loc, tt_rows, tt_val):
+        gt = system._trace_t_local(lam, tt_rows, tt_val)
         return system._block_solve(lu, piv, blocks, b_loc - gt)
 
     u = backsub(
@@ -356,10 +372,8 @@ def sharded_schur_solve(
         system.piv,
         system.blocks,
         b,
-        system.ent_rows,
-        system.ent_elem,
-        system.ent_dof,
-        system.ent_val,
+        system.tt_rows,
+        system.tt_val,
     )
     return system.unshard_dofs(u), np.asarray(lam), float(np.sqrt(mag2)), iters + 1
 
@@ -456,15 +470,18 @@ class MultiBucketShardedSystem:
             @partial(
                 jax.shard_map,
                 mesh=sub.mesh,
-                in_specs=(P("e", None), P("e"), P("e"), P("e"), P("e")),
+                in_specs=(
+                    P("e", None),
+                    P("e", None, None),
+                    P("e", None, None),
+                    P("e", None, None),
+                ),
                 out_specs=P(None),
             )
-            def trace_of(dofs, er, ee, ed, ev):
-                return sub._trace_local(dofs, er, ee, ed, ev)
+            def trace_of(dofs, te, td, tv):
+                return sub._trace_local(dofs, te, td, tv)
 
-            total = total + trace_of(
-                ainv, sub.ent_rows, sub.ent_elem, sub.ent_dof, sub.ent_val
-            )
+            total = total + trace_of(ainv, sub.tr_elem, sub.tr_dof, sub.tr_val)
         return total
 
     def solve_schur(self, rhs_flat, constraints, maximum_iterations, tolerance):
@@ -508,15 +525,13 @@ class MultiBucketShardedSystem:
                     P("e", None),
                     P("e", None, None),
                     P("e", None),
-                    P("e"),
-                    P("e"),
-                    P("e"),
-                    P("e"),
+                    P("e", None, None),
+                    P("e", None, None),
                 ),
                 out_specs=P("e", None),
             )
-            def backsub(lam_, lu, piv, blocks, ainv, er, ee, ed, ev):
-                gt_local = sub._trace_t_local(lam_, er, ee, ed, ev, (per_dev, n))
+            def backsub(lam_, lu, piv, blocks, ainv, ttr, ttv):
+                gt_local = sub._trace_t_local(lam_, ttr, ttv)
                 corr = sub._block_solve(lu, piv, blocks, gt_local)
                 return ainv - corr
 
@@ -526,10 +541,8 @@ class MultiBucketShardedSystem:
                 sub.piv,
                 sub.blocks,
                 ainv_b,
-                sub.ent_rows,
-                sub.ent_elem,
-                sub.ent_dof,
-                sub.ent_val,
+                sub.tt_rows,
+                sub.tt_val,
             )
             out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u_local)
         return out, np.asarray(lam), float(np.sqrt(mag2)), iters + 1
