@@ -71,6 +71,17 @@ class BlockSaddleSystem:
                 jax.scipy.linalg.lu_factor(b) for b in self.blocks
             ]
         self.gathers = [jnp.asarray(b.gather) for b in disc.buckets]
+        # Bucket gathers partition [0, n_dofs); the inverse permutation maps
+        # each global DoF to its position in the bucket-concatenated flat
+        # vector, so block results assemble with a GATHER instead of a
+        # scatter (TPU scatters are ~10x slower).
+        inv_perm = np.empty(disc.n_dofs, np.int32)
+        off = 0
+        for b in disc.buckets:
+            g = np.asarray(b.gather).reshape(-1)
+            inv_perm[g] = off + np.arange(g.size, dtype=np.int32)
+            off += g.size
+        self._inv_perm = jnp.asarray(inv_perm)
 
         if lagrange_mat is not None:
             coo = lagrange_mat.tocoo()
@@ -112,21 +123,29 @@ class BlockSaddleSystem:
 
     # -- block-diagonal operator ---------------------------------------
 
+    def _assemble(self, parts) -> jnp.ndarray:
+        """Bucket-flat results -> global DoF vector via the inverse perm."""
+        flat = (
+            parts[0].reshape(-1)
+            if len(parts) == 1
+            else jnp.concatenate([p.reshape(-1) for p in parts])
+        )
+        return flat[self._inv_perm]
+
     def apply_diagonal(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A x with A block-diagonal (batched GEMV per bucket)."""
-        y = jnp.zeros_like(x)
-        for blocks, gather in zip(self.blocks, self.gathers):
-            xe = x[gather]
-            ye = jnp.einsum("eij,ej->ei", blocks, xe)
-            y = y.at[gather].set(ye)
-        return y
+        parts = [
+            jnp.einsum("eij,ej->ei", blocks, x[gather])
+            for blocks, gather in zip(self.blocks, self.gathers)
+        ]
+        return self._assemble(parts)
 
     def apply_diagonal_inverse(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A^{-1} x: batched f64 LU solve, or on TPU a batched GEMV
         against the precomputed f32 inverse with three f64 refinement
         sweeps (measured 23x faster than batched triangular solves there).
         """
-        y = jnp.zeros_like(x)
+        parts = []
         for fac, blocks, gather in zip(self.lu_factors, self.blocks, self.gathers):
             xe = x[gather]
             if not self._refine_inverse:
@@ -140,8 +159,8 @@ class BlockSaddleSystem:
                     ye = ye + jnp.einsum(
                         "eij,ej->ei", fac, r.astype(jnp.float32)
                     ).astype(x.dtype)
-            y = y.at[gather].set(ye)
-        return y
+            parts.append(ye)
+        return self._assemble(parts)
 
     # -- trace (constraint) operator -----------------------------------
 
@@ -151,9 +170,12 @@ class BlockSaddleSystem:
         x = jnp.sum(
             self._col_vals.astype(jnp.float32) * lam32[self._col_rows], axis=1
         )
-        y = jnp.zeros_like(x)
-        for inv, gather in zip(self.lu_factors, self.gathers):
-            y = y.at[gather].set(jnp.einsum("eij,ej->ei", inv, x[gather]))
+        y = self._assemble(
+            [
+                jnp.einsum("eij,ej->ei", inv, x[gather])
+                for inv, gather in zip(self.lu_factors, self.gathers)
+            ]
+        )
         return jnp.sum(
             self._row_vals.astype(jnp.float32) * y[self._row_cols], axis=1
         )
