@@ -132,3 +132,90 @@ def test_tracer_stages(tmp_path):
     events = [json.loads(ln) for ln in sink.read_text().splitlines()]
     assert {e["stage"] for e in events} >= {"setup", "factorize"}
     tracer.reset()
+
+
+def test_anisotropic_orders_solve():
+    """Mixed-anisotropy (p1 != p2) mesh through every solver layer."""
+    model = poisson.mixed_poisson()
+    orders = np.array([[1, 3], [3, 1], [2, 2], [3, 3]])
+    mesh = mf.examples.unit_square_mesh(2, 2, orders)
+    sols, stats, _ = mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system), recon_order=4
+    )
+    assert len(stats.element_orders) == 4  # (1,3),(3,1),(2,2),(3,3)
+    g = sols[-1]
+    assert np.all(np.isfinite(g.point_data["u"]))
+    err = np.sqrt(
+        np.mean((g.point_data["u"] - poisson.u_exact(g.points[:, 0], g.points[:, 1])) ** 2)
+    )
+    assert err < 0.1
+
+
+def test_schur_direct_in_picard_loop():
+    """schur_direct as the inner solver of a nonlinear Picard iteration."""
+    from mfv2d_tpu.models import flow
+
+    model = flow.navier_stokes(5.0)
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    bc = mf.BoundaryCondition2DSteady(
+        model.velocity, mesh.boundary_indices, flow.ns_velocity_exact
+    )
+    sols, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+        mf.SolverSettings(
+            mf.ConvergenceSettings(40, 1e-9, 0), linear_solver="schur_direct"
+        ),
+        recon_order=6,
+    )
+    assert int(stats.iter_history[-1]) > 1
+    v_ex = flow.ns_velocity_exact(sols[-1].points[:, 0], sols[-1].points[:, 1])
+    err = np.sqrt(np.mean(np.sum((sols[-1].point_data["vel"] - v_ex) ** 2, -1)))
+    assert err < 1e-3, err
+
+
+def test_checkpoint_with_unsteady_bcs():
+    """Checkpoint/resume composes with time-dependent boundary values."""
+    from mfv2d_tpu.checkpoint import load_march_state
+
+    def exact(x, y, t):
+        return np.exp(t) * np.cosh(x)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    system = mf.KFormSystem(v.derivative @ u.derivative == 0 * (v @ u))
+    dt, nt = 0.05, 8
+
+    def settings(mesh):
+        return mf.SystemSettings(
+            system,
+            boundary_conditions=[
+                mf.BoundaryCondition2DUnsteady(u, mesh.boundary_indices, exact)
+            ],
+            initial_conditions={u: lambda x, y: np.cosh(x)},
+        )
+
+    solver = mf.SolverSettings(mf.ConvergenceSettings(20, 1e-11, 0))
+    ts = lambda n: mf.TimeSettings(dt=dt, nt=n, time_march_relations={v: u})  # noqa: E731
+
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    full, _, _ = mf.solve_system_2d(
+        mesh, settings(mesh), solver, time_settings=ts(nt), recon_order=4
+    )
+
+    import tempfile, os
+    ckpt = os.path.join(tempfile.mkdtemp(), "m.npz")
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    mf.solve_system_2d(
+        mesh, settings(mesh), solver, time_settings=ts(nt // 2), recon_order=4,
+        checkpoint_settings=mf.CheckpointSettings(ckpt, every=nt // 2),
+    )
+    state = load_march_state(ckpt)
+    mesh2 = state["mesh"]
+    res, _, _ = mf.solve_system_2d(
+        mesh2, settings(mesh2), solver, time_settings=ts(nt), recon_order=4,
+        checkpoint_settings=mf.CheckpointSettings(ckpt, resume_from=ckpt),
+    )
+    assert np.allclose(
+        res[-1].point_data["u"], full[-1].point_data["u"], atol=1e-12
+    ), np.abs(res[-1].point_data["u"] - full[-1].point_data["u"]).max()
