@@ -47,6 +47,10 @@ class _Config:
         # dtype used for batched element assembly; override with
         # MFV2D_TPU_ASSEMBLY_DTYPE=float32 for TPU throughput runs.
         self.assembly_dtype = os.environ.get("MFV2D_TPU_ASSEMBLY_DTYPE", "float64")
+        # Sum-factorized mass assembly (tensor-product splitting, ~5.5x
+        # fewer flops at p=4): "auto" enables it off-TPU (the MXU prefers
+        # the single big contraction), "always"/"never" force it.
+        self.sum_factorization = os.environ.get("MFV2D_TPU_SUM_FACTOR", "auto")
 
 
 config = _Config()

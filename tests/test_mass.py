@@ -160,3 +160,38 @@ def test_interior_product_against_quadrature():
     ms = np.asarray(mass_edge_surf(tb, batch.jac, field, False))[0]
     mst = np.asarray(mass_edge_surf(tb, batch.jac, field, True))[0]
     assert np.allclose(mst, ms.T, atol=1e-14)
+
+
+def test_sum_factorized_matches_direct():
+    """Sum-factorized grams equal the single-GEMM path to roundoff."""
+    import mfv2d_tpu.ops.mass as mass_mod
+    from mfv2d_tpu.config import config
+    from mfv2d_tpu.ops.basis import FemCache
+
+    rng = np.random.default_rng(9)
+    basis = FemCache(2).get_basis2d(4, 3)
+    tb = mass_mod.tensor_basis(basis)
+    base = np.array([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)])
+    corners = np.tile(base, (16, 1, 1)) + 0.08 * rng.normal(size=(16, 4, 2))
+    jac = mass_mod.batch_jacobian(tb, corners)
+    field = rng.normal(size=(16, tb.w.size))
+    vec_field = rng.normal(size=(16, tb.w.size, 2))
+
+    results = {}
+    old = config.sum_factorization
+    try:
+        for mode in ("never", "always"):
+            config.sum_factorization = mode
+            results[mode] = [
+                np.asarray(mass_mod.mass_node(tb, jac)),
+                np.asarray(mass_mod.mass_edge(tb, jac)),
+                np.asarray(mass_mod.mass_edge(tb, jac, field)),
+                np.asarray(mass_mod.mass_surf(tb, jac)),
+                np.asarray(mass_mod.mass_edge_edge_dual(tb, jac, field)),
+                np.asarray(mass_mod.mass_node_edge(tb, jac, vec_field, False)),
+                np.asarray(mass_mod.mass_edge_surf(tb, jac, vec_field, True)),
+            ]
+    finally:
+        config.sum_factorization = old
+    for a, b in zip(results["never"], results["always"]):
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-12), np.abs(a - b).max()
