@@ -195,3 +195,27 @@ def test_sum_factorized_matches_direct():
         config.sum_factorization = old
     for a, b in zip(results["never"], results["always"]):
         assert np.allclose(a, b, rtol=1e-12, atol=1e-12), np.abs(a - b).max()
+
+
+def test_sum_factorized_solve_identical():
+    """A p=5 end-to-end solve is identical under both assembly paths."""
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.config import config
+    from mfv2d_tpu.models import poisson
+
+    model = poisson.mixed_poisson()
+    out = {}
+    old = config.sum_factorization
+    try:
+        for mode in ("never", "always"):
+            config.sum_factorization = mode
+            mesh = mf.examples.unit_square_mesh(2, 2, 5)
+            sols, _, _ = mf.solve_system_2d(
+                mesh, mf.SystemSettings(model.system), recon_order=6
+            )
+            out[mode] = np.array(sols[-1].point_data["u"])
+    finally:
+        config.sum_factorization = old
+    assert np.allclose(out["never"], out["always"], atol=1e-11), np.abs(
+        out["never"] - out["always"]
+    ).max()
