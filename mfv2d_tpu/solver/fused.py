@@ -47,6 +47,32 @@ def _device_lu_solver(mat: np.ndarray, refinements: int = 12):
     return solve
 
 
+
+
+def _inverse_permutation(disc: Discretization) -> jnp.ndarray:
+    """global DoF -> position in the bucket-concatenated flat vector.
+
+    Bucket gathers partition the DoF range, so per-bucket results assemble
+    with one gather instead of scatter-sets (TPU scatters are ~10x slower).
+    """
+    inv = np.empty(disc.n_dofs, np.int32)
+    off = 0
+    for b in disc.buckets:
+        g = np.asarray(b.gather).reshape(-1)
+        inv[g] = off + np.arange(g.size, dtype=np.int32)
+        off += g.size
+    return jnp.asarray(inv)
+
+
+def _assemble_parts(parts, inv_perm):
+    flat = (
+        parts[0].reshape(-1)
+        if len(parts) == 1
+        else jnp.concatenate([p.reshape(-1) for p in parts])
+    )
+    return flat[inv_perm]
+
+
 def _dense_saddle(disc: Discretization, element_matrices, lagrange_mat):
     from mfv2d_tpu.solver.iterative import assemble_dense_saddle
 
@@ -104,17 +130,22 @@ def fused_linear_time_march(
     explicit = jnp.asarray(explicit_vec)
     two_over_dt = 2.0 / dt
 
+    inv_perm = _inverse_permutation(disc)
+
     def block_apply(x):
-        y = jnp.zeros_like(x)
-        for b, gather in zip(blocks, gathers):
-            y = y.at[gather].set(jnp.einsum("eij,ej->ei", b, x[gather]))
-        return y
+        return _assemble_parts(
+            [jnp.einsum("eij,ej->ei", b, x[g]) for b, g in zip(blocks, gathers)],
+            inv_perm,
+        )
 
     def dual_apply(x):
-        y = jnp.zeros_like(x)
-        for m, gather in zip(mass_blocks, gathers):
-            y = y.at[gather].set(jnp.einsum("eij,ej->ei", m, x[gather]))
-        return y
+        return _assemble_parts(
+            [
+                jnp.einsum("eij,ej->ei", m, x[g])
+                for m, g in zip(mass_blocks, gathers)
+            ],
+            inv_perm,
+        )
 
     def trace_apply(x):
         contrib = g_vals * x[g_cols]
@@ -202,8 +233,10 @@ def fused_picard_solve(
     form_spec = evaluator.form_spec
     base = jnp.asarray(explicit_vec)
 
+    inv_perm = _inverse_permutation(disc)
+
     def residual_value(u):
-        out = jnp.zeros(n)
+        parts = []
         for i, bucket in enumerate(disc.buckets):
             dofs = u[gathers[i]]
             val = compute_element_vectors(
@@ -215,8 +248,8 @@ def fused_picard_solve(
                     form_spec, compiled.rhs_blocks, bucket.batch, dofs,
                     static_fields=statics[i],
                 )
-            out = out.at[gathers[i]].set(val)
-        return out
+            parts.append(val)
+        return _assemble_parts(parts, inv_perm)
 
     def trace_apply(x):
         contrib = g_vals * x[g_cols]
@@ -338,8 +371,10 @@ def fused_nonlinear_time_march(
     explicit = jnp.asarray(explicit_vec)
     two_over_dt = 2.0 / dt
 
+    inv_perm = _inverse_permutation(disc)
+
     def residual_value(u):
-        out = jnp.zeros(n)
+        parts = []
         for i, bucket in enumerate(disc.buckets):
             dofs = u[gathers[i]]
             val = compute_element_vectors(
@@ -351,14 +386,19 @@ def fused_nonlinear_time_march(
                     form_spec, compiled.rhs_blocks, bucket.batch, dofs,
                     static_fields=statics[i],
                 )
-            out = out.at[gathers[i]].set(val)
-        return out
+            parts.append(val)
+        return _assemble_parts(parts, inv_perm)
+
+    inv_perm_dual = _inverse_permutation(disc)
 
     def dual_apply(x):
-        y = jnp.zeros_like(x)
-        for m, gather in zip(mass_blocks, gathers):
-            y = y.at[gather].set(jnp.einsum("eij,ej->ei", m, x[gather]))
-        return y
+        return _assemble_parts(
+            [
+                jnp.einsum("eij,ej->ei", m, x[g])
+                for m, g in zip(mass_blocks, gathers)
+            ],
+            inv_perm_dual,
+        )
 
     def trace_apply(x):
         contrib = g_vals * x[g_cols]
@@ -479,8 +519,10 @@ def _newton_machinery(
     form_spec = evaluator.form_spec
     on_tpu = jax.default_backend() == "tpu"
 
+    inv_perm = _inverse_permutation(disc)
+
     def residual_value(u):
-        out = jnp.zeros(n)
+        parts = []
         for i, bucket in enumerate(disc.buckets):
             dofs = u[gathers[i]]
             val = compute_element_vectors(
@@ -492,8 +534,8 @@ def _newton_machinery(
                     form_spec, compiled.rhs_blocks, bucket.batch, dofs,
                     static_fields=statics[i],
                 )
-            out = out.at[gathers[i]].set(val)
-        return out
+            parts.append(val)
+        return _assemble_parts(parts, inv_perm)
 
     # Per-bucket exact-Jacobian functions (vmapped jacfwd, trace-compatible).
     jac_fns = []
@@ -685,11 +727,16 @@ def fused_newton_time_march(
             big[:, offsets[i] : offsets[i + 1], offsets[i] : offsets[i + 1]] = mm
         mass_blocks.append(jnp.asarray(big))
 
+    inv_perm_dual = _inverse_permutation(disc)
+
     def dual_apply(x):
-        y = jnp.zeros_like(x)
-        for mb, gather in zip(mass_blocks, gathers):
-            y = y.at[gather].set(jnp.einsum("eij,ej->ei", mb, x[gather]))
-        return y
+        return _assemble_parts(
+            [
+                jnp.einsum("eij,ej->ei", mb, x[g])
+                for mb, g in zip(mass_blocks, gathers)
+            ],
+            inv_perm_dual,
+        )
 
     carry_idx = jnp.asarray(carry_indices, jnp.int32)
     explicit = jnp.asarray(explicit_vec)
