@@ -26,6 +26,7 @@ from mfv2d_tpu.mimetic import integrate_over_elements as integrate_over_elements
 from mfv2d_tpu.kform import KEquation as KEquation
 from mfv2d_tpu.kform import KFormUnknown as KFormUnknown
 from mfv2d_tpu.kform import KWeight as KWeight
+from mfv2d_tpu.kform import TimeDependent as TimeDependent
 from mfv2d_tpu.kform import UnknownFormOrder as UnknownFormOrder
 
 # System / compiler

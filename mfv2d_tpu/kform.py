@@ -445,6 +445,25 @@ class KSum(TermEvaluatable):
         )
 
 
+class TimeDependent:
+    """Wrap a time-dependent function ``f(x, y, t)`` for use anywhere a
+    steady ``f(x, y)`` is expected (forcing projections ``w @ f``, weak
+    boundary terms ``w ^ f``).  During an unsteady solve the march sets
+    :attr:`current_time` to the time level being solved for before
+    re-evaluating the explicit vector, so sources and weak boundary data
+    may vary in time (capability absent from the reference).
+    """
+
+    current_time: float = 0.0
+
+    def __init__(self, func) -> None:
+        self.func = func
+        self.__name__ = getattr(func, "__name__", "time_dependent")
+
+    def __call__(self, x, y):
+        return self.func(x, y, type(self).current_time)
+
+
 @dataclass(frozen=True)
 class KExplicit(TermEvaluatable):
     """Base class for explicit (right-hand side) terms."""

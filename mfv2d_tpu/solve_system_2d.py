@@ -89,6 +89,15 @@ def solve_system_2d(
         isinstance(bc, BoundaryCondition2DUnsteady)
         for bc in (boundary_conditions or [])
     )
+    from mfv2d_tpu.kform import KExplicit, TimeDependent
+
+    has_td_rhs = any(
+        isinstance(f, KExplicit) and isinstance(f.func, TimeDependent)
+        for eq in system.equations
+        for _, f in eq.right.explicit_terms
+    )
+    if has_td_rhs and time_settings is None:
+        raise ValueError("TimeDependent forcing requires time_settings.")
     if has_unsteady_bcs:
         if time_settings is None:
             raise ValueError(
@@ -163,6 +172,8 @@ def solve_system_2d(
         old_solution_carry = None
 
     initial_solution = solution if system_settings.initial_conditions else None
+    if has_td_rhs:
+        TimeDependent.current_time = 0.0
     with tracer.stage("assembly+constraints"):
         forcing, matrices, lagrange_mat, lagrange_vec = _compute_linear_system_traced(
         disc,
@@ -284,6 +295,7 @@ def solve_system_2d(
         and solver_settings.linear_solver == "dense"
         and checkpoint_settings is None
         and not has_unsteady_bcs
+        and not has_td_rhs
     )
     # Nonlinear marches fuse too (scan over steps, while_loop Picard inside)
     # when the dense on-device solver is selected and nothing forces a host
@@ -296,6 +308,7 @@ def solve_system_2d(
         and solver_settings.linear_solver == "dense"
         and checkpoint_settings is None
         and not has_unsteady_bcs
+        and not has_td_rhs
     )
     if use_fused_march:
         # Linear march: run the entire scan on device (solver/fused.py).
@@ -366,20 +379,31 @@ def solve_system_2d(
         dt = time_settings.dt
         changes = np.zeros(nt)
         iters = np.zeros(nt, np.uint32)
+        rebuild_each_step = has_unsteady_bcs or has_td_rhs
         pure_forcing = (
-            compute_forcing_vector(disc, system) if has_unsteady_bcs else None
+            compute_forcing_vector(disc, system)
+            if (has_unsteady_bcs and not has_td_rhs)
+            else None
         )
         for time_index in range(start_index, nt):
             assert old_solution_carry is not None and time_carry_term is not None
-            if has_unsteady_bcs and time_index > 0:
-                # Re-evaluate the prescribed boundary values at the new time
-                # level; the constraint matrix itself is time-independent.
+            if rebuild_each_step and (time_index > 0 or has_td_rhs):
+                # Re-evaluate time-dependent boundary values / forcing at
+                # the new time level; the constraint matrix itself is
+                # time-independent.
                 from mfv2d_tpu.continuity import add_system_constraints
 
+                if has_td_rhs:
+                    TimeDependent.current_time = (time_index + 1) * dt
                 frozen = freeze_unsteady_boundary_conditions(
-                    system_settings.boundary_conditions, (time_index + 1) * dt
+                    system_settings.boundary_conditions or [],
+                    (time_index + 1) * dt,
                 )
-                forcing_t = pure_forcing.copy()
+                forcing_t = (
+                    compute_forcing_vector(disc, system)
+                    if has_td_rhs
+                    else pure_forcing.copy()
+                )
                 vec_views = [
                     forcing_t[
                         disc.element_offsets[i] : disc.element_offsets[i + 1]

@@ -452,3 +452,58 @@ def test_fused_newton_march_matches_host():
     assert np.array_equal(it_a, it_b), (it_a, it_b)
     assert int(it_a[0]) > 1
     assert np.allclose(vel_a, vel_b, atol=1e-8), np.abs(vel_a - vel_b).max()
+
+def test_time_dependent_forcing():
+    """Heat march with a TimeDependent source: second order in dt.
+
+    u(x, y, t) = sin(t) phi with phi = cos(pi x/2) cos(pi y/2);
+    u_t = alpha lap(u) + f requires f = cos(t) phi + alpha pi^2/2 sin(t) phi.
+    """
+    ALPHA_ = 0.7
+
+    def phi(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def source(x, y, t):
+        return (np.cos(t) + ALPHA_ * np.pi**2 / 2 * np.sin(t)) * phi(x, y)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    system = mf.KFormSystem(
+        ALPHA_ * (v.derivative @ u.derivative) == v @ mf.TimeDependent(source),
+    )
+    t_end = 1.0
+
+    def run(nt):
+        mesh = mf.examples.unit_square_mesh(4, 4, 4)
+        bc = mf.BoundaryCondition2DSteady(
+            u, mesh.boundary_indices, lambda x, y: 0.0 * x
+        )
+        sols, _, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(system, boundary_conditions=[bc]),
+            mf.SolverSettings(mf.ConvergenceSettings(20, 1e-11, 0)),
+            time_settings=mf.TimeSettings(
+                dt=t_end / nt, nt=nt, time_march_relations={v: u}
+            ),
+            recon_order=6,
+        )
+        g = sols[-1]
+        exact = np.sin(t_end) * phi(g.points[:, 0], g.points[:, 1])
+        return np.max(np.abs(g.point_data["u"] - exact))
+
+    errors = [run(nt) for nt in (8, 16, 32)]
+    assert errors[0] / errors[1] > 3.0, errors
+    assert errors[1] / errors[2] > 3.0, errors
+    assert errors[-1] < 2e-4, errors
+
+
+def test_time_dependent_requires_time_settings():
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    system = mf.KFormSystem(
+        v.derivative @ u.derivative == v @ mf.TimeDependent(lambda x, y, t: x + t),
+    )
+    mesh = mf.examples.unit_square_mesh(2, 2, 2)
+    with pytest.raises(ValueError, match="TimeDependent"):
+        mf.solve_system_2d(mesh, mf.SystemSettings(system))
