@@ -135,6 +135,15 @@ def solve_system_2d(
         disc = discretize_mesh(mesh, system.unknown_forms, basis_cache)
         evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
 
+    # Time-dependent OPERATOR coefficients (interior-product fields) would
+    # require per-step reassembly + refactorization; fail loudly instead of
+    # silently freezing them at their setup-time value.
+    if any(isinstance(f, TimeDependent) for f in compiled.fields):
+        raise NotImplementedError(
+            "TimeDependent interior-product (operator) fields are not"
+            " supported; only forcing and boundary data may vary in time."
+        )
+
     # Initial conditions
     if system_settings.initial_conditions:
         initial_dual, solution = compute_initial_solution(

@@ -507,3 +507,20 @@ def test_time_dependent_requires_time_settings():
     mesh = mf.examples.unit_square_mesh(2, 2, 2)
     with pytest.raises(ValueError, match="TimeDependent"):
         mf.solve_system_2d(mesh, mf.SystemSettings(system))
+
+def test_time_dependent_operator_field_rejected():
+    """TimeDependent interior-product fields fail loudly (not silently frozen)."""
+    from mfv2d_tpu.models import transport
+
+    wind = mf.TimeDependent(lambda x, y, t: np.stack((x + t, y), axis=-1))
+    model = transport.linear_advection_diffusion(
+        0.1, wind, lambda x, y: 0.0 * x, lambda x, y: 0.0 * x
+    )
+    mesh = mf.examples.unit_square_mesh(2, 2, 2)
+    with pytest.raises(NotImplementedError, match="operator"):
+        mf.solve_system_2d(
+            mesh, mf.SystemSettings(model.system),
+            time_settings=mf.TimeSettings(
+                0.1, 2, {model.u.weight: model.u}
+            ),
+        )
