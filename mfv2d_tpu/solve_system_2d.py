@@ -184,14 +184,14 @@ def solve_system_2d(
     if has_td_rhs:
         TimeDependent.current_time = 0.0
     with tracer.stage("assembly+constraints"):
-        forcing, matrices, lagrange_mat, lagrange_vec = _compute_linear_system_traced(
-        disc,
-        system,
-        evaluator,
-        constrained_forms,
-        boundary_conditions if boundary_conditions is not None else [],
-        initial_solution,
-    )
+        forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+            disc,
+            system,
+            evaluator,
+            constrained_forms,
+            boundary_conditions if boundary_conditions is not None else [],
+            initial_solution,
+        )
 
     explicit_vec = forcing
     if lagrange_mat is not None:
@@ -621,10 +621,6 @@ def solve_system_2d(
     if tracer.enabled:
         print(tracer.report())
     return tuple(resulting_grids), stats, output_mesh
-
-
-def _compute_linear_system_traced(*args):
-    return compute_linear_system(*args)
 
 
 def _vms_to_coarse(sg_operator, fine_scales, disc):
