@@ -32,8 +32,14 @@ if not os.environ.get("MFV2D_TPU_NO_COMPILE_CACHE"):
         # threshold persisted none of them, so every process restart paid
         # the full compile bill again.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        # Also cache CPU executables (off by default).
-        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+        # Also cache CPU kernels unless disabled (their AOT entries log
+        # noisy machine-feature warnings on load; set
+        # MFV2D_TPU_XLA_CACHES=default to avoid them at some warm-start
+        # cost).
+        jax.config.update(
+            "jax_persistent_cache_enable_xla_caches",
+            os.environ.get("MFV2D_TPU_XLA_CACHES", "all"),
+        )
     except Exception:  # pragma: no cover - older jax without the options
         pass
 
