@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mfv2d_tpu.compiler import (
-    BlockOps,
     Identity,
     Incidence,
     InterProd,

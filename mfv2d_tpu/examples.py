@@ -5,7 +5,6 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 import numpy as np
-import numpy.typing as npt
 
 from mfv2d_tpu.mesh.quadtree import Mesh
 from mfv2d_tpu.mimetic import mesh_create

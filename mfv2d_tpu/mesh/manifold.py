@@ -15,7 +15,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import numpy.typing as npt
 
 try:  # Native dual-topology kernel (src/core.cpp); Python fallback below.
     from mfv2d_tpu import _core

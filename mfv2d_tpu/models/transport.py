@@ -10,7 +10,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from mfv2d_tpu.kform import KFormUnknown, KWeight, UnknownFormOrder
+from mfv2d_tpu.kform import KFormUnknown, UnknownFormOrder
 from mfv2d_tpu.system import KFormSystem
 
 

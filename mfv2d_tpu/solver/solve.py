@@ -26,7 +26,6 @@ from mfv2d_tpu.compiler import CompiledSystem, SystemBlocks
 from mfv2d_tpu.continuity import add_system_constraints
 from mfv2d_tpu.evaluation import (
     ElementBatch,
-    compute_element_matrices,
     compute_element_vectors,
     evaluate_static_fields,
 )
@@ -37,7 +36,6 @@ from mfv2d_tpu.kform import (
     UnknownFormOrder,
 )
 from mfv2d_tpu.mimetic import vtk_lagrange_ordering
-from mfv2d_tpu.ops.geometry import physical_coordinates
 from mfv2d_tpu.projection import element_dual_dofs, reconstruct
 from mfv2d_tpu.progress import ProgressTracker
 from mfv2d_tpu.solver.discretization import Discretization, OrderBucket
