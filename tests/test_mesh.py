@@ -161,3 +161,30 @@ def test_vtu_writer(tmp_path):
     assert int(piece.attrib["NumberOfCells"]) == 4
     names = {d.attrib.get("Name") for d in root.iter("DataArray")}
     assert {"connectivity", "offsets", "types", "u", "q", "orders"} <= names
+
+
+def test_vtu_writer_vector_data(tmp_path):
+    """Vector point data round-trips through the .vtu writer."""
+    import xml.etree.ElementTree as ET
+
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.models import flow
+
+    model = flow.stokes_flow()
+    mesh = unit_square_mesh(2, 2, 2)
+    bc = mf.BoundaryCondition2DSteady(
+        model.velocity, mesh.boundary_indices, flow.stokes_velocity_exact
+    )
+    sols, _, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+        recon_order=3,
+    )
+    path = tmp_path / "stokes.vtu"
+    sols[-1].save_vtu(path)
+    root = ET.parse(path).getroot()
+    arrays = {d.attrib.get("Name"): d for d in root.iter("DataArray")}
+    assert arrays["vel"].attrib["NumberOfComponents"] == "2"
+    vals = np.fromstring(arrays["vel"].text.replace("\n", " "), sep=" ")
+    assert vals.size == 2 * int(root.find(".//Piece").attrib["NumberOfPoints"])
+    assert np.all(np.isfinite(vals))
