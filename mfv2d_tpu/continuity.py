@@ -16,7 +16,6 @@ are pinned pointwise, and 1-form rows flip sign with side orientation.
 from __future__ import annotations
 
 from collections.abc import Sequence
-from itertools import accumulate
 
 import numpy as np
 import numpy.typing as npt
@@ -68,53 +67,41 @@ def _get_corner_dof(mesh: Mesh, element: int, side: ElementSide, /) -> tuple[int
     return _get_corner_dof(mesh, children[side.value - 1], side)
 
 
-def _edge_vandermonde(nodal_vals: np.ndarray) -> np.ndarray:
-    """Edge-basis values from nodal-basis values (cumulative differences)."""
-    diffs = nodal_vals[:-1, :] - nodal_vals[+1:, :]
-    return np.stack(
-        list(accumulate(diffs[..., i] for i in range(diffs.shape[-1] - 1))),
-        axis=-1,
-        dtype=np.float64,
-    )
+def _edge_integral_table(nodal_table: np.ndarray) -> np.ndarray:
+    """Integrals of each edge-basis polynomial between consecutive points.
 
-
-def _get_side_dof_nodes(
-    mesh: Mesh, element: int, side: ElementSide, order: UnknownFormOrder, /
-) -> list[ElementConstraint]:
-    """Leaf DoFs along a side plus their positions on the parent's side.
-
-    The ``coeffs`` member holds the position of each DoF's defining node in
-    the parent side's [-1, 1] coordinate (halved and shifted per child level).
+    Derivation: the mimetic edge basis paired with the nodal basis
+    ``l_0..l_p`` has the antiderivative ``-sum_{k < j} l_k`` for edge
+    function ``j`` (so its integral over ``[t_{j-1}, t_j]`` is one).  Given
+    the table ``nodal_table[i, k] = l_k(x_i)`` at sorted points ``x_i``, the
+    integral of edge function ``j`` over ``[x_i, x_{i+1}]`` is therefore
+    ``sum_{k < j} (l_k(x_i) - l_k(x_{i+1}))``: a cumulative sum along the
+    basis axis followed by a backward difference along the point axis.
     """
-    children = mesh.get_element_children(element)
-    if children is not None:
-        c1, c2 = element_node_children_on_side(side, children)
-        dofs1 = _get_side_dof_nodes(mesh, c1, side, order)
-        dofs2 = _get_side_dof_nodes(mesh, c2, side, order)
-        if order == UnknownFormOrder.FORM_ORDER_0:
-            # Drop the duplicated shared node (first of the second child).
-            dofs2[0] = ElementConstraint(
-                dofs2[0].i_e, dofs2[0].dofs[1:], dofs2[0].coeffs[1:]
-            )
-        elif order == UnknownFormOrder.FORM_ORDER_1:
-            # Only the positions are nodal; drop the duplicated position.
-            dofs2[0] = ElementConstraint(
-                dofs2[0].i_e, dofs2[0].dofs, dofs2[0].coeffs[1:]
-            )
-        else:
-            raise AssertionError
-        return [
-            ElementConstraint(d.i_e, d.dofs, (d.coeffs - 1) / 2) for d in dofs1
-        ] + [ElementConstraint(d.i_e, d.dofs, (d.coeffs + 1) / 2) for d in dofs2]
+    running = np.cumsum(nodal_table[:, :-1], axis=1)
+    return running[:-1, :] - running[1:, :]
 
-    n1, n2 = mesh.get_leaf_orders(element)
-    indices = element_boundary_dofs(side, order, n1, n2)
-    side_order = (n1, n2)[(side.value - 1) & 1]
-    return [
-        ElementConstraint(
-            mesh.get_leaf_index(element), indices, compute_gll(side_order)[0]
-        )
-    ]
+
+def _side_strips(mesh: Mesh, element: int, side: ElementSide) -> list[tuple[int, float, float]]:
+    """Flatten one (possibly split) element side into leaf strips.
+
+    Returns ``(leaf_element, lo, hi)`` triples ordered along the side's own
+    coordinate, where ``[lo, hi]`` is the sub-interval of the root side's
+    [-1, 1] coordinate covered by that leaf.  Splitting an element halves
+    the interval of the two children that touch the side.
+    """
+    strips: list[tuple[int, float, float]] = []
+    pending = [(element, -1.0, 1.0)]
+    while pending:
+        elem, lo, hi = pending.pop(0)
+        children = mesh.get_element_children(elem)
+        if children is None:
+            strips.append((elem, lo, hi))
+        else:
+            first, second = element_node_children_on_side(side, children)
+            mid = 0.5 * (lo + hi)
+            pending[:0] = [(first, lo, mid), (second, mid, hi)]
+    return strips
 
 
 def _get_side_dofs(
@@ -125,14 +112,35 @@ def _get_side_dofs(
     output_order: int | None = None,
     /,
 ) -> tuple[Constraint, ...]:
-    """Express the side's "virtual" DoFs in terms of leaf element DoFs."""
-    self_order = get_side_order(mesh, element, side)
-    if output_order is None:
-        output_order = self_order
+    """Side-restriction operator: side DoFs as combinations of leaf DoFs.
 
-    if mesh.get_element_children(element) is None and output_order == self_order:
-        # Leaf with no projection: identity.
-        indices = element_boundary_dofs(side, form_order, *mesh.get_leaf_orders(element))
+    A side of a split element has a "virtual" polynomial space of order
+    ``q = sum of the leaf side orders``; its DoFs are determined by the leaf
+    DoFs through an interpolation system.  With every leaf's GLL nodes
+    mapped affinely into the leaf's strip of the side, the merged node set
+    has exactly ``q + 1`` points, so:
+
+    - 0-forms: leaf nodal values pin the virtual polynomial pointwise —
+      the restriction matrix is the inverse of the nodal Vandermonde
+      ``V[i, j] = l_j(x_i)`` at the merged nodes.
+    - 1-forms: leaf edge DoFs are integrals of the virtual 1-form between
+      consecutive merged nodes — the restriction matrix is the inverse of
+      the edge-integral table over those ``q`` sub-intervals.
+
+    When ``output_order`` differs from ``q``, the virtual DoFs are further
+    re-expanded at the output order's GLL nodes/intervals, composing the
+    evaluation table at the output nodes with the inverse above.
+    """
+    virtual_order = get_side_order(mesh, element, side)
+    if output_order is None:
+        output_order = virtual_order
+
+    strips = _side_strips(mesh, element, side)
+    if len(strips) == 1 and output_order == virtual_order:
+        # Unsplit side, no projection: each side DoF is one leaf DoF.
+        indices = element_boundary_dofs(
+            side, form_order, *mesh.get_leaf_orders(element)
+        )
         return tuple(
             Constraint(
                 0.0,
@@ -145,43 +153,56 @@ def _get_side_dofs(
             for idx in indices
         )
 
-    dofs = _get_side_dof_nodes(mesh, element, side, form_order)
-    self_nodes = compute_gll(self_order)[0]
-    input_nodes = np.concatenate([d.coeffs for d in dofs])
-
-    nodal_basis_vals = lagrange1d(self_nodes, input_nodes)
-    if form_order == UnknownFormOrder.FORM_ORDER_0:
-        m = np.linalg.inv(nodal_basis_vals)
-    elif form_order == UnknownFormOrder.FORM_ORDER_1:
-        m = np.linalg.inv(_edge_vandermonde(nodal_basis_vals))
-    else:
+    if form_order not in (UnknownFormOrder.FORM_ORDER_0, UnknownFormOrder.FORM_ORDER_1):
         raise ValueError("2-forms have no boundary DoFs.")
+    is_nodal = form_order == UnknownFormOrder.FORM_ORDER_0
 
-    if self_order != output_order:
-        output_nodes = compute_gll(output_order)[0]
-        map_nodal = lagrange1d(self_nodes, output_nodes)
-        if form_order == UnknownFormOrder.FORM_ORDER_0:
-            m = map_nodal @ m
-        else:
-            m = _edge_vandermonde(map_nodal) @ m
+    # Per-strip leaf DoF indices and their node positions on the root side.
+    strip_dofs: list[npt.NDArray[np.uint32]] = []
+    strip_nodes: list[npt.NDArray[np.float64]] = []
+    for rank, (leaf, lo, hi) in enumerate(strips):
+        p1, p2 = mesh.get_leaf_orders(leaf)
+        p_side = (p1, p2)[(side.value - 1) & 1]
+        dof_idx = element_boundary_dofs(side, form_order, p1, p2)
+        nodes = lo + 0.5 * (compute_gll(p_side)[0] + 1.0) * (hi - lo)
+        if rank > 0:
+            # The strip's first node coincides with the previous strip's
+            # last; keep one merged breakpoint (and for nodal DoFs let the
+            # earlier strip's DoF represent the shared value).
+            nodes = nodes[1:]
+            if is_nodal:
+                dof_idx = dof_idx[1:]
+        strip_dofs.append(dof_idx)
+        strip_nodes.append(nodes)
 
-    constraints: list[Constraint] = []
-    for vrow in m:
-        col_offset = 0
-        elem_constraints: list[ElementConstraint] = []
-        for elem_dofs in dofs:
-            cnt = elem_dofs.dofs.size
-            elem_constraints.append(
-                ElementConstraint(
-                    elem_dofs.i_e,
-                    elem_dofs.dofs,
-                    vrow[col_offset : col_offset + cnt],
+    merged_nodes = np.concatenate(strip_nodes)
+    virtual_nodes = compute_gll(virtual_order)[0]
+    eval_table = lagrange1d(virtual_nodes, merged_nodes)
+    if not is_nodal:
+        eval_table = _edge_integral_table(eval_table)
+    restriction = np.linalg.inv(eval_table)
+
+    if output_order != virtual_order:
+        out_table = lagrange1d(virtual_nodes, compute_gll(output_order)[0])
+        if not is_nodal:
+            out_table = _edge_integral_table(out_table)
+        restriction = out_table @ restriction
+
+    # Split each restriction row into per-leaf coefficient slices.
+    splits = np.cumsum([d.size for d in strip_dofs])[:-1]
+    leaf_ranks = [mesh.get_leaf_index(leaf) for leaf, _, _ in strips]
+    return tuple(
+        Constraint(
+            0.0,
+            *(
+                ElementConstraint(rank, dof_idx, coeff_slice)
+                for rank, dof_idx, coeff_slice in zip(
+                    leaf_ranks, strip_dofs, np.split(row, splits)
                 )
-            )
-            col_offset += cnt
-        assert col_offset == vrow.size
-        constraints.append(Constraint(0.0, *elem_constraints))
-    return tuple(constraints)
+            ),
+        )
+        for row in restriction
+    )
 
 
 def connect_corner_based(mesh: Mesh, *pairs: tuple[int, ElementSide]) -> list[Constraint]:

@@ -64,45 +64,45 @@ def element_boundary_dofs(
     give the "order" normal-flux edge DoFs; top/left sides are flipped so the
     walk is always counter-clockwise.
     """
-    if order == UnknownFormOrder.FORM_ORDER_1:
-        if side == ElementSide.SIDE_BOTTOM:
-            idx = np.arange(order_1, dtype=np.uint32)
-        elif side == ElementSide.SIDE_RIGHT:
-            # Note: the reference (mimetic2d.py:744-750) adds order_2 here,
-            # which is only correct for square orders; the xi-component block
-            # index at i1 = order_1 requires "+ order_1".
-            idx = (
-                order_1 * (order_2 + 1)
-                + order_1
-                + np.arange(order_2, dtype=np.uint32) * (order_1 + 1)
-            )
-        elif side == ElementSide.SIDE_TOP:
-            idx = np.flip(order_1 * order_2 + np.arange(order_1, dtype=np.uint32))
-        elif side == ElementSide.SIDE_LEFT:
-            idx = np.flip(
-                order_1 * (order_2 + 1)
-                + np.arange(order_2, dtype=np.uint32) * (order_1 + 1)
-            )
-        else:
-            raise ValueError(f"Invalid side {side=}.")
-    elif order == UnknownFormOrder.FORM_ORDER_0:
-        if side == ElementSide.SIDE_BOTTOM:
-            idx = np.arange(order_1 + 1, dtype=np.uint32)
-        elif side == ElementSide.SIDE_RIGHT:
-            idx = order_1 + np.arange(order_2 + 1, dtype=np.uint32) * (order_1 + 1)
-        elif side == ElementSide.SIDE_TOP:
-            idx = np.flip(
-                (order_1 + 1) * order_2 + np.arange(order_1 + 1, dtype=np.uint32)
-            )
-        elif side == ElementSide.SIDE_LEFT:
-            idx = np.flip(np.arange(order_2 + 1, dtype=np.uint32) * (order_1 + 1))
-        else:
-            raise ValueError(f"Invalid side {side=}.")
+    if order == UnknownFormOrder.FORM_ORDER_0:
+        # Nodal DoFs: a (order_2 + 1, order_1 + 1) row-major (eta, xi) grid;
+        # a side is one border row/column, reversed on top/left for CCW.
+        grid = np.arange((order_1 + 1) * (order_2 + 1), dtype=np.uint32).reshape(
+            order_2 + 1, order_1 + 1
+        )
+        per_side = {
+            ElementSide.SIDE_BOTTOM: grid[0, :],
+            ElementSide.SIDE_RIGHT: grid[:, -1],
+            ElementSide.SIDE_TOP: grid[-1, ::-1],
+            ElementSide.SIDE_LEFT: grid[::-1, 0],
+        }
+    elif order == UnknownFormOrder.FORM_ORDER_1:
+        # Edge DoFs come in two row-major blocks: xi-directed edges on a
+        # (order_2 + 1, order_1) grid, then eta-directed edges on a
+        # (order_2, order_1 + 1) grid.  A side's flux DoFs are the border
+        # row/column of the block whose edges run along that side.  (The
+        # reference's right-side expression, mimetic2d.py:744-750, offsets
+        # by order_2 where the anisotropic layout requires order_1; the
+        # grid form is correct for any (order_1, order_2).)
+        xi_edges = np.arange(order_1 * (order_2 + 1), dtype=np.uint32).reshape(
+            order_2 + 1, order_1
+        )
+        eta_edges = order_1 * (order_2 + 1) + np.arange(
+            (order_1 + 1) * order_2, dtype=np.uint32
+        ).reshape(order_2, order_1 + 1)
+        per_side = {
+            ElementSide.SIDE_BOTTOM: xi_edges[0, :],
+            ElementSide.SIDE_RIGHT: eta_edges[:, -1],
+            ElementSide.SIDE_TOP: xi_edges[-1, ::-1],
+            ElementSide.SIDE_LEFT: eta_edges[::-1, 0],
+        }
     elif order == UnknownFormOrder.FORM_ORDER_2:
         raise ValueError("2-forms have no boundary DoFs.")
     else:
         raise ValueError(f"Invalid order {order=}.")
-    return idx.astype(np.uint32)
+    if side not in per_side:
+        raise ValueError(f"Invalid side {side=}.")
+    return np.ascontiguousarray(per_side[side])
 
 
 def get_side_order(mesh: Mesh, element_idx: int, side: ElementSide, /) -> int:
@@ -137,20 +137,28 @@ class Constraint:
 
 
 def vtk_lagrange_ordering(order: int) -> npt.NDArray[np.uint32]:
-    """Node ordering of a VTK Lagrange quadrilateral of the given order."""
+    """Node ordering of a VTK Lagrange quadrilateral of the given order.
+
+    VTK stores high-order quads as corners (CCW), then the four edge
+    interiors (bottom, right, top, left, each in increasing coordinate),
+    then the cell interior row-major.  Expressed as selections from the
+    row-major (eta, xi) node grid.
+    """
     n = int(order) + 1
-    v = np.arange(n)
-    if order > 1:
-        parts = (
-            np.array((0, n - 1, n**2 - 1, n * (n - 1))),  # corners
-            v[1:-1],  # bottom edge
-            n - 1 + n * v[1:-1],  # right edge
-            n * (n - 1) + v[1:-1],  # top edge
-            n * v[1:-1],  # left edge
-            np.concatenate([v[1:-1] + n * k for k in v[1:-1]]),
+    grid = np.arange(n * n, dtype=np.uint32).reshape(n, n)
+    corners = grid[[0, 0, -1, -1], [0, -1, -1, 0]]
+    if order <= 1:
+        return corners
+    return np.concatenate(
+        (
+            corners,
+            grid[0, 1:-1],  # bottom edge interior
+            grid[1:-1, -1],  # right edge interior
+            grid[-1, 1:-1],  # top edge interior
+            grid[1:-1, 0],  # left edge interior
+            grid[1:-1, 1:-1].ravel(),  # cell interior
         )
-        return np.concatenate(parts).astype(np.uint32)
-    return np.array((0, n - 1, n**2 - 1, n * (n - 1)), np.uint32)
+    )
 
 
 def mesh_create(order, positions, lines, surfaces) -> Mesh:

@@ -1,29 +1,53 @@
-"""Terminal progress reporting: iteration spinner and histograms.
+"""Terminal reporting for iterative solves: status line and histograms.
 
-Behavioral equivalent of the reference (python/mfv2d/progress.py): an ANSI
-spinner with an iteration bar and a log-scaled residual position bar, plus a
-text histogram renderer used for error/order distributions.
+Fills the same role as the reference's progress module (an in-place status
+line for the nonlinear loop and text histograms for error/order
+distributions) with an original rendering: convergence is shown as the
+fraction of the log-residual distance already covered, drawn as a single
+percent-style bar, and histograms carry a count axis on the left margin.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import numpy.typing as npt
 
-_ANSI_RESET = "\033[0m"
-_ANSI_RED = "\033[31m"
-_ANSI_YELLOW = "\033[33m"
-_ANSI_GREEN = "\033[32m"
+_RESET = "\033[0m"
 
-_SPINNERS = ("|", "/", "-", "\\")
+
+def _tint(text: str, fraction: float) -> str:
+    """Color text red/yellow/green by how far along convergence is."""
+    if fraction >= 1.0:
+        code = "\033[32m"
+    elif fraction > 0.0:
+        code = "\033[33m"
+    else:
+        code = "\033[31m"
+    return code + text + _RESET
+
+
+def _bar(fraction: float, width: int) -> str:
+    """A percent bar: '=' for covered cells, '>' at the frontier."""
+    fraction = min(max(fraction, 0.0), 1.0)
+    filled = int(round(fraction * width))
+    if 0 < filled < width:
+        return "=" * (filled - 1) + ">" + "." * (width - filled)
+    return "=" * filled + "." * (width - filled)
 
 
 @dataclass
 class ProgressTracker:
-    """Tracks nonlinear iteration progress for terminal display."""
+    """Single-line convergence status for a nonlinear iteration.
+
+    Progress toward the tolerance is measured in log space: with a starting
+    residual ``r0``, current residual ``r`` and tolerance ``tol``, the
+    covered fraction is ``log(r0/r) / log(r0/tol)`` — 0 at the start, 1 at
+    convergence, negative if the residual grew.
+    """
 
     err_tol: float
     err_initial: float
@@ -32,54 +56,50 @@ class ProgressTracker:
     iter_cur: int = 0
     iter_width: int = 10
     err_width: int = 10
+    _history: list[float] = field(default_factory=list)
+
+    _PULSE = ".oOo"
 
     def update_iteration(self, new_err: float) -> None:
-        self.err_cur = new_err
-        if self.iter_cur < self.iter_max:
-            self.iter_cur += 1
+        """Record the residual of one more completed iteration."""
+        self._history.append(float(new_err))
+        self.err_cur = float(new_err)
+        self.iter_cur = min(self.iter_cur + 1, self.iter_max)
 
     @property
-    def iter_progress(self) -> str:
-        frac = int(self.iter_width * self.iter_cur / self.iter_max)
-        return "#" * frac + " " * (self.iter_width - frac)
-
-    @property
-    def err_indicator(self) -> str:
-        """Position of the current error on a log scale between start and tol."""
-        chars = list(" |" + " " * self.err_width + "| ")
-        if self.err_cur >= self.err_initial:
-            chars = [_ANSI_RED + "*" + _ANSI_RESET] + chars[1:]
-        elif self.err_cur <= self.err_tol:
-            chars = chars[:-1] + [_ANSI_GREEN + "*" + _ANSI_RESET]
-        else:
-            pos = int(
-                (np.log(self.err_initial) - np.log(self.err_cur))
-                / (np.log(self.err_initial) - np.log(self.err_tol))
-                * self.err_width
-            )
-            pos = min(max(pos, 0), self.err_width - 1)
-            chars[pos + 2] = _ANSI_YELLOW + "*" + _ANSI_RESET
-        return "".join(chars)
+    def converged_fraction(self) -> float:
+        """Fraction of the log-residual distance to tolerance covered."""
+        span = math.log(self.err_initial) - math.log(self.err_tol)
+        if span <= 0.0:
+            return 1.0
+        if self.err_cur <= 0.0:
+            return 1.0
+        return (math.log(self.err_initial) - math.log(self.err_cur)) / span
 
     def state_str(self, format_string: str) -> str:
-        iter_str = (
-            "Iteration "
-            + str(self.iter_cur).rjust(len(str(self.iter_max)))
-            + f" out of {self.iter_max}[{self.iter_progress}]"
+        """Render the status into ``format_string`` ({spinner}, {iter}, {err})."""
+        pulse = self._PULSE[self.iter_cur % len(self._PULSE)]
+        digits = len(str(self.iter_max))
+        iter_part = (
+            f"it {self.iter_cur:>{digits}}/{self.iter_max} "
+            f"[{_bar(self.iter_cur / self.iter_max, self.iter_width)}]"
         )
-        err_str = (
-            f"Error at {self.err_cur:.3e} / {self.err_tol:.3e} ["
-            + self.err_indicator
-            + "]"
+        frac = self.converged_fraction
+        err_part = (
+            f"res {self.err_cur:9.3e} -> {self.err_tol:.0e} "
+            + _tint(f"[{_bar(frac, self.err_width)}] {100 * frac:5.1f}%", frac)
         )
-        return format_string.format(
-            _SPINNERS[self.iter_cur % len(_SPINNERS)], iter_str, err_str
-        )
+        return format_string.format(pulse, iter_part, err_part)
 
 
 @dataclass(frozen=True)
 class HistogramFormat:
-    """Renders a text histogram of an array to the terminal."""
+    """Text histogram: vertical bars with a count axis and edge labels.
+
+    ``rows`` is the bar height in character rows, ``cols`` the number of
+    character columns spanned by the bins, ``tick_count`` how many bin-edge
+    labels to print under the axis.
+    """
 
     rows: int
     cols: int
@@ -87,38 +107,35 @@ class HistogramFormat:
     label_format: Callable[[float], str] = str
 
     def format(self, a: npt.ArrayLike) -> str:
-        hist, bin_edges = np.histogram(np.asarray(a), bins=self.cols)
-        max_val = hist.max()
-        scaled = (
-            np.zeros_like(hist)
-            if max_val == 0
-            else np.round((hist / max_val) * (self.rows - 1)).astype(int)
-        )
-        lines = []
-        for r in reversed(range(self.rows)):
-            lines.append(
-                "".join("#" if scaled[b] >= r else " " for b in range(self.cols))
-            )
-        tick_positions = np.linspace(0, self.cols - 1, self.tick_count, dtype=int)
-        tick_row = [" "] * self.cols
-        for pos in tick_positions:
-            tick_row[pos] = "|"
-        lines.append("".join(tick_row))
+        values = np.asarray(a, dtype=float).ravel()
+        counts, edges = np.histogram(values, bins=self.cols)
+        peak = int(counts.max()) if counts.size else 0
+        lines: list[str] = []
+        margin = len(str(peak)) + 1
+        for row in range(self.rows, 0, -1):
+            # A column is drawn in this row if its count reaches the row's
+            # share of the peak; the axis carries the peak count on top.
+            threshold = peak * (row - 0.5) / self.rows
+            cells = "".join("#" if c > threshold and c > 0 else " " for c in counts)
+            axis_label = str(peak) if row == self.rows else ""
+            lines.append(f"{axis_label:>{margin - 1}}|{cells}")
+        lines.append(" " * (margin - 1) + "+" + "-" * self.cols)
 
-        label_row = [" "] * self.cols
-        for i, pos in enumerate(tick_positions):
-            label = self.label_format(float(bin_edges[pos]))
-            if i == 0:
-                start = pos
-            elif i == len(tick_positions) - 1:
-                start = pos - len(label) + 1
-            else:
-                start = pos - len(label) // 2
-            start = max(start, 0)
-            end = min(start + len(label), self.cols)
-            for j, ch in enumerate(label[: end - start]):
-                label_row[start + j] = ch
-        lines.append("".join(label_row))
+        ticks = np.linspace(0, self.cols, self.tick_count, dtype=int)
+        marker_row = bytearray(b" " * (margin + self.cols + 1))
+        label_row = bytearray(b" " * (margin + self.cols + 32))
+        for rank, t in enumerate(ticks):
+            marker_row[margin + min(int(t), self.cols - 1)] = ord("^")
+            text = self.label_format(float(edges[t]))
+            anchor = margin + int(t)
+            if rank == len(ticks) - 1:
+                anchor -= len(text) - 1
+            elif rank > 0:
+                anchor -= len(text) // 2
+            anchor = max(anchor, 0)
+            label_row[anchor : anchor + len(text)] = text.encode()
+        lines.append(marker_row.decode().rstrip())
+        lines.append(label_row.decode().rstrip())
         return "\n".join(lines)
 
     def __call__(self, a: npt.ArrayLike) -> str:

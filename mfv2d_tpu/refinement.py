@@ -49,6 +49,13 @@ from mfv2d_tpu.solver.solve import SystemEvaluator, compute_element_rhs_bucket
 from mfv2d_tpu.system import ElementFormSpecification, KFormSystem
 
 
+def _mode_norms(order_1: int, order_2: int) -> npt.NDArray[np.float64]:
+    """L2 norms squared of the Legendre products: ||P_m P_n||^2 on [-1,1]^2."""
+    per_mode_xi = 2.0 / (2.0 * np.arange(order_1 + 1) + 1.0)
+    per_mode_eta = 2.0 / (2.0 * np.arange(order_2 + 1) + 1.0)
+    return np.outer(per_mode_eta, per_mode_xi)
+
+
 def compute_legendre_coefficients(
     order_1: int,
     order_2: int,
@@ -59,21 +66,19 @@ def compute_legendre_coefficients(
 ) -> npt.NDArray[np.float64]:
     """Legendre-spectrum coefficients of a function sampled at quadrature nodes.
 
-    ``weighted_function`` is function * weights * det; the 1/sqrt(det)
-    factor normalizes the metric (reference refinement.py:40-85).
+    ``weighted_function`` carries function * quadrature weight * Jacobian
+    determinant on an (eta, xi) grid; one 1/sqrt(det) factor converts the
+    metric-weighted samples to the density the spectrum is taken of (same
+    convention as the reference, refinement.py:40-85).  Separability of the
+    tensor-product basis reduces the projection to two small GEMMs:
+    ``moments = P_eta @ samples @ P_xi^T`` with ``P[k, i] = P_k(node_i)``,
+    then each mode is divided by its basis norm.
     """
-    leg1 = compute_legendre(order_1, nodes_xi.flatten())
-    leg2 = compute_legendre(order_2, nodes_eta.flatten())
-    rleg = np.sum(
-        weighted_function[None, None, ...]
-        * (leg1[None, :, None, :] * leg2[:, None, :, None])
-        / np.sqrt(det[None, ...]),
-        axis=(-2, -1),
-    )
-    n1 = np.arange(order_1 + 1)
-    n2 = np.arange(order_2 + 1)
-    rleg /= (2 / (2 * n1 + 1))[None, :] * (2 / (2 * n2 + 1))[:, None]
-    return rleg
+    samples = np.asarray(weighted_function) / np.sqrt(det)
+    table_xi = compute_legendre(order_1, np.ravel(nodes_xi))
+    table_eta = compute_legendre(order_2, np.ravel(nodes_eta))
+    moments = table_eta @ samples @ table_xi.T
+    return moments / _mode_norms(order_1, order_2)
 
 
 def compute_legendre_error_estimates(
@@ -88,26 +93,28 @@ def compute_legendre_error_estimates(
 ) -> tuple[float, float]:
     """(L2 error^2, h-refinement cost) from Legendre spectra.
 
-    The h cost measures the energy in the high-mode quadrants that h-splitting
-    would have to re-resolve (reference refinement.py:88-152).
+    The h cost is the spectral energy the element's *upper* mode bands hold
+    in the improved solution ``u + err``: per mode, the energy difference
+    ``|c_{u+e}|^2 - |c_e|^2`` (which equals ``c_u (c_u + 2 c_e)``), summed
+    over every mode outside the low/low quadrant — the content h-splitting
+    must re-resolve with half-order children (semantics per reference
+    refinement.py:88-152).
     """
     assert err.shape == u.shape
     if err.ndim == 3:
+        # Vector-valued forms: estimate on the Euclidean magnitude.
         err = np.linalg.norm(err, axis=-1)
         u = np.linalg.norm(u, axis=-1)
-    coeffs_err = compute_legendre_coefficients(order_1, order_2, xi, eta, err * w * det, det)
-    coeffs_u = compute_legendre_coefficients(order_1, order_2, xi, eta, u * w * det, det)
-    norm = 4 / (
-        (2 * np.arange(order_1 + 1) + 1)[None, :]
-        * (2 * np.arange(order_2 + 1) + 1)[:, None]
+    wdet = w * det
+    spec_better = compute_legendre_coefficients(
+        order_1, order_2, xi, eta, (u + err) * wdet, det
     )
-    measure = coeffs_u * (coeffs_u + 2 * coeffs_err) * norm
-    estimate = (
-        np.sum(measure[order_2 // 2 :, order_1 // 2 :])
-        + np.sum(measure[order_2 // 2 :, : order_1 // 2])
-        + np.sum(measure[: order_2 // 2, order_1 // 2 :])
-    )
-    return float(np.sum(err**2 * w * det)), float(np.abs(estimate))
+    spec_err = compute_legendre_coefficients(order_1, order_2, xi, eta, err * wdet, det)
+    energy = (spec_better**2 - spec_err**2) * _mode_norms(order_1, order_2)
+    low_low = np.zeros(energy.shape, dtype=bool)
+    low_low[: order_2 // 2, : order_1 // 2] = True
+    h_cost = abs(float(np.sum(energy[~low_low])))
+    return float(np.sum(err**2 * wdet)), h_cost
 
 
 def compute_legendre_directional_costs(
@@ -127,16 +134,10 @@ def compute_legendre_directional_costs(
     """
     if err.ndim == 3:
         err = np.linalg.norm(err, axis=-1)
-    coeffs = compute_legendre_coefficients(order_1, order_2, xi, eta, err * w * det, det)
-    norm = 4 / (
-        (2 * np.arange(order_1 + 1) + 1)[None, :]
-        * (2 * np.arange(order_2 + 1) + 1)[:, None]
-    )
-    energy = coeffs * coeffs * norm
-    hi1 = max(order_1 // 2, 1)
-    hi2 = max(order_2 // 2, 1)
-    p1_cost = float(np.sum(energy[:, hi1:]))
-    p2_cost = float(np.sum(energy[hi2:, :]))
+    spec = compute_legendre_coefficients(order_1, order_2, xi, eta, err * w * det, det)
+    energy = spec**2 * _mode_norms(order_1, order_2)
+    p1_cost = float(np.sum(energy[:, max(order_1 // 2, 1) :]))
+    p2_cost = float(np.sum(energy[max(order_2 // 2, 1) :, :]))
     return p1_cost, p2_cost
 
 

@@ -341,7 +341,9 @@ def pcg_general(
         ap = apply_system(p)
         apa = float(jnp.vdot(ap, p))
         if res_mag2 > 0 and abs(apa) / res_mag2 < degen_limit:
-            raise RuntimeError("System degenerated (matrix was probably not SPD).")
+            raise RuntimeError(
+                "PCG breakdown: p'Ap was not positive - operator is not SPD."
+            )
         alpha = rz / apa
         x = x + alpha * p
         res = res - alpha * ap
