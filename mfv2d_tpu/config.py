@@ -57,6 +57,11 @@ class _Config:
         # fewer flops at p=4): "auto" enables it off-TPU (the MXU prefers
         # the single big contraction), "always"/"never" force it.
         self.sum_factorization = os.environ.get("MFV2D_TPU_SUM_FACTOR", "auto")
+        # Fused pair-table assembly: lower each linear-in-metric block to one
+        # wide-N GEMM per term (ops/fused_assembly.py).  Measured 1.53x over
+        # the stack-machine path on v5e at p=4; disable with
+        # MFV2D_TPU_FUSED_ASSEMBLY=0 to force the fallback everywhere.
+        self.fused_assembly = os.environ.get("MFV2D_TPU_FUSED_ASSEMBLY", "1") != "0"
 
 
 config = _Config()

@@ -407,6 +407,11 @@ def compute_element_matrices(
     needed = collect_fields(blocks)
     fields = compute_fields(batch, needed, form_spec, dofs, static_fields)
 
+    from mfv2d_tpu.config import config as _cfg
+    from mfv2d_tpu.ops.fused_assembly import evaluate_block_fused, try_plan
+
+    use_fused = _cfg.fused_assembly
+    k_cache: dict = {}
     rows = []
     for i, row in enumerate(blocks):
         cols = []
@@ -418,6 +423,10 @@ def compute_element_matrices(
                         batch.jac.det.dtype,
                     )
                 )
+                continue
+            plan = try_plan(block, batch) if use_fused else None
+            if plan is not None:
+                cols.append(evaluate_block_fused(plan, batch, fields, k_cache))
             else:
                 cols.append(evaluate_block(block, batch, fields, sizes[j]))
         rows.append(jnp.concatenate(cols, axis=2))
@@ -508,6 +517,7 @@ def _cached_element_fn(
     spec_items,
     static_keys,
     mode: str,
+    fused: bool = True,
 ):
     import jax
 
@@ -589,6 +599,8 @@ def jit_element_vectors(
 
 def element_vector_fn(batch: ElementBatch, blocks, form_spec, static_keys=()):
     """Shape-cached jitted ``(corners, dofs, static_vals) -> [E, N]``."""
+    from mfv2d_tpu.config import config as _cfg
+
     return _cached_element_fn(
         batch.orders,
         batch.basis.integration_orders,
@@ -596,11 +608,14 @@ def element_vector_fn(batch: ElementBatch, blocks, form_spec, static_keys=()):
         tuple((n, int(o)) for n, o in form_spec),
         tuple(static_keys),
         "vector",
+        _cfg.fused_assembly,
     )
 
 
 def element_matrix_fn(batch: ElementBatch, blocks, form_spec, static_keys=()):
     """Shape-cached jitted ``(corners, dofs, static_vals) -> [E, N, N]``."""
+    from mfv2d_tpu.config import config as _cfg
+
     return _cached_element_fn(
         batch.orders,
         batch.basis.integration_orders,
@@ -608,4 +623,5 @@ def element_matrix_fn(batch: ElementBatch, blocks, form_spec, static_keys=()):
         tuple((n, int(o)) for n, o in form_spec),
         tuple(static_keys),
         "matrix",
+        _cfg.fused_assembly,
     )

@@ -223,7 +223,12 @@ def test_anisotropic_p_refinement():
     mesh = mf.examples.unit_square_mesh(3, 3, 2)
     bc = mf.BoundaryCondition2DSteady(u, mesh.boundary_indices, u_aniso)
     settings = mf.RefinementSettings(
-        error_estimate=mf.ErrorEstimateExplicit(u, u_aniso),
+        # Reconstruct above the element order: at p=2 on a 3x3 mesh every
+        # GLL node lands on a zero of sin(3 pi x), so estimating at the
+        # element's own rule would measure pure roundoff noise.
+        error_estimate=mf.ErrorEstimateExplicit(
+            u, u_aniso, reconstruction_orders=(6, 6)
+        ),
         refinement_limit=mf.RefinementLimitElementCount(1.0, 9),
         h_refinement_ratio=0.0,
         anisotropic_p=True,
