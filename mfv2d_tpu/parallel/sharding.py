@@ -60,9 +60,11 @@ class ShardedBlockSystem:
     def __init__(
         self,
         disc: Discretization,
-        element_matrices: np.ndarray,
+        element_matrices,
         lagrange_mat: sp.csr_array | None,
         mesh: Mesh,
+        *,
+        _prepadded_device: bool = False,
     ) -> None:
         if len(disc.buckets) != 1:
             raise NotImplementedError(
@@ -76,10 +78,16 @@ class ShardedBlockSystem:
         self.n_dofs_per_element = element_matrices.shape[1]
         n = self.n_dofs_per_element
 
-        blocks = _pad_to_multiple(np.asarray(element_matrices), self.n_devices)
-        # Padding elements get identity blocks so the batched LU stays valid.
-        for i in range(e_real, blocks.shape[0]):
-            blocks[i] = np.eye(n)
+        if _prepadded_device:
+            # Blocks were assembled on-device, already sharded and padded
+            # (padding rows hold identity blocks).
+            blocks = element_matrices
+        else:
+            blocks = _pad_to_multiple(np.asarray(element_matrices), self.n_devices)
+            # Padding elements get identity blocks so the batched LU stays
+            # valid.
+            for i in range(e_real, blocks.shape[0]):
+                blocks[i] = np.eye(n)
         self.e_padded = blocks.shape[0]
         self.e_real = e_real
 
@@ -139,24 +147,27 @@ class ShardedBlockSystem:
             fill2[e, dd] += 1
 
         shard_e = NamedSharding(mesh, P("e"))
-        self.blocks = jax.device_put(blocks, NamedSharding(mesh, P("e", None, None)))
+        shard_blocks = NamedSharding(mesh, P("e", None, None))
+        self.blocks = (
+            blocks if _prepadded_device else jax.device_put(blocks, shard_blocks)
+        )
         # TPU XLA only implements LuDecomposition in f32 and runs batched
         # triangular solves ~23x slower than a GEMV, so on TPU "lu" holds a
         # precomputed f32 explicit inverse (applied as a GEMV + f64
-        # refinement); elsewhere it is the f64 LU factorization.
+        # refinement); elsewhere it is the f64 LU factorization.  Both are
+        # batched over the sharded element axis so the factorization itself
+        # runs element-parallel.
         self._refine = jax.default_backend() == "tpu"
         if self._refine:
-            inv = np.asarray(
-                jnp.linalg.inv(jnp.asarray(blocks, jnp.float32))
-            )
-            self.lu = jax.device_put(inv, NamedSharding(mesh, P("e", None, None)))
+            inv = jnp.linalg.inv(self.blocks.astype(jnp.float32))
+            self.lu = jax.device_put(inv, shard_blocks)
             self.piv = jax.device_put(
-                np.zeros((blocks.shape[0], blocks.shape[1]), np.int32),
+                jnp.zeros((self.e_padded, n), jnp.int32),
                 NamedSharding(mesh, P("e", None)),
             )
         else:
-            lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(blocks))
-            self.lu = jax.device_put(lu, NamedSharding(mesh, P("e", None, None)))
+            lu, piv = jax.scipy.linalg.lu_factor(self.blocks)
+            self.lu = jax.device_put(lu, shard_blocks)
             self.piv = jax.device_put(piv, NamedSharding(mesh, P("e", None)))
         self.tr_elem = jax.device_put(tr_elem, shard_e)
         self.tr_dof = jax.device_put(tr_dof, shard_e)
@@ -165,6 +176,164 @@ class ShardedBlockSystem:
         self.tt_rows = jax.device_put(tt_rows, shard_e3)
         self.tt_val = jax.device_put(tt_val, shard_e3)
         self.dof_sharding = NamedSharding(mesh, P("e", None))
+
+    @classmethod
+    def from_assembly(
+        cls,
+        disc: Discretization,
+        blocks_ir,
+        lagrange_mat: sp.csr_array | None,
+        mesh: Mesh,
+        dofs: np.ndarray | None = None,
+    ) -> "ShardedBlockSystem":
+        """Build the system with *sharded* element assembly.
+
+        Corners are sharded over the device mesh and every device assembles
+        its own elements' matrices (fused pair-table path) — element data is
+        never gathered, matching the reference's distributed-design seam
+        (docs/modules/solving.rst:10-13).  Padding elements use reference-
+        square corners and are overwritten with identity blocks.
+        """
+        from mfv2d_tpu.compiler import collect_fields
+        from mfv2d_tpu.evaluation import (
+            ElementBatch,
+            compute_element_matrices,
+            evaluate_static_fields,
+        )
+
+        if len(disc.buckets) != 1:
+            raise NotImplementedError("from_assembly expects a single bucket.")
+        bucket = disc.buckets[0]
+        basis = bucket.batch.basis
+        form_spec = disc.form_spec
+        corners = np.asarray(bucket.batch.corners)
+        e_real = corners.shape[0]
+        nd = mesh.devices.size
+        corners_p = _pad_to_multiple(corners, nd)
+        if corners_p.shape[0] > e_real:
+            corners_p[e_real:] = np.array(
+                [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+            )
+        shard_c = NamedSharding(mesh, P("e", None, None))
+        corners_dev = jax.device_put(corners_p, shard_c)
+
+        field_keys = collect_fields(blocks_ir)
+        static_fields = evaluate_static_fields(
+            ElementBatch(basis, corners_p), field_keys
+        )
+        static_keys = tuple(static_fields.keys())
+        static_vals = tuple(
+            jax.device_put(np.asarray(static_fields[k]), shard_c)
+            for k in static_keys
+        )
+        if any(isinstance(k, str) for k in field_keys) and dofs is None:
+            raise ValueError(
+                "Assembly blocks reference unknown-form fields; pass dofs."
+            )
+
+        dofs_p = None
+        if dofs is not None:
+            d = np.asarray(dofs).reshape(e_real, -1)
+            dofs_p = jax.device_put(
+                _pad_to_multiple(d, nd), NamedSharding(mesh, P("e", None))
+            )
+
+        n_dofs_args = 1 if dofs_p is not None else 0
+        in_specs = (
+            (P("e", None, None),)
+            + (P("e", None),) * n_dofs_args
+            + (P("e", None, None),) * len(static_vals)
+        )
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=P("e", None, None))
+        def assemble(corners_local, *rest):
+            if n_dofs_args:
+                local_dofs, *sv = rest
+            else:
+                local_dofs, sv = None, list(rest)
+            batch = ElementBatch(basis, corners_local)
+            return compute_element_matrices(
+                form_spec,
+                blocks_ir,
+                batch,
+                dofs=local_dofs,
+                static_fields=dict(zip(static_keys, sv)),
+            )
+
+        args = (corners_dev,) + ((dofs_p,) if dofs_p is not None else ()) + static_vals
+        blocks_dev = jax.jit(assemble)(*args)
+        n = blocks_dev.shape[1]
+        if blocks_dev.shape[0] > e_real:
+            eye = jnp.eye(n, dtype=blocks_dev.dtype)
+            blocks_dev = blocks_dev.at[e_real:].set(eye)
+        obj = cls(disc, blocks_dev, lagrange_mat, mesh, _prepadded_device=True)
+        obj.corners_padded = corners_dev
+        obj.basis = basis
+        obj._static_keys = static_keys
+        obj._static_vals = static_vals
+        return obj
+
+    def make_picard_residual(self, form_spec, lhs_blocks, rhs_blocks=None):
+        """Sharded defect-correction residual of the current iterate.
+
+        Returns a jitted ``(dofs, lam, b) -> (r_elem, g_u)`` where
+        ``r_elem = b - (LHS(u) - RHS(u)) - G^T lam`` stays element-sharded
+        and ``g_u = G u`` is the replicated trace value (one psum).  The
+        element vectors are evaluated per device — nonlinear unknown-form
+        fields reconstruct locally from the device's own DoFs.
+        """
+        from mfv2d_tpu.evaluation import ElementBatch, compute_element_vectors
+
+        basis = self.basis
+        static_keys = self._static_keys
+        corners = self.corners_padded
+        static_vals = self._static_vals
+
+        in_specs = (
+            P("e", None, None),  # corners
+            P("e", None),  # dofs
+            P(None),  # lam
+            P("e", None),  # b
+            P("e", None, None),  # tr_elem
+            P("e", None, None),  # tr_dof
+            P("e", None, None),  # tr_val
+            P("e", None, None),  # tt_rows
+            P("e", None, None),  # tt_val
+        ) + (P("e", None, None),) * len(static_vals)
+
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
+                 out_specs=(P("e", None), P(None)))
+        def residual(c, dofs, lam, b, te, td, tv, ttr, ttv, *sv):
+            batch = ElementBatch(basis, c)
+            statics = dict(zip(static_keys, sv))
+            val = compute_element_vectors(
+                form_spec, lhs_blocks, batch, dofs, static_fields=statics
+            )
+            if rhs_blocks is not None:
+                val = val - compute_element_vectors(
+                    form_spec, rhs_blocks, batch, dofs, static_fields=statics
+                )
+            r_elem = b - val - self._trace_t_local(lam, ttr, ttv)
+            g_u = self._trace_local(dofs, te, td, tv)
+            return r_elem, g_u
+
+        @jax.jit
+        def run(dofs, lam, b):
+            return residual(
+                corners,
+                dofs,
+                lam,
+                b,
+                self.tr_elem,
+                self.tr_dof,
+                self.tr_val,
+                self.tt_rows,
+                self.tt_val,
+                *static_vals,
+            )
+
+        return run
 
     # -- shard_map kernels ---------------------------------------------
 
@@ -194,10 +363,21 @@ class ShardedBlockSystem:
         """Local G^T lambda as a padded gather (lambda replicated)."""
         return jnp.sum(tt_val * lam[tt_rows], axis=-1)
 
-    def make_schur_matvec(self):
-        """Jitted sharded S = G A^{-1} G^T matvec."""
-        per_dev = self.e_padded // self.n_devices
-        n = self.n_dofs_per_element
+    @property
+    def _tables(self):
+        return (
+            self.lu,
+            self.piv,
+            self.blocks,
+            self.tr_elem,
+            self.tr_dof,
+            self.tr_val,
+            self.tt_rows,
+            self.tt_val,
+        )
+
+    def _schur_shardmap(self):
+        """The shard_map'd S = G A^{-1} G^T kernel (one psum inside)."""
 
         @partial(
             jax.shard_map,
@@ -220,20 +400,115 @@ class ShardedBlockSystem:
             ainv = self._block_solve(lu, piv, blocks, gt)
             return self._trace_local(ainv, tr_elem, tr_dof, tr_val)
 
+        return schur
+
+    def make_schur_matvec(self):
+        """Jitted sharded S = G A^{-1} G^T matvec."""
+        schur = self._schur_shardmap()
+
         def matvec(lam):
-            return schur(
-                lam,
-                self.lu,
-                self.piv,
-                self.blocks,
-                self.tr_elem,
-                self.tr_dof,
-                self.tr_val,
-                self.tt_rows,
-                self.tt_val,
-            )
+            return schur(lam, *self._tables)
 
         return jax.jit(matvec)
+
+    def make_fused_cg(self, maximum_iterations: int):
+        """Device-resident CG on the Schur complement: one jitted while_loop.
+
+        The host-driven loop paid one dispatch + host sync per matvec
+        (~relay RTT each); this runs the entire iteration on device, with
+        one psum per matvec riding the ICI, and returns
+        ``(lambda, |r|^2, iterations)`` in a single dispatch.
+        """
+        schur = self._schur_shardmap()
+
+        @partial(jax.jit, static_argnames=("max_iter",))
+        def cg(trace_rhs, tol, max_iter, *tables):
+            def matvec(lam):
+                return schur(lam, *tables)
+
+            r0 = trace_rhs  # lambda starts at zero
+            rs0 = jnp.vdot(r0, r0)
+
+            def cond(carry):
+                _, _, _, rs, k = carry
+                return (k < max_iter) & (rs > tol * tol)
+
+            def body(carry):
+                lam, r, p, rs, k = carry
+                ap = matvec(p)
+                alpha = rs / jnp.vdot(p, ap)
+                lam = lam + alpha * p
+                r = r - alpha * ap
+                rs_new = jnp.vdot(r, r)
+                p = r + (rs_new / rs) * p
+                return lam, r, p, rs_new, k + 1
+
+            lam, _, _, rs, k = jax.lax.while_loop(
+                cond, body, (jnp.zeros_like(r0), r0, r0, rs0, 0)
+            )
+            return lam, rs, k
+
+        def run(trace_rhs, tolerance: float):
+            return cg(
+                jnp.asarray(trace_rhs),
+                jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
+                maximum_iterations,
+                *self._tables,
+            )
+
+        return run
+
+    def block_solve_sharded(self, rhs_sharded):
+        """Sharded batched ``A^{-1} rhs`` ([E_pad, n] in, [E_pad, n] out)."""
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P("e", None, None),
+                P("e", None),
+                P("e", None, None),
+                P("e", None),
+            ),
+            out_specs=P("e", None),
+        )
+        def solve(lu, piv, blocks, rhs):
+            return self._block_solve(lu, piv, blocks, rhs)
+
+        return solve(self.lu, self.piv, self.blocks, rhs_sharded)
+
+    def trace_of(self, dofs_sharded):
+        """Sharded ``G x`` -> replicated trace vector (one psum)."""
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P("e", None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+            ),
+            out_specs=P(None),
+        )
+        def fn(dofs, tr_elem, tr_dof, tr_val):
+            return self._trace_local(dofs, tr_elem, tr_dof, tr_val)
+
+        return fn(dofs_sharded, self.tr_elem, self.tr_dof, self.tr_val)
+
+    def trace_t_of(self, lam):
+        """Replicated lambda -> sharded ``G^T lambda`` (no communication)."""
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(None), P("e", None, None), P("e", None, None)),
+            out_specs=P("e", None),
+        )
+        def fn(lam_, tt_rows, tt_val):
+            return self._trace_t_local(lam_, tt_rows, tt_val)
+
+        return fn(lam, self.tt_rows, self.tt_val)
 
     def make_residual_step(self):
         """Jitted sharded saddle application: (u, lam) -> (A u + G^T lam, G u).
@@ -292,6 +567,25 @@ class ShardedBlockSystem:
         return np.asarray(dofs)[: self.e_real].reshape(-1)
 
 
+def _sharded_saddle_solve(
+    system: ShardedBlockSystem,
+    b_sharded,
+    constraints,
+    maximum_iterations: int,
+    tolerance: float,
+):
+    """Sharded saddle solve: returns (u_sharded, lam, |r|, iters).
+
+    Schur RHS, the fused device CG, and the back substitution — all element
+    work stays sharded; the only host sync is the final result fetch.
+    """
+    ainv_b = system.block_solve_sharded(b_sharded)
+    trace_rhs = system.trace_of(ainv_b) - jnp.asarray(constraints)
+    lam, rs, iters = system.make_fused_cg(maximum_iterations)(trace_rhs, tolerance)
+    u = system.block_solve_sharded(b_sharded - system.trace_t_of(lam))
+    return u, lam, float(np.sqrt(float(rs))), int(iters)
+
+
 def sharded_schur_solve(
     system: ShardedBlockSystem,
     rhs_flat: np.ndarray,
@@ -299,83 +593,103 @@ def sharded_schur_solve(
     maximum_iterations: int,
     tolerance: float,
 ):
-    """CG on the sharded Schur complement; element work stays sharded."""
-    matvec = system.make_schur_matvec()
-    per_dev = system.e_padded // system.n_devices
-    n = system.n_dofs_per_element
+    """CG on the sharded Schur complement; element work stays sharded.
 
-    # A^{-1} b and the Schur RHS.
+    The CG iteration is one jitted ``while_loop`` on device (one psum per
+    matvec) — no host round-trip per iteration.
+    """
     b = system.shard_dofs(rhs_flat)
-    ainv_b = system._block_solve(system.lu, system.piv, system.blocks, b)
-
-    @partial(
-        jax.shard_map,
-        mesh=system.mesh,
-        in_specs=(
-            P("e", None),
-            P("e", None, None),
-            P("e", None, None),
-            P("e", None, None),
-        ),
-        out_specs=P(None),
+    u, lam, res, iters = _sharded_saddle_solve(
+        system, b, constraints, maximum_iterations, tolerance
     )
-    def trace_of(dofs, tr_elem, tr_dof, tr_val):
-        return system._trace_local(dofs, tr_elem, tr_dof, tr_val)
+    return system.unshard_dofs(u), np.asarray(lam), res, iters
 
-    trace_rhs = (
-        trace_of(ainv_b, system.tr_elem, system.tr_dof, system.tr_val)
-        - jnp.asarray(constraints)
+
+def sharded_steady_solve(
+    system,
+    disc: Discretization,
+    device_mesh: Mesh,
+    *,
+    boundary_conditions=(),
+    constrained_forms=(),
+    maximum_iterations: int = 20,
+    relax: float = 1.0,
+    absolute_tolerance: float = 1e-10,
+    relative_tolerance: float = 0.0,
+    cg_maximum_iterations: int = 2000,
+    cg_tolerance: float = 1e-13,
+):
+    """Fully sharded steady solve: assembly -> Picard -> Schur CG.
+
+    Every element-sized object (corners, matrices, factorizations, DoFs,
+    residuals) lives sharded over the device mesh for the whole solve; the
+    only replicated data is the trace (lambda) vector, reduced by one psum
+    per matvec / residual.  Host work is limited to constraint generation
+    and the per-Picard-iteration convergence check.
+
+    Returns ``(solution_flat, lam, residual_history)``.
+    """
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.continuity import add_system_constraints
+    from mfv2d_tpu.solver.solve import compute_forcing_vector
+
+    compiled = CompiledSystem(system)
+    form_spec = system.unknown_forms
+
+    # Host: forcing projections + constraint rows (weak BCs add in place).
+    forcing = compute_forcing_vector(disc, system)
+    linear_vectors = [
+        forcing[disc.element_offsets[i] : disc.element_offsets[i + 1]]
+        for i in range(disc.n_leaves)
+    ]
+    lagrange_mat, lagrange_vec = add_system_constraints(
+        system,
+        disc.mesh,
+        disc.basis_cache,
+        list(constrained_forms),
+        list(boundary_conditions),
+        disc.leaf_indices,
+        disc.element_offsets,
+        linear_vectors,
     )
 
-    lam = jnp.zeros(system.n_lagrange)
-    res = trace_rhs - matvec(lam)
-    p = res
-    mag2 = float(jnp.vdot(res, res))
-    iters = 0
-    for iters in range(maximum_iterations):
-        sp_ = matvec(p)
-        denom = float(jnp.vdot(sp_, p))
-        if denom == 0:
+    # Device: sharded assembly of the frozen (linear) operator.
+    sharded = ShardedBlockSystem.from_assembly(
+        disc, compiled.linear_blocks, lagrange_mat, device_mesh
+    )
+    residual_fn = sharded.make_picard_residual(
+        form_spec, compiled.lhs_blocks, compiled.rhs_blocks
+    )
+
+    b = sharded.shard_dofs(forcing)
+    u = jnp.zeros_like(b)
+    lam = jnp.zeros(sharded.n_lagrange)
+    c_vec = jnp.asarray(lagrange_vec)
+
+    residuals = []
+    max_mag = 0.0
+    for _ in range(maximum_iterations):
+        r_elem, g_u = residual_fn(u, lam, b)
+        r_trace = c_vec - g_u
+        max_res = max(
+            float(jnp.abs(r_elem[: sharded.e_real]).max()),
+            float(jnp.abs(r_trace).max()) if sharded.n_lagrange else 0.0,
+        )
+        residuals.append(max_res)
+        max_mag = max(max_mag, float(jnp.abs(b).max()))
+        if max_res <= absolute_tolerance or max_res <= max_mag * relative_tolerance:
             break
-        alpha = mag2 / denom
-        lam = lam + alpha * p
-        res = res - alpha * sp_
-        new_mag2 = float(jnp.vdot(res, res))
-        if new_mag2 < tolerance * tolerance:
-            mag2 = new_mag2
-            break
-        p = res + (new_mag2 / mag2) * p
-        mag2 = new_mag2
+        du, dlam, _, _ = _sharded_saddle_solve(
+            sharded, r_elem, r_trace, cg_maximum_iterations, cg_tolerance
+        )
+        u = u + relax * du
+        lam = lam + relax * dlam
 
-    # Back substitution: u = A^{-1}(b - G^T lam)
-    @partial(
-        jax.shard_map,
-        mesh=system.mesh,
-        in_specs=(
-            P(None),
-            P("e", None, None),
-            P("e", None),
-            P("e", None, None),
-            P("e", None),
-            P("e", None, None),
-            P("e", None, None),
-        ),
-        out_specs=P("e", None),
+    return (
+        sharded.unshard_dofs(u),
+        np.asarray(lam),
+        np.asarray(residuals),
     )
-    def backsub(lam, lu, piv, blocks, b_loc, tt_rows, tt_val):
-        gt = system._trace_t_local(lam, tt_rows, tt_val)
-        return system._block_solve(lu, piv, blocks, b_loc - gt)
-
-    u = backsub(
-        lam,
-        system.lu,
-        system.piv,
-        system.blocks,
-        b,
-        system.tt_rows,
-        system.tt_val,
-    )
-    return system.unshard_dofs(u), np.asarray(lam), float(np.sqrt(mag2)), iters + 1
 
 
 class MultiBucketShardedSystem:
@@ -456,6 +770,54 @@ class MultiBucketShardedSystem:
 
         return matvec
 
+    def make_fused_cg(self, maximum_iterations: int):
+        """One jitted while_loop CG over all buckets (one psum per bucket
+        per matvec)."""
+        schurs = [sub._schur_shardmap() for _, sub in self.subsystems]
+        all_tables = tuple(t for _, sub in self.subsystems for t in sub._tables)
+        n_tab = 8
+
+        @partial(jax.jit, static_argnames=("max_iter",))
+        def cg(trace_rhs, tol, max_iter, *tables):
+            def matvec(lam):
+                out = None
+                for i, schur in enumerate(schurs):
+                    v = schur(lam, *tables[n_tab * i : n_tab * (i + 1)])
+                    out = v if out is None else out + v
+                return out
+
+            r0 = trace_rhs
+            rs0 = jnp.vdot(r0, r0)
+
+            def cond(carry):
+                _, _, _, rs, k = carry
+                return (k < max_iter) & (rs > tol * tol)
+
+            def body(carry):
+                lam, r, p, rs, k = carry
+                ap = matvec(p)
+                alpha = rs / jnp.vdot(p, ap)
+                lam = lam + alpha * p
+                r = r - alpha * ap
+                rs_new = jnp.vdot(r, r)
+                p = r + (rs_new / rs) * p
+                return lam, r, p, rs_new, k + 1
+
+            lam, _, _, rs, k = jax.lax.while_loop(
+                cond, body, (jnp.zeros_like(r0), r0, r0, rs0, 0)
+            )
+            return lam, rs, k
+
+        def run(trace_rhs, tolerance: float):
+            return cg(
+                jnp.asarray(trace_rhs),
+                jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
+                maximum_iterations,
+                *all_tables,
+            )
+
+        return run
+
     def schur_rhs(self, rhs_flat: np.ndarray, constraints: np.ndarray):
         """G A^{-1} b - c across buckets."""
         total = -jnp.asarray(constraints)
@@ -485,28 +847,13 @@ class MultiBucketShardedSystem:
         return total
 
     def solve_schur(self, rhs_flat, constraints, maximum_iterations, tolerance):
-        """CG on the multi-bucket Schur complement."""
-        matvec = self.make_schur_matvec()
+        """CG on the multi-bucket Schur complement (fused device loop)."""
         trace_rhs = self.schur_rhs(rhs_flat, constraints)
-        lam = jnp.zeros(self.n_lagrange)
-        res = trace_rhs - matvec(lam)
-        p = res
-        mag2 = float(jnp.vdot(res, res))
-        iters = 0
-        for iters in range(maximum_iterations):
-            sp_ = matvec(p)
-            denom = float(jnp.vdot(sp_, p))
-            if denom == 0:
-                break
-            alpha = mag2 / denom
-            lam = lam + alpha * p
-            res = res - alpha * sp_
-            new_mag2 = float(jnp.vdot(res, res))
-            if new_mag2 < tolerance * tolerance:
-                mag2 = new_mag2
-                break
-            p = res + (new_mag2 / mag2) * p
-            mag2 = new_mag2
+        lam, rs, iters = self.make_fused_cg(maximum_iterations)(
+            trace_rhs, tolerance
+        )
+        mag2 = float(rs)
+        iters = int(iters)
 
         # Back substitution per bucket.
         out = np.zeros(self.disc.n_dofs)
@@ -545,4 +892,4 @@ class MultiBucketShardedSystem:
                 sub.tt_val,
             )
             out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u_local)
-        return out, np.asarray(lam), float(np.sqrt(mag2)), iters + 1
+        return out, np.asarray(lam), float(np.sqrt(mag2)), iters

@@ -184,3 +184,142 @@ def test_sharded_mixed_precision_branch(device_mesh, monkeypatch):
     assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-9), np.abs(
         u_sh - np.asarray(u_ref)
     ).max()
+
+
+def test_sharded_assembly_matches_host(device_mesh):
+    """from_assembly (per-device fused assembly) equals host assembly."""
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    from mfv2d_tpu.compiler import CompiledSystem
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    compiled = CompiledSystem(system)
+    sharded = ShardedBlockSystem.from_assembly(
+        disc, compiled.lhs_blocks, lagrange_mat, device_mesh
+    )
+    e = matrices[0].shape[0]
+    assert np.allclose(
+        np.asarray(sharded.blocks)[:e], matrices[0], atol=1e-12
+    )
+    # Padding rows (if any) must be identity.
+    n = matrices[0].shape[1]
+    for i in range(e, sharded.e_padded):
+        assert np.allclose(np.asarray(sharded.blocks)[i], np.eye(n))
+
+
+def test_schur_matvec_uses_one_psum(device_mesh):
+    """The sharded Schur matvec communicates exactly once per application."""
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    lam = jnp.zeros(lagrange_mat.shape[0])
+    schur = sharded._schur_shardmap()
+    jaxpr = str(jax.make_jaxpr(lambda l: schur(l, *sharded._tables))(lam))
+    assert jaxpr.count("psum") == 1, jaxpr.count("psum")
+
+
+def test_picard_residual_one_psum_and_parity(device_mesh):
+    """The sharded residual needs one psum and matches the host residual."""
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.solver.solve import SystemEvaluator
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(4, 4, 3)
+    disc = discretize_mesh(mesh, system.unknown_forms, FemCache(3))
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+    sharded = ShardedBlockSystem.from_assembly(
+        disc, compiled.linear_blocks, lagrange_mat, device_mesh
+    )
+    residual_fn = sharded.make_picard_residual(
+        system.unknown_forms, compiled.lhs_blocks, compiled.rhs_blocks
+    )
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=disc.n_dofs)
+    lam = rng.normal(size=lagrange_mat.shape[0])
+    b = sharded.shard_dofs(forcing)
+    r_elem, g_u = residual_fn(sharded.shard_dofs(x), jnp.asarray(lam), b)
+
+    jaxpr = str(
+        jax.make_jaxpr(residual_fn)(sharded.shard_dofs(x), jnp.asarray(lam), b)
+    )
+    assert jaxpr.count("psum") == 1, jaxpr.count("psum")
+
+    # Host reference residual.
+    lhs_val = evaluator.residual_value(x)
+    r_host = forcing - lhs_val - lagrange_mat.T @ lam
+    g_host = lagrange_mat @ x
+    assert np.allclose(sharded.unshard_dofs(r_elem), r_host, atol=1e-10)
+    assert np.allclose(np.asarray(g_u), g_host, atol=1e-10)
+
+
+def test_fused_cg_matches_host_loop(device_mesh):
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    conv = ConvergenceSettings(3000, 1e-11, 0.0)
+    u_ref, lam_ref, _, _ = solve_schur_iterative(
+        single, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    u_sh, lam_sh, res, iters = sharded_schur_solve(
+        sharded, forcing, lagrange_vec, 3000, 1e-11
+    )
+    assert iters > 1
+    assert res <= 1e-11
+    assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-7)
+
+
+def test_sharded_steady_solve_matches_solve_system_2d(device_mesh):
+    """Full sharded pipeline (assembly -> Picard -> Schur) vs the host solve."""
+    from mfv2d_tpu.parallel.sharding import sharded_steady_solve
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(4, 4, 3)
+    cache = FemCache(3)
+    disc = discretize_mesh(mesh, system.unknown_forms, cache)
+
+    u_sh, lam_sh, residuals = sharded_steady_solve(
+        system, disc, device_mesh, absolute_tolerance=1e-10
+    )
+    assert residuals[-1] <= 1e-10
+
+    # Host reference through the standard path.
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.solver.iterative import solve_schur_iterative as ssi
+    from mfv2d_tpu.solver.solve import SystemEvaluator
+
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    conv = ConvergenceSettings(5000, 1e-12, 0.0)
+    u_ref, _, _, _ = ssi(
+        single, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+    assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-7), np.abs(
+        u_sh - np.asarray(u_ref)
+    ).max()
