@@ -108,12 +108,17 @@ def reconstruct(
                 out = out + c[i2 * (p1 + 1) + i1] * (vx[..., i1] * ve[..., i2])
         return out
 
-    jac = jacobian(corners, xi, eta)
-    j00, j01, j10, j11, det = (np.asarray(v) for v in jac)
-    # jacobian() adds two broadcast axes for the corners; collapse back.
+    # Jacobian entries with plain scalar-corner broadcasting: supports both
+    # tensor grids and paired point lists (xi[i], eta[i]), matching the
+    # reference reconstruct semantics (mimetic2d.py:876-950).
+    (x0, y0), (x1, y1), (x2, y2), (x3, y3) = corners
+    j00 = ((x1 - x0) * (1 - eta) + (x2 - x3) * (1 + eta)) / 4
+    j01 = ((y1 - y0) * (1 - eta) + (y2 - y3) * (1 + eta)) / 4
+    j10 = ((x3 - x0) * (1 - xi) + (x2 - x1) * (1 + xi)) / 4
+    j11 = ((y3 - y0) * (1 - xi) + (y2 - y1) * (1 + xi)) / 4
+    det = j00 * j11 - j10 * j01
     j00, j01, j10, j11, det = (
-        np.broadcast_to(v, grid_shape) if v.shape != grid_shape else v
-        for v in (j00, j01, j10, j11, det)
+        np.broadcast_to(v, grid_shape) for v in (j00, j01, j10, j11, det)
     )
 
     ex = -np.cumsum(dlagrange1d(basis.basis_xi.roots, xi)[..., :-1], axis=-1)

@@ -1,0 +1,104 @@
+"""Golden parity vs the reference implementation (VERDICT round-1 item 6).
+
+Fixtures in ``tests/golden/reference_fixtures.npz`` were produced by RUNNING
+the reference's own NumPy quadrature/projection/reconstruction loops
+(python/mfv2d/mimetic2d.py) — see ``tests/golden/make_reference_fixtures.py``
+for the generator.  Everything here must match to 1e-10 relative error
+(BASELINE.md numerical-parity target).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mfv2d_tpu.evaluation import ElementBatch
+from mfv2d_tpu.kform import UnknownFormOrder
+from mfv2d_tpu.ops.basis import FemCache
+from mfv2d_tpu.ops.geometry import jacobian
+from mfv2d_tpu.ops.incidence import (
+    apply_e10,
+    apply_e10_t,
+    apply_e21,
+    apply_e21_t,
+    incidence_10,
+    incidence_21,
+)
+from mfv2d_tpu.projection import element_dual_dofs, element_primal_dofs, reconstruct
+
+FIX = np.load(Path(__file__).parent / "golden" / "reference_fixtures.npz")
+QUADS = FIX["quads"]
+
+
+def _rel_ok(mine, ref, tol=1e-10):
+    mine = np.asarray(mine)
+    ref = np.asarray(ref)
+    scale = max(float(np.abs(ref).max()), 1e-30)
+    err = float(np.abs(mine - ref).max()) / scale
+    assert err < tol, err
+
+
+@pytest.mark.parametrize("p", [2, 3, 4, 5])
+def test_incidence_matrices_match_reference(p):
+    _rel_ok(incidence_10(p, p), FIX[f"e10_p{p}"])
+    _rel_ok(incidence_21(p, p), FIX[f"e21_p{p}"])
+
+
+@pytest.mark.parametrize("p", [2, 3, 4, 5])
+def test_incidence_applications_match_reference(p):
+    from mfv2d_tpu.ops.incidence import apply_e10_r, apply_e21_rt
+
+    _rel_ok(apply_e10(p, p, FIX[f"in0_p{p}"]), FIX[f"apply_e10_p{p}"])
+    _rel_ok(apply_e21(p, p, FIX[f"in1_p{p}"]), FIX[f"apply_e21_p{p}"])
+    _rel_ok(apply_e10_t(p, p, FIX[f"in1_p{p}"]), FIX[f"apply_e10_t_p{p}"])
+    _rel_ok(apply_e21_t(p, p, FIX[f"in2_p{p}"]), FIX[f"apply_e21_t_p{p}"])
+    _rel_ok(apply_e10_r(p, p, FIX[f"in1_p{p}"].T), FIX[f"apply_e10_r_p{p}"])
+    _rel_ok(apply_e21_rt(p, p, FIX[f"in1_p{p}"].T), FIX[f"apply_e21_rt_p{p}"])
+
+
+@pytest.mark.parametrize("qi", range(4))
+def test_jacobian_matches_reference(qi):
+    xi = FIX["jac_xi"]
+    eta = FIX["jac_eta"]
+    jac = jacobian(QUADS[qi], xi, eta)
+    ref = FIX[f"jac_q{qi}"]
+    for k, mine in enumerate((jac.j00, jac.j01, jac.j10, jac.j11)):
+        _rel_ok(np.broadcast_to(np.asarray(mine), ref[k].shape), ref[k])
+
+
+def scalar_f(x, y):
+    return np.sin(x) * np.exp(0.5 * y) + 2.0
+
+
+def vector_f(x, y):
+    return np.stack((np.cos(x * y), x**2 - y), axis=-1)
+
+
+_FORMS = {
+    0: (UnknownFormOrder.FORM_ORDER_0, scalar_f),
+    1: (UnknownFormOrder.FORM_ORDER_1, vector_f),
+    2: (UnknownFormOrder.FORM_ORDER_2, scalar_f),
+}
+
+
+@pytest.mark.parametrize("qi", range(3))
+@pytest.mark.parametrize("orders", [(3, 3), (5, 5), (3, 5)])
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_projection_reconstruction_matches_reference(qi, orders, k):
+    p1, p2 = orders
+    order, fn = _FORMS[k]
+    basis = FemCache(2).get_basis2d(p1, p2)
+    batch = ElementBatch(basis, QUADS[qi][None])
+    tag = f"q{qi}_p{p1}{p2}"
+
+    dual = np.asarray(element_dual_dofs(order, batch, fn))[0]
+    _rel_ok(dual, FIX[f"dual_{tag}_k{k}"])
+
+    primal = np.asarray(element_primal_dofs(order, batch, fn))[0]
+    _rel_ok(primal, FIX[f"primal_{tag}_k{k}"])
+
+    recon = reconstruct(
+        QUADS[qi], basis, order, FIX[f"primal_{tag}_k{k}"],
+        FIX["recon_xi"], FIX["recon_eta"],
+    )
+    _rel_ok(recon, FIX[f"recon_{tag}_k{k}"])
