@@ -44,6 +44,7 @@ from mfv2d_tpu.boundary import (
 # Refinement
 from mfv2d_tpu.refinement import ErrorEstimateCustom as ErrorEstimateCustom
 from mfv2d_tpu.refinement import ErrorEstimateExplicit as ErrorEstimateExplicit
+from mfv2d_tpu.refinement import ErrorEstimateFineSolve as ErrorEstimateFineSolve
 from mfv2d_tpu.refinement import (
     ErrorEstimateL2OrderReduction as ErrorEstimateL2OrderReduction,
 )

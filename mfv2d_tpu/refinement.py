@@ -213,6 +213,26 @@ class ErrorEstimateExplicit:
 
 
 @dataclass(frozen=True)
+class ErrorEstimateFineSolve:
+    """Fine-solve projection estimator.
+
+    Reference strategy (plot_advdif_post_hp_projection.py:241-330): re-solve
+    the same problem on the same topology with every element's orders raised
+    by ``order_increase``, then treat the fine solution as the "exact" one
+    when estimating the coarse error.  Because both meshes share topology,
+    each fine element has the same corners and reference coordinates as its
+    coarse counterpart, so the fine solution is reconstructed directly at
+    the coarse estimator's quadrature points — no physical point location
+    (the reference needed PyVista grid sampling for this).
+    """
+
+    target_form: KFormUnknown
+    order_increase: int = 1
+    max_iterations: int = 20
+    tolerance: float = 1e-10
+
+
+@dataclass(frozen=True)
 class ErrorEstimateVMS:
     """Variational multi-scale fine-scale error estimation."""
 
@@ -230,6 +250,7 @@ ErrorEstimate = (
     | ErrorEstimateLocalInverse
     | ErrorEstimateL2OrderReduction
     | ErrorEstimateExplicit
+    | ErrorEstimateFineSolve
     | ErrorEstimateVMS
 )
 
@@ -364,6 +385,113 @@ def error_estimate_with_custom_estimator(
                 "Error calculation function returned a negative error estimate."
             )
         element_error[i_leaf], href_cost[i_leaf] = vals
+    return element_error, href_cost, dir_cost
+
+
+def error_estimate_with_fine_solve(
+    disc: Discretization,
+    solution: np.ndarray,
+    system: KFormSystem,
+    boundary_conditions: Sequence[BoundaryCondition2DSteady],
+    constrained: Sequence[tuple[float, KFormUnknown]],
+    estimator: "ErrorEstimateFineSolve",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Error vs a fine solve of the same problem (orders + dp, same mesh)."""
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.solver.discretization import discretize_mesh
+    from mfv2d_tpu.solver.solve import (
+        FrozenSaddleSolver,
+        SystemEvaluator,
+        compute_linear_system,
+        non_linear_solve_run,
+    )
+
+    dp = estimator.order_increase
+    target = estimator.target_form
+    fine_mesh = disc.mesh.copy()
+    fine_mesh.uniform_p_change(dp, dp)
+    fine_disc = discretize_mesh(fine_mesh, disc.form_spec, disc.basis_cache)
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(disc.form_spec, compiled, fine_disc)
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        fine_disc,
+        system,
+        evaluator,
+        list(constrained),
+        list(boundary_conditions),
+        None,
+    )
+    solver = FrozenSaddleSolver(evaluator.matrices_per_leaf(matrices), lagrange_mat)
+    explicit_vec = (
+        forcing
+        if lagrange_mat is None
+        else np.concatenate((forcing, lagrange_vec))
+    )
+    fine_solution, _, _, _, _ = non_linear_solve_run(
+        estimator.max_iterations,
+        1.0,
+        estimator.tolerance,
+        0.0,
+        False,
+        evaluator,
+        explicit_vec,
+        None,
+        None,
+        np.zeros(fine_disc.n_dofs),
+        np.zeros(0 if lagrange_mat is None else lagrange_mat.shape[0]),
+        float(np.abs(explicit_vec).max()),
+        solver,
+        lagrange_mat,
+    )
+
+    form_specs = disc.form_spec
+    idx = form_specs.index(target)
+    element_error = np.empty(disc.n_leaves)
+    href_cost = np.empty(disc.n_leaves)
+    dir_cost = np.ones((disc.n_leaves, 2))
+    for i_leaf in range(disc.n_leaves):
+        p1, p2, basis, corners = _element_quadrature_data(disc, i_leaf)
+        f1, f2 = p1 + dp, p2 + dp
+        fine_basis = disc.basis_cache.get_basis2d(f1, f2)
+        rule_1 = disc.basis_cache.get_integration_rule(f1 + 1)
+        rule_2 = disc.basis_cache.get_integration_rule(f2 + 1)
+        xi = rule_1.nodes[None, :]
+        eta = rule_2.nodes[:, None]
+
+        e0 = disc.element_offsets[i_leaf]
+        coarse_sol = solution[e0 : e0 + disc.element_sizes[i_leaf]]
+        off = form_specs.form_offset(idx, p1, p2)
+        size = form_specs.form_size(idx, p1, p2)
+        recon_u = reconstruct(
+            corners, basis, target.order, coarse_sol[off : off + size], xi, eta
+        )
+
+        # Fine mesh shares topology: leaf i has identical corners, so the
+        # fine DoF slice reconstructs at the same reference coordinates.
+        f0 = fine_disc.element_offsets[i_leaf]
+        fine_sol = fine_solution[f0 : f0 + fine_disc.element_sizes[i_leaf]]
+        foff = form_specs.form_offset(idx, f1, f2)
+        fsize = form_specs.form_size(idx, f1, f2)
+        recon_fine = reconstruct(
+            corners,
+            fine_basis,
+            target.order,
+            fine_sol[foff : foff + fsize],
+            xi,
+            eta,
+        )
+
+        weights = rule_1.weights[None, :] * rule_2.weights[:, None]
+        det = np.asarray(jacobian(corners, xi, eta).det)
+        err_vals = np.asarray(recon_fine) - np.asarray(recon_u)
+        element_error[i_leaf], href_cost[i_leaf] = compute_legendre_error_estimates(
+            p1, p2, rule_1.nodes[None, :], rule_2.nodes[:, None], weights, det,
+            np.asarray(recon_u), err_vals,
+        )
+        dir_cost[i_leaf] = compute_legendre_directional_costs(
+            p1, p2, rule_1.nodes[None, :], rule_2.nodes[:, None], weights, det,
+            err_vals,
+        )
     return element_error, href_cost, dir_cost
 
 
@@ -1072,6 +1200,15 @@ def perform_mesh_refinement(
             error_estimator.solution_estimate,
             ro[0] if ro is not None else None,
             ro[1] if ro is not None else None,
+        )
+    elif isinstance(error_estimator, ErrorEstimateFineSolve):
+        element_error, href_cost, dir_cost = error_estimate_with_fine_solve(
+            disc,
+            solution,
+            system,
+            boundary_conditions,
+            constrained,
+            error_estimator,
         )
     elif isinstance(error_estimator, ErrorEstimateVMS):
         element_error, href_cost, dir_cost = error_estimate_with_vms(

@@ -246,3 +246,39 @@ def test_anisotropic_p_refinement():
     # The x-only solution must drive p1-dominant refinement.
     assert raised_p1_only > 0, orders
     assert raised_p1_only >= raised_both, orders
+
+
+def test_fine_solve_estimator_drives_refinement():
+    """ErrorEstimateFineSolve refines without any exact solution."""
+    from mfv2d_tpu.models import poisson
+
+    model = poisson.mixed_poisson()
+    mesh = mf.examples.unit_square_mesh(3, 3, 2)
+    errs = []
+    for _ in range(3):
+        settings = mf.RefinementSettings(
+            error_estimate=mf.ErrorEstimateFineSolve(model.u, order_increase=1),
+            refinement_limit=mf.RefinementLimitElementCount(0.35, 6),
+            h_refinement_ratio=0.0,
+        )
+        sols, stats, mesh = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system),
+            refinement_settings=settings,
+            recon_order=8,
+        )
+        grid = sols[-1]
+        pts = grid.points
+        errs.append(
+            float(
+                np.sqrt(
+                    np.mean(
+                        (grid.point_data["u"] - poisson.u_exact(pts[:, 0], pts[:, 1]))
+                        ** 2
+                    )
+                )
+            )
+        )
+    # Error must decay monotonically over projection-driven rounds.
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 0.25 * errs[0]
