@@ -194,6 +194,11 @@ def main() -> None:
                 "value": round(tpu_rate, 1),
                 "unit": "elements/s",
                 "vs_baseline": round(tpu_rate / base_rate, 2),
+                # The baseline runs in float64 (NumPy's native speed there);
+                # the TPU rate uses the dtype below, so the ratio mixes
+                # precisions — disclose it.
+                "assembly_dtype": os.environ["MFV2D_TPU_ASSEMBLY_DTYPE"],
+                "baseline_dtype": "float64",
             }
         )
     )

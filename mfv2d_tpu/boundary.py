@@ -244,7 +244,10 @@ def mesh_boundary_conditions(
         ]
         for weak_term in evaluatable_terms
     ]
-    set_nodes: set[int] = set()
+    # Corner dedup must be tracked per equation (per constrained form):
+    # with one shared set, the second form with strong BCs on lines meeting
+    # at a node would silently lose its corner constraint row.
+    set_nodes: dict[int, set[int]] = {}
 
     for i_boundary in mesh.boundary_indices:
         i_boundary = int(i_boundary)
@@ -268,6 +271,7 @@ def mesh_boundary_conditions(
             if strong_term is not None:
                 p0 = primal_line.begin.index
                 p1 = primal_line.end.index
+                seen = set_nodes.setdefault(idx, set())
                 s_bcs.extend(
                     _element_strong_boundary_condition(
                         mesh,
@@ -277,11 +281,11 @@ def mesh_boundary_conditions(
                         idx,
                         strong_term,
                         basis_cache,
-                        p0 in set_nodes,
-                        p1 in set_nodes,
+                        p0 in seen,
+                        p1 in seen,
                     )
                 )
-                set_nodes |= {p0, p1}
+                seen |= {p0, p1}
             elif len(weak_term):
                 w_bcs.extend(
                     _element_weak_boundary_condition(

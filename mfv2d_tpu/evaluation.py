@@ -509,7 +509,10 @@ def compute_element_projector(
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
+# Bounded: keys hold user callables (static field functions), so an
+# unbounded cache would retain user closures and compiled executables for
+# the process lifetime (long refinement studies with changing fields leak).
+@lru_cache(maxsize=256)
 def _cached_element_fn(
     orders: tuple[int, int],
     int_orders: tuple[int, int],

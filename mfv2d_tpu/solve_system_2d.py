@@ -261,9 +261,6 @@ def solve_system_2d(
 
     _t_solve = __import__("time").perf_counter()
     resulting_grids: list[ReconstructedGrid] = []
-    grid = reconstruct_mesh_from_solution(disc, recon_order, solution)
-    grid.field_data["time"] = np.array([0.0])
-    resulting_grids.append(grid)
 
     global_lagrange = np.zeros_like(lagrange_vec)
     max_mag = float(np.abs(explicit_vec).max())
@@ -294,6 +291,15 @@ def solve_system_2d(
         old_solution_carry = state["old_carry"]
         time_carry_term = state["carry_term"]
         start_index = state["time_index"]
+
+    # Initial grid: reconstructed AFTER any checkpoint resume, so a resumed
+    # march's first grid shows the restored state (labelled with its time),
+    # not the fresh zero/IC state.
+    grid = reconstruct_mesh_from_solution(disc, recon_order, solution)
+    grid.field_data["time"] = np.array(
+        [start_index * time_settings.dt if time_settings is not None else 0.0]
+    )
+    resulting_grids.append(grid)
 
     use_fused_march = (
         time_settings is not None

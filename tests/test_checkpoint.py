@@ -97,6 +97,16 @@ def test_march_checkpoint_resume(tmp_path):
         sols_res[-1].point_data["u"], sols_full[-1].point_data["u"], atol=1e-13
     ), np.abs(sols_res[-1].point_data["u"] - sols_full[-1].point_data["u"]).max()
 
+    # The resumed run's FIRST grid must show the restored state at its
+    # checkpointed time, not a fresh zero/IC state at t=0.
+    assert float(sols_res[0].field_data["time"][0]) == nt // 2 * dt
+    mid_full = next(
+        g for g in sols_full if float(g.field_data["time"][0]) == nt // 2 * dt
+    )
+    assert np.allclose(
+        sols_res[0].point_data["u"], mid_full.point_data["u"], atol=1e-13
+    )
+
 
 def test_resume_rejects_wrong_mesh(tmp_path):
     import pytest

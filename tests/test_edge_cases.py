@@ -240,3 +240,42 @@ def test_checkpoint_with_unsteady_bcs():
     assert np.allclose(
         res[-1].point_data["u"], full[-1].point_data["u"], atol=1e-12
     ), np.abs(res[-1].point_data["u"] - full[-1].point_data["u"]).max()
+
+
+def test_two_strong_bc_forms_share_corners():
+    """Two 0-forms with strong BCs must BOTH get corner constraint rows.
+
+    Regression: the corner-dedup set was shared across equations, so the
+    second form's corner DoFs silently lost their constraints.
+    """
+
+    def ua(x, y):
+        return x + 2 * y
+
+    def ub(x, y):
+        return 3 * x - y
+
+    a = mf.KFormUnknown("a", mf.UnknownFormOrder.FORM_ORDER_0)
+    va = a.weight
+    b = mf.KFormUnknown("b", mf.UnknownFormOrder.FORM_ORDER_0)
+    vb = b.weight
+    system = mf.KFormSystem(
+        va.derivative @ a.derivative == 0 * (va @ ua),
+        vb.derivative @ b.derivative == 0 * (vb @ ub),
+    )
+    mesh = mf.examples.unit_square_mesh(2, 2, 2)
+    bcs = [
+        mf.BoundaryCondition2DSteady(a, mesh.boundary_indices, ua),
+        mf.BoundaryCondition2DSteady(b, mesh.boundary_indices, ub),
+    ]
+    sols, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(system, boundary_conditions=bcs),
+        mf.SolverSettings(mf.ConvergenceSettings(10, 1e-12, 0)),
+    )
+    grid = sols[-1]
+    x, y = grid.points[:, 0], grid.points[:, 1]
+    # Both harmonic solutions with linear boundary data ARE the linear
+    # functions; any lost corner row shows up as a boundary error.
+    assert np.abs(grid.point_data["a"] - ua(x, y)).max() < 1e-9
+    assert np.abs(grid.point_data["b"] - ub(x, y)).max() < 1e-9
