@@ -328,64 +328,110 @@ def error_estimate_with_custom_estimator(
     recon_order_1: int | None,
     recon_order_2: int | None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-element error via a user function of reconstructed form values."""
+    """Per-element error via a user function of reconstructed form values.
+
+    Reconstruction, coordinates, and quadrature weights are batched per
+    order bucket; only the (scalar-returning) user callable runs per leaf.
+    """
+    from mfv2d_tpu.projection import _jacobian_np, reconstruct_batched
+
     form_specs = disc.form_spec
     required = [form_specs.index(u) for u in required_unknowns]
     element_error = np.empty(disc.n_leaves)
     href_cost = np.empty(disc.n_leaves)
     dir_cost = np.ones((disc.n_leaves, 2))
-    for i_leaf in range(disc.n_leaves):
-        p1, p2, basis, corners = _element_quadrature_data(disc, i_leaf)
-        e0 = disc.element_offsets[i_leaf]
-        element_solution = solution[e0 : e0 + disc.element_sizes[i_leaf]]
-        nodes_xi = (
-            basis.basis_xi.rule.nodes
-            if recon_order_1 is None
-            else disc.basis_cache.get_integration_rule(recon_order_1).nodes
-        )[None, :]
-        nodes_eta = (
-            basis.basis_eta.rule.nodes
-            if recon_order_2 is None
-            else disc.basis_cache.get_integration_rule(recon_order_2).nodes
-        )[:, None]
-        x, y = physical_coordinates(corners, nodes_xi, nodes_eta)
-        form_vals = {}
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        basis = disc.basis_cache.get_basis2d(p1, p2)
+        rule_1 = disc.basis_cache.get_integration_rule(
+            recon_order_1 if recon_order_1 is not None else p1
+        )
+        rule_2 = disc.basis_cache.get_integration_rule(
+            recon_order_2 if recon_order_2 is not None else p2
+        )
+        nodes_xi = rule_1.nodes[None, :]
+        nodes_eta = rule_2.nodes[:, None]
+        corners = np.asarray(bucket.batch.corners)
+        dofs = solution[bucket.gather]
+        x, y = (
+            np.asarray(v) for v in physical_coordinates(corners, nodes_xi, nodes_eta)
+        )
+        batch_form_vals = {}
         for idx in required:
             label, order = form_specs[idx]
             off = form_specs.form_offset(idx, p1, p2)
             size = form_specs.form_size(idx, p1, p2)
-            form_vals[label] = reconstruct(
-                corners, basis, order, element_solution[off : off + size],
-                nodes_xi, nodes_eta,
+            batch_form_vals[label] = np.asarray(
+                reconstruct_batched(
+                    corners, basis, order, dofs[:, off : off + size],
+                    nodes_xi, nodes_eta,
+                )
             )
-        jac = jacobian(corners, nodes_xi, nodes_eta)
-        rule_w1 = (
-            basis.basis_xi.rule.weights
-            if recon_order_1 is None
-            else disc.basis_cache.get_integration_rule(recon_order_1).weights
-        )
-        rule_w2 = (
-            basis.basis_eta.rule.weights
-            if recon_order_2 is None
-            else disc.basis_cache.get_integration_rule(recon_order_2).weights
-        )
-        w = np.asarray(jac.det) * rule_w1[None, :] * rule_w2[:, None]
-        vals = error_calculation_function(
-            x=np.asarray(x),
-            y=np.asarray(y),
-            w=w,
-            order_1=p1,
-            order_2=p2,
-            xi=np.asarray(nodes_xi, np.float64),
-            eta=np.asarray(nodes_eta, np.float64),
-            **form_vals,
-        )
-        if vals[0] < 0:
-            raise ValueError(
-                "Error calculation function returned a negative error estimate."
+        det = _jacobian_np(corners, nodes_xi, nodes_eta)[4]
+        w_all = det * (rule_1.weights[None, :] * rule_2.weights[:, None])[None]
+        for j, rank in enumerate(bucket.leaf_ranks):
+            vals = error_calculation_function(
+                x=x[j],
+                y=y[j],
+                w=w_all[j],
+                order_1=p1,
+                order_2=p2,
+                xi=np.asarray(nodes_xi, np.float64),
+                eta=np.asarray(nodes_eta, np.float64),
+                **{k: v[j] for k, v in batch_form_vals.items()},
             )
-        element_error[i_leaf], href_cost[i_leaf] = vals
+            if vals[0] < 0:
+                raise ValueError(
+                    "Error calculation function returned a negative error"
+                    " estimate."
+                )
+            element_error[rank], href_cost[rank] = vals
     return element_error, href_cost, dir_cost
+
+
+def _batched_legendre_measures(
+    order_1: int,
+    order_2: int,
+    nodes_xi: npt.NDArray[np.float64],
+    nodes_eta: npt.NDArray[np.float64],
+    w2d: npt.NDArray[np.float64],
+    det: npt.NDArray[np.float64],
+    u: npt.NDArray[np.float64],
+    err: npt.NDArray[np.float64],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched (L2 err^2, h cost, directional costs) over an element bucket.
+
+    Vectorizes :func:`compute_legendre_error_estimates` /
+    :func:`compute_legendre_directional_costs` over a leading ``[E]`` axis —
+    one einsum per spectrum instead of a per-leaf host loop.
+    """
+    if err.ndim == 4:
+        err = np.linalg.norm(err, axis=-1)
+        u = np.linalg.norm(u, axis=-1)
+    wdet = w2d[None] * det
+    table_xi = compute_legendre(order_1, np.ravel(nodes_xi))
+    table_eta = compute_legendre(order_2, np.ravel(nodes_eta))
+    norms = _mode_norms(order_1, order_2)
+    sqdet = np.sqrt(det)
+
+    def spectrum(f):
+        return (
+            np.einsum("ay,eyx,bx->eab", table_eta, f / sqdet, table_xi)
+            / norms
+        )
+
+    spec_better = spectrum((u + err) * wdet)
+    spec_err = spectrum(err * wdet)
+    energy = (spec_better**2 - spec_err**2) * norms
+    low_low = np.zeros(energy.shape[1:], dtype=bool)
+    low_low[: order_2 // 2, : order_1 // 2] = True
+    h_cost = np.abs(np.sum(energy[:, ~low_low], axis=1))
+    l2_sq = np.sum(err**2 * wdet, axis=(1, 2))
+
+    err_energy = spec_err**2 * norms
+    p1_cost = err_energy[:, :, max(order_1 // 2, 1) :].sum(axis=(1, 2))
+    p2_cost = err_energy[:, max(order_2 // 2, 1) :, :].sum(axis=(1, 2))
+    return l2_sq, h_cost, np.stack([p1_cost, p2_cost], axis=1)
 
 
 def error_estimate_with_fine_solve(
@@ -503,16 +549,21 @@ def error_estimate_with_explicit_solution(
     recon_order_1: int | None,
     recon_order_2: int | None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Error vs a user-provided (near-)exact solution function."""
+    """Error vs a user-provided (near-)exact solution function.
+
+    Evaluated bucket-batched: reconstruction, exact evaluation, and the
+    Legendre measures run over all same-order elements at once.
+    """
+    from mfv2d_tpu.projection import _jacobian_np, reconstruct_batched
+
     form_specs = disc.form_spec
     idx = form_specs.index(target)
     element_error = np.empty(disc.n_leaves)
     href_cost = np.empty(disc.n_leaves)
     dir_cost = np.ones((disc.n_leaves, 2))
-    for i_leaf in range(disc.n_leaves):
-        p1, p2, basis, corners = _element_quadrature_data(disc, i_leaf)
-        e0 = disc.element_offsets[i_leaf]
-        element_solution = solution[e0 : e0 + disc.element_sizes[i_leaf]]
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        basis = disc.basis_cache.get_basis2d(p1, p2)
         rule_1 = disc.basis_cache.get_integration_rule(
             recon_order_1 if recon_order_1 is not None else p1
         )
@@ -521,33 +572,26 @@ def error_estimate_with_explicit_solution(
         )
         xi = rule_1.nodes[None, :]
         eta = rule_2.nodes[:, None]
+        corners = np.asarray(bucket.batch.corners)
+        dofs = solution[bucket.gather]
         off = form_specs.form_offset(idx, p1, p2)
         size = form_specs.form_size(idx, p1, p2)
-        recon_u = reconstruct(
-            corners, basis, target.order, element_solution[off : off + size], xi, eta
+        recon_u = np.asarray(
+            reconstruct_batched(
+                corners, basis, target.order, dofs[:, off : off + size], xi, eta
+            )
         )
-        x, y = physical_coordinates(corners, xi, eta)
-        exact = np.asarray(solution_estimate(np.asarray(x), np.asarray(y)))
-        jac = jacobian(corners, xi, eta)
-        element_error[i_leaf], href_cost[i_leaf] = compute_legendre_error_estimates(
-            p1,
-            p2,
-            rule_1.nodes[None, :],
-            rule_2.nodes[:, None],
-            rule_1.weights[None, :] * rule_2.weights[:, None],
-            np.asarray(jac.det),
-            recon_u,
+        x, y = (np.asarray(v) for v in physical_coordinates(corners, xi, eta))
+        exact = np.asarray(solution_estimate(x, y))
+        det = _jacobian_np(corners, xi, eta)[4]
+        w2d = rule_1.weights[None, :] * rule_2.weights[:, None]
+        l2, hc, dc = _batched_legendre_measures(
+            p1, p2, rule_1.nodes, rule_2.nodes, w2d, det, recon_u,
             exact - recon_u,
         )
-        dir_cost[i_leaf] = compute_legendre_directional_costs(
-            p1,
-            p2,
-            rule_1.nodes[None, :],
-            rule_2.nodes[:, None],
-            rule_1.weights[None, :] * rule_2.weights[:, None],
-            np.asarray(jac.det),
-            exact - recon_u,
-        )
+        element_error[bucket.leaf_ranks] = l2
+        href_cost[bucket.leaf_ranks] = hc
+        dir_cost[bucket.leaf_ranks] = dc
     return element_error, href_cost, dir_cost
 
 

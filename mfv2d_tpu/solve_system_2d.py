@@ -331,7 +331,7 @@ def solve_system_2d(
 
         nt = time_settings.nt
         dt = time_settings.dt
-        us, global_lagrange = fused_linear_time_march(
+        us, sample_steps, global_lagrange = fused_linear_time_march(
             disc,
             matrices,
             lagrange_mat,
@@ -342,16 +342,14 @@ def solve_system_2d(
             np.asarray(time_carry_term),
             dt,
             nt,
+            time_settings.sample_rate,
         )
         changes = np.zeros(nt)
         iters = np.ones(nt, np.uint32)
-        for time_index in range(nt):
-            if (time_index % time_settings.sample_rate) == 0 or time_index + 1 == nt:
-                grid = reconstruct_mesh_from_solution(
-                    disc, recon_order, us[time_index]
-                )
-                grid.field_data["time"] = np.array([(time_index + 1) * dt])
-                resulting_grids.append(grid)
+        for s_i, time_index in enumerate(sample_steps):
+            grid = reconstruct_mesh_from_solution(disc, recon_order, us[s_i])
+            grid.field_data["time"] = np.array([(int(time_index) + 1) * dt])
+            resulting_grids.append(grid)
         solution = us[-1]
     elif use_fused_nonlinear_march:
         if solver_settings.method == "newton":
@@ -363,31 +361,31 @@ def solve_system_2d(
 
         nt = time_settings.nt
         dt = time_settings.dt
-        us, global_lagrange, iters, changes = fused_nonlinear_time_march(
-            disc,
-            evaluator,
-            matrices,
-            lagrange_mat,
-            explicit_vec,
-            time_carry_index_array,
-            solution,
-            old_solution_carry,
-            np.asarray(time_carry_term),
-            dt,
-            nt,
-            max_iterations,
-            relax,
-            atol,
-            rtol,
-            max_mag,
+        us, sample_steps, global_lagrange, iters, changes = (
+            fused_nonlinear_time_march(
+                disc,
+                evaluator,
+                matrices,
+                lagrange_mat,
+                explicit_vec,
+                time_carry_index_array,
+                solution,
+                old_solution_carry,
+                np.asarray(time_carry_term),
+                dt,
+                nt,
+                max_iterations,
+                relax,
+                atol,
+                rtol,
+                max_mag,
+                time_settings.sample_rate,
+            )
         )
-        for time_index in range(nt):
-            if (time_index % time_settings.sample_rate) == 0 or time_index + 1 == nt:
-                grid = reconstruct_mesh_from_solution(
-                    disc, recon_order, us[time_index]
-                )
-                grid.field_data["time"] = np.array([(time_index + 1) * dt])
-                resulting_grids.append(grid)
+        for s_i, time_index in enumerate(sample_steps):
+            grid = reconstruct_mesh_from_solution(disc, recon_order, us[s_i])
+            grid.field_data["time"] = np.array([(int(time_index) + 1) * dt])
+            resulting_grids.append(grid)
         solution = us[-1]
     elif time_settings is not None:
         nt = time_settings.nt

@@ -79,6 +79,20 @@ def _dense_saddle(disc: Discretization, element_matrices, lagrange_mat):
     return assemble_dense_saddle(disc, element_matrices, lagrange_mat)
 
 
+def _sample_slots(nt: int, sample_rate: int):
+    """Step-index -> sample-slot map: steps {0, s, 2s, ...} u {nt-1}.
+
+    Matches the host march's grid-sampling rule; the fused scans carry a
+    [n_samples, n] buffer updated in place instead of materializing every
+    step ([nt, n_dofs] was an HBM/host-transfer wall at large nt).
+    """
+    steps = sorted({i for i in range(nt) if i % sample_rate == 0} | {nt - 1})
+    slots = np.full(nt, -1, np.int64)
+    for s_i, step_i in enumerate(steps):
+        slots[step_i] = s_i
+    return np.asarray(steps, np.int64), slots
+
+
 def fused_linear_time_march(
     disc: Discretization,
     element_matrices: list[np.ndarray],
@@ -90,12 +104,15 @@ def fused_linear_time_march(
     initial_carry_term: np.ndarray,
     dt: float,
     nt: int,
+    sample_rate: int = 1,
 ):
     """Run the whole linear trapezoidal march as one jitted scan.
 
-    Returns (solutions [nt, n_dofs], final lagrange multipliers).  The march
-    semantics match the host loop exactly (one linear solve per step, carry
-    update 2/dt (dual_new - dual_old) - carry).
+    Returns (sampled solutions [n_samples, n_dofs], sampled step indices,
+    final lagrange multipliers).  The march semantics match the host loop
+    exactly (one linear solve per step, carry update
+    2/dt (dual_new - dual_old) - carry); only steps at the sample rate (and
+    the final step) are materialized.
     """
     mat, n_lag = _dense_saddle(disc, element_matrices, lagrange_mat)
     n = disc.n_dofs
@@ -159,10 +176,13 @@ def fused_linear_time_march(
             return out
         return out.at[g_cols].add(g_vals * lam[g_rows])
 
+    sample_steps, slots = _sample_slots(nt, sample_rate)
+    slots_dev = jnp.asarray(slots)
+
     @jax.jit
     def march(u0, lam0, carry0, carry_term0):
-        def step(state, _):
-            u, lam, old_carry, carry_term = state
+        def step(state, slot):
+            u, lam, old_carry, carry_term, buf = state
             current_carry = two_over_dt * old_carry + carry_term
             base = explicit.at[carry_idx].add(current_carry)
             value = block_apply(u) + trace_t_apply(lam)
@@ -174,12 +194,15 @@ def fused_linear_time_march(
             dual = dual_apply(u_new)
             new_carry = dual[carry_idx]
             new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
-            return (u_new, lam_new, new_carry, new_carry_term), u_new
+            idx = jnp.maximum(slot, 0)
+            buf = buf.at[idx].set(jnp.where(slot >= 0, u_new, buf[idx]))
+            return (u_new, lam_new, new_carry, new_carry_term, buf), None
 
-        (_, lam_f, _, _), us = jax.lax.scan(
-            step, (u0, lam0, carry0, carry_term0), None, length=nt
+        buf0 = jnp.zeros((len(sample_steps), n))
+        (_, lam_f, _, _, buf), _ = jax.lax.scan(
+            step, (u0, lam0, carry0, carry_term0, buf0), slots_dev
         )
-        return us, lam_f
+        return buf, lam_f
 
     us, lam_f = march(
         jnp.asarray(initial_solution),
@@ -187,7 +210,7 @@ def fused_linear_time_march(
         jnp.asarray(initial_carry),
         jnp.asarray(initial_carry_term),
     )
-    return np.asarray(us), np.asarray(lam_f)
+    return np.asarray(us), sample_steps, np.asarray(lam_f)
 
 
 def fused_picard_solve(
@@ -325,6 +348,7 @@ def fused_nonlinear_time_march(
     atol: float,
     rtol: float,
     max_mag: float,
+    sample_rate: int = 1,
 ):
     """Nonlinear trapezoidal march fully on device.
 
@@ -412,10 +436,13 @@ def fused_nonlinear_time_march(
             return out
         return out.at[g_cols].add(g_vals * lam[g_rows])
 
+    sample_steps, slots = _sample_slots(nt, sample_rate)
+    slots_dev = jnp.asarray(slots)
+
     @jax.jit
     def march(u0, lam0, carry0, carry_term0):
-        def step(state, _):
-            u, lam, old_carry, carry_term = state
+        def step(state, slot):
+            u, lam, old_carry, carry_term, buf = state
             current_carry = two_over_dt * old_carry + carry_term
             base = explicit.at[carry_idx].add(current_carry)
 
@@ -446,16 +473,18 @@ def fused_nonlinear_time_march(
             dual = dual_apply(u_new)
             new_carry = dual[carry_idx]
             new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
-            return (u_new, lam_new, new_carry, new_carry_term), (
-                u_new,
+            idx = jnp.maximum(slot, 0)
+            buf = buf.at[idx].set(jnp.where(slot >= 0, u_new, buf[idx]))
+            return (u_new, lam_new, new_carry, new_carry_term, buf), (
                 iters,
                 mres,
             )
 
-        (_, lam_f, _, _), (us, iters, residuals) = jax.lax.scan(
-            step, (u0, lam0, carry0, carry_term0), None, length=nt
+        buf0 = jnp.zeros((len(sample_steps), n))
+        (_, lam_f, _, _, buf), (iters, residuals) = jax.lax.scan(
+            step, (u0, lam0, carry0, carry_term0, buf0), slots_dev
         )
-        return us, lam_f, iters, residuals
+        return buf, lam_f, iters, residuals
 
     us, lam_f, iters, residuals = march(
         jnp.asarray(initial_solution),
@@ -465,6 +494,7 @@ def fused_nonlinear_time_march(
     )
     return (
         np.asarray(us),
+        sample_steps,
         np.asarray(lam_f),
         np.asarray(iters, np.uint32),
         np.asarray(residuals),
@@ -702,6 +732,7 @@ def fused_newton_time_march(
     atol: float,
     rtol: float,
     max_mag: float,
+    sample_rate: int = 1,
 ):
     """Exact-Newton trapezoidal march fully on device.
 
@@ -742,10 +773,13 @@ def fused_newton_time_march(
     explicit = jnp.asarray(explicit_vec)
     two_over_dt = 2.0 / dt
 
+    sample_steps, slots = _sample_slots(nt, sample_rate)
+    slots_dev = jnp.asarray(slots)
+
     @jax.jit
     def march(u0, lam0, carry0, carry_term0):
-        def step(state, _):
-            u, lam, old_carry, carry_term = state
+        def step(state, slot):
+            u, lam, old_carry, carry_term, buf = state
             current_carry = two_over_dt * old_carry + carry_term
             base = explicit.at[carry_idx].add(current_carry)
 
@@ -779,14 +813,18 @@ def fused_newton_time_march(
             dual = dual_apply(u_new)
             new_carry = dual[carry_idx]
             new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
-            return (u_new, lam_new, new_carry, new_carry_term), (
-                u_new, iters, mres,
+            idx = jnp.maximum(slot, 0)
+            buf = buf.at[idx].set(jnp.where(slot >= 0, u_new, buf[idx]))
+            return (u_new, lam_new, new_carry, new_carry_term, buf), (
+                iters,
+                mres,
             )
 
-        (_, lam_f, _, _), (us, iters, residuals) = jax.lax.scan(
-            step, (u0, lam0, carry0, carry_term0), None, length=nt
+        buf0 = jnp.zeros((len(sample_steps), n))
+        (_, lam_f, _, _, buf), (iters, residuals) = jax.lax.scan(
+            step, (u0, lam0, carry0, carry_term0, buf0), slots_dev
         )
-        return us, lam_f, iters, residuals
+        return buf, lam_f, iters, residuals
 
     us, lam_f, iters, residuals = march(
         jnp.asarray(initial_solution),
@@ -796,6 +834,7 @@ def fused_newton_time_march(
     )
     return (
         np.asarray(us),
+        sample_steps,
         np.asarray(lam_f),
         np.asarray(iters, np.uint32),
         np.asarray(residuals),

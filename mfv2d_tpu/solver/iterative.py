@@ -219,23 +219,64 @@ class BlockSaddleSystem:
         if self.n_lagrange == 0:
             raise ValueError("System has no constraints; Schur is empty.")
         assert self.lagrange_mat is not None
-        gcsc = sp.csc_array(self.lagrange_mat)
+        g = sp.coo_array(self.lagrange_mat)
+        n_lag = self.n_lagrange
         rows_acc: list[np.ndarray] = []
         cols_acc: list[np.ndarray] = []
         vals_acc: list[np.ndarray] = []
         for blocks_np, bucket in zip(self._blocks_np, self.disc.buckets):
             gather = np.asarray(bucket.gather)
-            for j in range(blocks_np.shape[0]):
-                sub = sp.coo_array(gcsc[:, gather[j]])
-                if sub.nnz == 0:
-                    continue
-                rows, inv = np.unique(sub.row, return_inverse=True)
-                ge = np.zeros((rows.size, gather.shape[1]))
-                ge[inv, sub.col] = sub.data
-                se = ge @ np.linalg.solve(blocks_np[j], ge.T)
-                rows_acc.append(np.repeat(rows, rows.size))
-                cols_acc.append(np.tile(rows, rows.size))
-                vals_acc.append(se.ravel())
+            n_e, n = gather.shape
+            # Constraint entries owned by this bucket, as (element, local
+            # dof) pairs — one vectorized pass instead of per-element
+            # sparse-column slicing.
+            col_map = np.full(self.disc.n_dofs, -1, np.int64)
+            col_map[gather.ravel()] = np.arange(n_e * n)
+            flat = col_map[g.col]
+            sel = flat >= 0
+            e_idx = flat[sel] // n
+            d_idx = flat[sel] % n
+            r_idx = np.asarray(g.row)[sel].astype(np.int64)
+            v_ent = np.asarray(g.data)[sel]
+            if e_idx.size == 0:
+                continue
+
+            # Unique (element, row) pairs -> a padded slot table per element.
+            pair_key = e_idx * n_lag + r_idx
+            uniq, pair_inv = np.unique(pair_key, return_inverse=True)
+            ue = uniq // n_lag
+            ur = uniq % n_lag
+            counts = np.bincount(ue, minlength=n_e)
+            k_max = int(counts.max())
+            slot_of_pair = (
+                np.arange(uniq.size)
+                - np.concatenate(([0], np.cumsum(counts)))[ue]
+            )
+            ge = np.zeros((n_e, k_max, n))
+            np.add.at(ge, (e_idx, slot_of_pair[pair_inv], d_idx), v_ent)
+            rows_pad = np.zeros((n_e, k_max), np.int64)
+            rows_pad[ue, slot_of_pair] = ur
+            valid = np.zeros((n_e, k_max), bool)
+            valid[ue, slot_of_pair] = True
+
+            # Batched S_e = G_e A_e^{-1} G_e^T, chunked to bound memory.
+            chunk = max(1, (1 << 27) // max(1, k_max * n * 8))
+            for c0 in range(0, n_e, chunk):
+                c1 = min(c0 + chunk, n_e)
+                sol = np.linalg.solve(
+                    blocks_np[c0:c1], np.swapaxes(ge[c0:c1], 1, 2)
+                )
+                se = np.einsum("ekn,enj->ekj", ge[c0:c1], sol, optimize=True)
+                mask = valid[c0:c1, :, None] & valid[c0:c1, None, :]
+                rows_full = np.broadcast_to(
+                    rows_pad[c0:c1, :, None], se.shape
+                )
+                cols_full = np.broadcast_to(
+                    rows_pad[c0:c1, None, :], se.shape
+                )
+                rows_acc.append(rows_full[mask])
+                cols_acc.append(cols_full[mask])
+                vals_acc.append(se[mask])
         s = sp.coo_array(
             (
                 np.concatenate(vals_acc),

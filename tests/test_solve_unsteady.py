@@ -524,3 +524,37 @@ def test_time_dependent_operator_field_rejected():
                 0.1, 2, {model.u.weight: model.u}
             ),
         )
+
+
+def test_fused_march_sampling_matches_dense_steps():
+    """sample_rate > 1 stores only sampled steps, bit-equal to full output."""
+    from mfv2d_tpu.models import transport
+
+    model = transport.reaction(1.0, lambda x, y: 0 * x + 1.0)
+    mesh = mf.examples.unit_square_mesh(2, 2, 2)
+    settings_full = mf.TimeSettings(
+        dt=0.05, nt=7, time_march_relations=model.time_march_relations
+    )
+    settings_s3 = mf.TimeSettings(
+        dt=0.05, nt=7, time_march_relations=model.time_march_relations,
+        sample_rate=3,
+    )
+    solver = mf.SolverSettings(
+        mf.ConvergenceSettings(20, 1e-10, 0), linear_solver="dense"
+    )
+    sols_full, _, _ = mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system), solver,
+        time_settings=settings_full, recon_order=3,
+    )
+    mesh2 = mf.examples.unit_square_mesh(2, 2, 2)
+    sols_s3, _, _ = mf.solve_system_2d(
+        mesh2, mf.SystemSettings(model.system), solver,
+        time_settings=settings_s3, recon_order=3,
+    )
+    # Steps 0,3,6 are sampled; the final step (index 6) coincides here.
+    times_s3 = [float(g.field_data["time"][0]) for g in sols_s3]
+    assert np.allclose(times_s3, [0.0, 0.05, 0.2, 0.35])
+    full_by_time = {round(float(g.field_data["time"][0]), 9): g for g in sols_full}
+    for g in sols_s3[1:]:
+        ref = full_by_time[round(float(g.field_data["time"][0]), 9)]
+        assert np.allclose(g.point_data["u"], ref.point_data["u"], atol=1e-13)
