@@ -20,6 +20,7 @@ preconditioning, all matching the reference algorithms (solving.py:178-684).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -30,6 +31,91 @@ import scipy.sparse as sp
 
 from mfv2d_tpu.solver.discretization import Discretization
 from mfv2d_tpu.solver.solve import ConvergenceSettings
+
+
+class DeviceSchurFactor:
+    """Device-resident factorization of the assembled trace Schur matrix.
+
+    TPU XLA has no sparse direct factorization, its f64 dense LU is
+    emulated, and even its f32 getrf runs largely serial, so the inverse is
+    built with Newton-Schulz iteration — pure GEMMs on the MXU — and every
+    solve refines to f64 accuracy with sparse residual matvecs.
+
+    Measured (v5e, mixed Poisson 32x32 p=4, n_lag=7936): factor 4.2s,
+    refined solve ~340ms — versus host SuperLU at 0.15s / 3.7ms.  Host
+    sparse direct solves dominate for 2D trace systems, so this path is
+    OPT-IN (``MFV2D_TPU_SCHUR_DEVICE=1``) for pipelines that must avoid
+    host round-trips entirely; the caller checks
+    :attr:`last_rel_residual` and falls back to host SuperLU when
+    refinement stalls.
+    """
+
+    def __init__(
+        self,
+        s_csr: sp.csr_array,
+        refinements: int = 20,
+        ns_iterations: int = 40,
+    ) -> None:
+        coo = sp.coo_array(s_csr)
+        n = s_csr.shape[0]
+        self.n = n
+        self._rows = jnp.asarray(coo.row, jnp.int32)
+        self._cols = jnp.asarray(coo.col, jnp.int32)
+        self._vals = jnp.asarray(coo.data, jnp.float64)
+        dense32 = np.zeros((n, n), np.float32)
+        dense32[coo.row, coo.col] += coo.data.astype(np.float32)
+
+        @jax.jit
+        def newton_schulz(s):
+            # X0 = S^T / (||S||_1 ||S||_inf) guarantees ||I - S X0|| < 1 for
+            # any nonsingular S; quadratic convergence thereafter.
+            norm = jnp.linalg.norm(s, ord=jnp.inf) * jnp.linalg.norm(s, ord=1)
+            x0 = s.T / norm
+            eye2 = 2.0 * jnp.eye(n, dtype=s.dtype)
+
+            def body(_, x):
+                return jax.numpy.matmul(
+                    x,
+                    eye2 - jax.numpy.matmul(s, x, precision="highest"),
+                    precision="highest",
+                )
+
+            return jax.lax.fori_loop(0, ns_iterations, body, x0)
+
+        self._inv = newton_schulz(jnp.asarray(dense32))
+        self.last_rel_residual = 0.0
+
+        @jax.jit
+        def solve(inv, vals, rows, cols, b):
+            def matvec(x):
+                return jax.ops.segment_sum(
+                    vals * x[cols], rows, num_segments=n
+                )
+
+            def apply_inv(r):
+                return jnp.matmul(
+                    inv, r.astype(jnp.float32), precision="highest"
+                ).astype(jnp.float64)
+
+            x = apply_inv(b)
+
+            def body(_, x):
+                return x + apply_inv(b - matvec(x))
+
+            x = jax.lax.fori_loop(0, refinements, body, x)
+            res = jnp.linalg.norm(b - matvec(x)) / jnp.maximum(
+                jnp.linalg.norm(b), 1e-300
+            )
+            return x, res
+
+        self._solve = solve
+
+    def solve(self, b) -> np.ndarray:
+        x, res = self._solve(
+            self._inv, self._vals, self._rows, self._cols, jnp.asarray(b)
+        )
+        self.last_rel_residual = float(res)
+        return np.asarray(x)
 
 
 class BlockSaddleSystem:
@@ -287,12 +373,29 @@ class BlockSaddleSystem:
         return sp.csr_array(s.tocsr())
 
     def schur_decomposition(self):
-        """Cached sparse LU of the assembled Schur complement."""
+        """Cached factorization of the assembled Schur complement.
+
+        With ``MFV2D_TPU_SCHUR_DEVICE=1`` (and within a size cap) the
+        factorization is device-resident: a Newton-Schulz f32 inverse
+        refined to f64 with sparse residual matvecs
+        (:class:`DeviceSchurFactor`).  The default is host SuperLU, which
+        measured ~30x faster to factor and ~90x faster to solve for 2D
+        trace systems on v5e.
+        """
         decomp = getattr(self, "_schur_decomp", None)
         if decomp is None:
-            import scipy.sparse.linalg as sla
+            s = self.assemble_schur_sparse()
+            cap = int(os.environ.get("MFV2D_TPU_SCHUR_DENSE_MAX", "16384"))
+            force = os.environ.get("MFV2D_TPU_SCHUR_DEVICE") == "1"
+            # Opt-in only: measured on v5e the host sparse LU beats the
+            # device dense factorization for 2D trace systems (see
+            # DeviceSchurFactor docstring).
+            if force and self.n_lagrange <= cap:
+                decomp = DeviceSchurFactor(s)
+            else:
+                import scipy.sparse.linalg as sla
 
-            decomp = sla.splu(sp.csc_matrix(self.assemble_schur_sparse()))
+                decomp = sla.splu(sp.csc_matrix(s))
             self._schur_decomp = decomp
         return decomp
 
@@ -636,7 +739,18 @@ def solve_schur_direct(
     decomp = system.schur_decomposition()
     inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
     trace_rhs = np.asarray(system.apply_trace(inv_a_b)) - np.asarray(constraints)
-    lam = jnp.asarray(decomp.solve(trace_rhs))
+    lam_np = decomp.solve(trace_rhs)
+    if (
+        isinstance(decomp, DeviceSchurFactor)
+        and decomp.last_rel_residual > 1e-9
+    ):
+        # Refinement stalled (cond(S) too large for f32): redo on the host.
+        import scipy.sparse.linalg as sla
+
+        decomp = sla.splu(sp.csc_matrix(system.assemble_schur_sparse()))
+        system._schur_decomp = decomp
+        lam_np = decomp.solve(trace_rhs)
+    lam = jnp.asarray(lam_np)
     u = inv_a_b - system.apply_diagonal_inverse(system.apply_trace_transpose(lam))
     return u, lam, 0.0, 1
 

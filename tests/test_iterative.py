@@ -221,3 +221,31 @@ def test_mixed_precision_inverse_accuracy():
     x = np.asarray(MixedPrecisionLU(a).solve(b))
     x_ref = np.linalg.solve(a, b)
     assert np.max(np.abs(x - x_ref)) < 1e-10 * max(1, np.abs(x_ref).max())
+
+
+def test_device_schur_factor_matches_host(monkeypatch):
+    """The device-resident Schur factorization equals host SuperLU."""
+    import os
+
+    from mfv2d_tpu.solver.iterative import DeviceSchurFactor, solve_schur_direct
+
+    disc, _evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup(4, 3)
+    system = BlockSaddleSystem(disc, matrices, lagrange_mat)
+
+    # Host path first.
+    u_host, lam_host, _, _ = solve_schur_direct(
+        system, jnp.asarray(forcing), jnp.asarray(lagrange_vec)
+    )
+    assert not isinstance(system._schur_decomp, DeviceSchurFactor)
+
+    # Force the device factorization and compare.
+    system2 = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    monkeypatch.setenv("MFV2D_TPU_SCHUR_DEVICE", "1")
+    u_dev, lam_dev, _, _ = solve_schur_direct(
+        system2, jnp.asarray(forcing), jnp.asarray(lagrange_vec)
+    )
+    assert isinstance(system2._schur_decomp, DeviceSchurFactor)
+    assert system2._schur_decomp.last_rel_residual < 1e-10
+    assert np.allclose(np.asarray(u_dev), np.asarray(u_host), atol=1e-9), np.abs(
+        np.asarray(u_dev) - np.asarray(u_host)
+    ).max()
