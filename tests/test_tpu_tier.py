@@ -1,0 +1,122 @@
+"""Opt-in TPU-backend tests (VERDICT round-1 item 10).
+
+Run with::
+
+    MFV2D_TPU_TESTS=1 python -m pytest tests -m tpu
+
+Everything here executes on the real accelerator platform (the default
+suite pins the CPU backend) and checks the TPU-only branches the CPU tests
+can only reach via monkeypatching: f32 assembly accuracy, the refined-f32
+block inverse, and an end-to-end solve.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+_ON_TPU_TIER = os.environ.get("MFV2D_TPU_TESTS") == "1"
+if _ON_TPU_TIER:
+    import jax
+
+    _BACKEND_OK = jax.default_backend() not in ("cpu",)
+else:
+    _BACKEND_OK = False
+
+skip_unless_tpu = pytest.mark.skipif(
+    not (_ON_TPU_TIER and _BACKEND_OK),
+    reason="TPU tier: set MFV2D_TPU_TESTS=1 and run on an accelerator",
+)
+
+
+def _corners(n_elem, dtype, seed=5):
+    rng = np.random.default_rng(seed)
+    base = np.array([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)])
+    return (
+        np.tile(base, (n_elem, 1, 1)) + 0.06 * rng.normal(size=(n_elem, 4, 2))
+    ).astype(dtype)
+
+
+@skip_unless_tpu
+def test_f32_assembly_accuracy_bound():
+    """f32 on-device assembly vs the f64 host reference: bf16-pass bound."""
+    import jax.numpy as jnp
+
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.evaluation import ElementBatch, compute_element_matrices
+    from mfv2d_tpu.ops.basis import FemCache
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == 0,
+        v @ q.derivative == 0,
+    )
+    compiled = CompiledSystem(system)
+    basis = FemCache(2).get_basis2d(4, 4)
+    corners64 = _corners(64, np.float64)
+
+    m32 = np.asarray(
+        compute_element_matrices(
+            system.unknown_forms,
+            compiled.lhs_blocks,
+            ElementBatch(basis, jnp.asarray(corners64, jnp.float32)),
+        )
+    )
+    # f64 reference on the host CPU device of the same process.
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        m64 = np.asarray(
+            compute_element_matrices(
+                system.unknown_forms,
+                compiled.lhs_blocks,
+                ElementBatch(basis, jnp.asarray(corners64)),
+            )
+        )
+    scale = np.abs(m64).max()
+    rel = np.abs(m32 - m64).max() / scale
+    # TPU f32 GEMMs default to bf16 MXU passes: the observed error is a few
+    # e-3 relative; anything past 2e-2 signals a real defect.
+    assert rel < 2e-2, rel
+
+
+@skip_unless_tpu
+def test_mixed_precision_lu_refines_to_f64():
+    from mfv2d_tpu.solver.iterative import MixedPrecisionLU
+
+    rng = np.random.default_rng(11)
+    n = 96
+    a = rng.normal(size=(n, n))
+    a = a @ a.T + n * np.eye(n)
+    b = rng.normal(size=n)
+    x = np.asarray(MixedPrecisionLU(a).solve(b))
+    ref = np.linalg.solve(a, b)
+    assert np.abs(x - ref).max() < 1e-11 * np.abs(ref).max()
+
+
+@skip_unless_tpu
+def test_end_to_end_solve_on_accelerator():
+    """Mixed Poisson solved under the accelerator platform (f64 emulated)."""
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.models import poisson
+
+    model = poisson.mixed_poisson()
+    mesh = mf.examples.unit_square_mesh(4, 4, 3)
+    sols, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system),
+        mf.SolverSettings(mf.ConvergenceSettings(20, 1e-9, 0)),
+    )
+    grid = sols[-1]
+    pts = grid.points
+    err = np.max(
+        np.abs(grid.point_data["u"] - poisson.u_exact(pts[:, 0], pts[:, 1]))
+    )
+    assert err < 2e-2, err
