@@ -893,3 +893,189 @@ class MultiBucketShardedSystem:
             )
             out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u_local)
         return out, np.asarray(lam), float(np.sqrt(mag2)), iters
+
+
+def sharded_time_march(
+    system,
+    disc: Discretization,
+    device_mesh: Mesh,
+    time_settings,
+    *,
+    boundary_conditions=(),
+    constrained_forms=(),
+    cg_maximum_iterations: int = 2000,
+    cg_tolerance: float = 1e-12,
+):
+    """Fully sharded linear trapezoidal time march: one jitted scan.
+
+    Element data (DoFs, matrices, factorizations, carry slices, mass
+    applications) stays sharded over the device mesh for the entire march;
+    the only communication is one psum per Schur-CG matvec inside each
+    step's saddle solve.  Semantics match the host/fused marches (one
+    linear solve per step, trapezoidal carry update).
+
+    Returns ``(solutions [nt_sampled, n_dofs], sample_steps, lam)``.
+    """
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.continuity import add_system_constraints
+    from mfv2d_tpu.evaluation import ElementBatch
+    from mfv2d_tpu.solver.fused import _sample_slots
+    from mfv2d_tpu.solver.solve import (
+        compute_forcing_vector,
+        find_time_carry_indices,
+    )
+    from mfv2d_tpu.solve_system_2d import update_system_for_time_march
+
+    marched = update_system_for_time_march(time_settings, system)
+    compiled = CompiledSystem(marched)
+    if compiled.nonlin_blocks is not None or compiled.rhs_blocks is not None:
+        raise NotImplementedError(
+            "sharded_time_march handles linear marches; nonlinear systems"
+            " use the host/fused paths."
+        )
+    form_spec = marched.unknown_forms
+
+    forcing = compute_forcing_vector(disc, marched)
+    linear_vectors = [
+        forcing[disc.element_offsets[i] : disc.element_offsets[i + 1]]
+        for i in range(disc.n_leaves)
+    ]
+    lagrange_mat, lagrange_vec = add_system_constraints(
+        marched,
+        disc.mesh,
+        disc.basis_cache,
+        list(constrained_forms),
+        list(boundary_conditions),
+        disc.leaf_indices,
+        disc.element_offsets,
+        linear_vectors,
+    )
+    sharded = ShardedBlockSystem.from_assembly(
+        disc, compiled.lhs_blocks, lagrange_mat, device_mesh
+    )
+
+    bucket = disc.buckets[0]
+    p1, p2 = bucket.orders
+    march_indices = tuple(
+        sorted(
+            marched.weight_forms.index(form)
+            for form in time_settings.time_march_relations
+        )
+    )
+    carry_cols = jnp.asarray(
+        find_time_carry_indices(march_indices, form_spec, p1, p2), jnp.int32
+    )
+
+    # Block-diagonal per-element mass (the dual application for the carry
+    # projection), assembled per device; identity on padding elements.
+    basis = sharded.basis
+    n = sharded.n_dofs_per_element
+    offsets = form_spec.form_offsets(p1, p2)
+
+    @partial(jax.shard_map, mesh=device_mesh,
+             in_specs=(P("e", None, None),), out_specs=P("e", None, None))
+    def build_mass(corners_local):
+        batch = ElementBatch(basis, corners_local)
+        e = batch.n_elements
+        big = jnp.zeros((e, n, n), batch.jac.det.dtype)
+        for i in range(len(form_spec)):
+            m = batch.mass(form_spec[i][1], False)
+            big = big.at[
+                :, offsets[i] : offsets[i + 1], offsets[i] : offsets[i + 1]
+            ].set(m)
+        return big
+
+    mass_blocks = build_mass(sharded.corners_padded)
+    if sharded.e_padded > sharded.e_real:
+        mass_blocks = mass_blocks.at[sharded.e_real :].set(
+            jnp.eye(n, dtype=mass_blocks.dtype)
+        )
+
+    @partial(jax.shard_map, mesh=device_mesh,
+             in_specs=(P("e", None, None), P("e", None)),
+             out_specs=P("e", None))
+    def block_gemv(blocks, x):
+        return jnp.einsum("eij,ej->ei", blocks, x)
+
+    schur = sharded._schur_shardmap()
+    tables = sharded._tables
+    b_elem = sharded.shard_dofs(forcing)
+    c_vec = jnp.asarray(lagrange_vec)
+    nt = time_settings.nt
+    dt = time_settings.dt
+    two_over_dt = 2.0 / dt
+    sample_steps, slots = _sample_slots(nt, time_settings.sample_rate)
+    slots_dev = jnp.asarray(slots)
+    n_lag = sharded.n_lagrange
+    tol = jnp.asarray(cg_tolerance)
+
+    def cg(trace_rhs):
+        def matvec(lam):
+            return schur(lam, *tables)
+
+        rs0 = jnp.vdot(trace_rhs, trace_rhs)
+
+        def cond(carry):
+            _, _, _, rs, k = carry
+            return (k < cg_maximum_iterations) & (rs > tol * tol)
+
+        def body(carry):
+            lam, r, p, rs, k = carry
+            ap = matvec(p)
+            alpha = rs / jnp.vdot(p, ap)
+            lam = lam + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / rs) * p
+            return lam, r, p, rs_new, k + 1
+
+        lam, _, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros_like(trace_rhs), trace_rhs, trace_rhs, rs0, 0),
+        )
+        return lam
+
+    @jax.jit
+    def march(u0, lam0, carry0, carry_term0):
+        def step(state, slot):
+            u, lam, old_carry, carry_term, buf = state
+            current_carry = two_over_dt * old_carry + carry_term
+            base = b_elem.at[:, carry_cols].add(current_carry)
+            # Saddle residual of the current state (element-local + 1 psum).
+            r_elem = base - block_gemv(sharded.blocks, u) - sharded.trace_t_of(lam)
+            r_tr = c_vec - sharded.trace_of(u)
+            # Saddle solve via the Schur complement (1 psum per CG matvec).
+            ainv_r = sharded.block_solve_sharded(r_elem)
+            trace_rhs = sharded.trace_of(ainv_r) - r_tr
+            dlam = cg(trace_rhs)
+            du = sharded.block_solve_sharded(r_elem - sharded.trace_t_of(dlam))
+            u = u + du
+            lam = lam + dlam
+            # Trapezoidal carry update from the marched forms' dual DoFs.
+            dual = block_gemv(mass_blocks, u)
+            new_carry = dual[:, carry_cols]
+            new_carry_term = (
+                two_over_dt * (new_carry - old_carry) - carry_term
+            )
+            idx = jnp.maximum(slot, 0)
+            buf = buf.at[idx].set(jnp.where(slot >= 0, u, buf[idx]))
+            return (u, lam, new_carry, new_carry_term, buf), None
+
+        buf0 = jnp.zeros((len(sample_steps),) + u0.shape)
+        (_, lam_f, _, _, buf), _ = jax.lax.scan(
+            step, (u0, lam0, carry0, carry_term0, buf0), slots_dev
+        )
+        return buf, lam_f
+
+    u0 = jnp.zeros_like(b_elem)
+    # Zero initial state: old carry starts at zero and the initial carry
+    # TERM is the forcing restricted to the carry rows (trapezoidal f^0
+    # contribution), matching the host march's setup.
+    carry_term0 = b_elem[:, carry_cols]
+    us, lam_f = march(
+        u0, jnp.zeros(n_lag), jnp.zeros_like(carry_term0), carry_term0
+    )
+    out = np.stack(
+        [np.asarray(us[i])[: sharded.e_real].reshape(-1) for i in range(len(sample_steps))]
+    )
+    return out, sample_steps, np.asarray(lam_f)

@@ -323,3 +323,52 @@ def test_sharded_steady_solve_matches_solve_system_2d(device_mesh):
     assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-7), np.abs(
         u_sh - np.asarray(u_ref)
     ).max()
+
+
+def test_sharded_time_march_matches_host(device_mesh):
+    """The fully sharded linear march bit-matches the host march."""
+    from mfv2d_tpu.parallel.sharding import sharded_time_march
+
+    def final_u(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    from mfv2d_tpu.models import transport
+
+    # Mixed form: the trace Schur complement is definite, which the
+    # sharded CG (like the reference's trace CG) requires.
+    model = transport.reaction_mixed(1.5, final_u)
+    nt, dt = 6, 0.05
+    settings = mf.TimeSettings(
+        dt=dt, nt=nt, time_march_relations=model.time_march_relations,
+        sample_rate=2,
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    sols_host, _, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system),
+        mf.SolverSettings(mf.ConvergenceSettings(20, 1e-12, 0)),
+        time_settings=settings,
+        recon_order=3,
+    )
+
+    mesh2 = mf.examples.unit_square_mesh(3, 3, 3)
+    disc = discretize_mesh(
+        mesh2, model.system.unknown_forms, FemCache(3)
+    )
+    us, sample_steps, lam = sharded_time_march(
+        model.system, disc, device_mesh, settings, cg_tolerance=1e-13
+    )
+    assert list(sample_steps) == [0, 2, 4, 5]
+
+    # Compare the final state's reconstruction against the host grids.
+    from mfv2d_tpu.solver.solve import reconstruct_mesh_from_solution
+
+    grid = reconstruct_mesh_from_solution(disc, 3, us[-1])
+    host_final = sols_host[-1]
+    assert np.allclose(
+        grid.point_data[model.u.label],
+        host_final.point_data[model.u.label],
+        atol=1e-8,
+    ), np.abs(
+        grid.point_data[model.u.label] - host_final.point_data[model.u.label]
+    ).max()
