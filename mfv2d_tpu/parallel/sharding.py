@@ -114,37 +114,42 @@ class ShardedBlockSystem:
         nd = self.n_devices
         n_lag = max(self.n_lagrange, 1)
 
+        def padded_table(keys, key_max):
+            """Vectorized fill: per-key slot indices for a padded table.
+
+            Returns (order, slot, k) where ``order`` sorts entries by key,
+            ``slot`` is each sorted entry's position within its key group,
+            and ``k`` the maximum group size (pad width).
+            """
+            order = np.argsort(keys, kind="stable")
+            sorted_keys = keys[order]
+            counts = np.bincount(sorted_keys, minlength=key_max)
+            k = max(1, int(counts.max()) if counts.size else 1)
+            starts = np.concatenate(([0], np.cumsum(counts)))
+            slot = np.arange(sorted_keys.size) - starts[sorted_keys]
+            return order, sorted_keys, slot, k
+
         # Row-major per device: G x = psum of per-device partial row sums.
-        fill1 = np.zeros((nd, n_lag), np.int64)
-        for d, r in zip(owner, rows):
-            fill1[d, r] += 1
-        k1 = max(1, int(fill1.max()))
+        key1 = (owner * n_lag + rows).astype(np.int64)
+        o1, sk1, slot1, k1 = padded_table(key1, nd * n_lag)
         tr_elem = np.zeros((nd, n_lag, k1), np.int32)
         tr_dof = np.zeros((nd, n_lag, k1), np.int32)
         tr_val = np.zeros((nd, n_lag, k1))
-        fill1[:] = 0
-        for i in range(rows.size):
-            d, r = int(owner[i]), int(rows[i])
-            j = fill1[d, r]
-            tr_elem[d, r, j] = elem_of_entry[i] - d * per_dev
-            tr_dof[d, r, j] = local_dof[i]
-            tr_val[d, r, j] = vals[i]
-            fill1[d, r] += 1
+        d1 = sk1 // n_lag
+        r1 = sk1 % n_lag
+        tr_elem[d1, r1, slot1] = (elem_of_entry[o1] - d1 * per_dev).astype(np.int32)
+        tr_dof[d1, r1, slot1] = local_dof[o1].astype(np.int32)
+        tr_val[d1, r1, slot1] = vals[o1]
 
         # Column-major per device: G^T lam gathered per local (element, dof).
-        fill2 = np.zeros((self.e_padded, n), np.int64)
-        for e, dd in zip(elem_of_entry, local_dof):
-            fill2[e, dd] += 1
-        k2 = max(1, int(fill2.max()))
+        key2 = (elem_of_entry * n + local_dof).astype(np.int64)
+        o2, sk2, slot2, k2 = padded_table(key2, self.e_padded * n)
         tt_rows = np.zeros((self.e_padded, n, k2), np.int32)
         tt_val = np.zeros((self.e_padded, n, k2))
-        fill2[:] = 0
-        for i in range(rows.size):
-            e, dd = int(elem_of_entry[i]), int(local_dof[i])
-            j = fill2[e, dd]
-            tt_rows[e, dd, j] = rows[i]
-            tt_val[e, dd, j] = vals[i]
-            fill2[e, dd] += 1
+        e2 = sk2 // n
+        dd2 = sk2 % n
+        tt_rows[e2, dd2, slot2] = rows[o2].astype(np.int32)
+        tt_val[e2, dd2, slot2] = vals[o2]
 
         shard_e = NamedSharding(mesh, P("e"))
         shard_blocks = NamedSharding(mesh, P("e", None, None))
