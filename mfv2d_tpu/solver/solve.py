@@ -109,6 +109,11 @@ class VMSSettings:
     # None: pick automatically (matrix-free Schur CG once the fine space
     # exceeds ~150k DoFs, where a host sparse LU stops being practical).
     matrix_free: bool | None = None
+    # "gmres" solves the (linear) unresolved-scale equation (I + F G') u = b
+    # with a Krylov method — far fewer Green's-function applications than
+    # the reference's fixed-point iteration ("fixed-point", solve_system.py
+    # :858-897), which remains available for parity.
+    iteration: str = "gmres"
 
 
 @dataclass(frozen=True)

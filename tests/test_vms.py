@@ -143,3 +143,42 @@ def test_matrix_free_greens_matches_splu():
     g_lu = ops[False].fine_scale_greens_function(x)
     g_mf = ops[True].fine_scale_greens_function(x)
     assert np.allclose(g_mf, g_lu, atol=1e-8), np.abs(g_mf - g_lu).max()
+
+
+def test_gmres_unresolved_scales_match_fixed_point():
+    """The Krylov unresolved-scale solve equals the stationary iteration."""
+
+    def u_exact(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def source_exact(x, y):
+        return -(np.pi**2) / 2 * u_exact(x, y)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    p = q.weight
+    system = mf.KFormSystem(
+        p.derivative @ u - p @ q == p ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    outs = {}
+    for mode in ("gmres", "fixed-point"):
+        sols, _, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(system, over_integration_order=3),
+            mf.SolverSettings(mf.ConvergenceSettings(20, 1e-9, 0)),
+            vms_settings=mf.VMSSettings(
+                symmetric_system=system,
+                nonsymmetric_system=system,
+                order_increase=2,
+                fine_scale_convergence=mf.ConvergenceSettings(60, 1e-12, 1e-10),
+                iteration=mode,
+            ),
+            recon_order=5,
+        )
+        outs[mode] = sols[-1].point_data["vms-u"]
+    assert np.allclose(outs["gmres"], outs["fixed-point"], atol=1e-8), np.abs(
+        outs["gmres"] - outs["fixed-point"]
+    ).max()
