@@ -74,11 +74,46 @@ def _advection_nonlinear():
     )
 
 
+def _advection_on_weight():
+    # Interior product applied to the WEIGHT (transposed IP chain): this is
+    # the advdif example's stabilization term and exercises the NotLinear
+    # fallback path (IP^T composed with a mass).
+    u = KFormUnknown("u", UnknownFormOrder.FORM_ORDER_2)
+    q = KFormUnknown("q", UnknownFormOrder.FORM_ORDER_1)
+    v = u.weight
+    p = q.weight
+    return mf.KFormSystem(
+        p @ q + p.derivative @ u == 0,
+        v @ q.derivative - ((vec_field * v) @ q) == 0,
+    )
+
+
+def _stokes():
+    from mfv2d_tpu.models import flow
+
+    return flow.stokes_flow().system
+
+
+def _heat_marched():
+    from mfv2d_tpu.models import transport
+    from mfv2d_tpu.solve_system_2d import update_system_for_time_march
+    from mfv2d_tpu.solver.solve import TimeSettings
+
+    model = transport.heat_mixed(0.7, 1.3, lambda x, y: 0 * x + 1.0)
+    return update_system_for_time_march(
+        TimeSettings(dt=0.02, nt=1, time_march_relations=model.time_march_relations),
+        model.system,
+    )
+
+
 SYSTEMS = {
     "mixed_poisson": _mixed_poisson,
     "direct_poisson": _direct_poisson,
     "advection_static": _advection_static,
     "advection_nonlinear": _advection_nonlinear,
+    "advection_on_weight": _advection_on_weight,
+    "stokes": _stokes,
+    "heat_marched": _heat_marched,
 }
 
 
