@@ -174,6 +174,21 @@ class ShardedBlockSystem:
             lu, piv = jax.scipy.linalg.lu_factor(self.blocks)
             self.lu = jax.device_put(lu, shard_blocks)
             self.piv = jax.device_put(piv, NamedSharding(mesh, P("e", None)))
+        # The trace/Schur formulation requires invertible element blocks
+        # (the hybridized A must be eliminable).  Direct-form systems with
+        # pure-stiffness diagonal blocks are singular per element — probe
+        # cheaply and fail loudly instead of diverging.
+        probe = jnp.ones((self.e_padded, n))
+        applied = jnp.einsum("eij,ej->ei", self.blocks, probe)
+        back = self._block_solve(self.lu, self.piv, self.blocks, applied)
+        probe_err = float(jnp.abs(back - 1.0).max())
+        if not np.isfinite(probe_err) or probe_err > 1e-6:
+            raise ValueError(
+                "Element blocks are numerically singular (solve probe error"
+                f" {probe_err:.2e}); the sharded trace/Schur path needs"
+                " invertible element operators — use a mixed formulation or"
+                " the full saddle solvers in mfv2d_tpu.solver."
+            )
         self.tr_elem = jax.device_put(tr_elem, shard_e)
         self.tr_dof = jax.device_put(tr_dof, shard_e)
         self.tr_val = jax.device_put(tr_val, shard_e)
@@ -463,6 +478,129 @@ class ShardedBlockSystem:
 
         return run
 
+    def make_fused_gmres(self, maximum_iterations: int, restart: int = 100):
+        """Device-resident restarted GMRES on the Schur complement.
+
+        The trace Schur complement ``S = G A^{-1} G^T`` inherits A's
+        symmetry: direct-form systems (0-form primal unknowns with one-way
+        coupling blocks) make it *nonsymmetric*, where CG breaks down.
+        GMRES(m) handles any nonsingular S with the same communication
+        pattern (one psum per matvec); the Arnoldi loop, Givens rotations,
+        and restarts all run inside one jitted computation.
+        """
+        schur = self._schur_shardmap()
+        m = min(restart, maximum_iterations)
+
+        @partial(jax.jit, static_argnames=("max_iter", "m"))
+        def gmres(b, tol, max_iter, m, *tables):
+            def matvec(x):
+                return schur(x, *tables)
+
+            n = b.shape[0]
+
+            def cycle(x0):
+                r0 = b - matvec(x0)
+                beta = jnp.linalg.norm(r0)
+                v0 = r0 / jnp.where(beta > 0, beta, 1.0)
+                big_v = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
+                big_h = jnp.zeros((m + 1, m), b.dtype)
+                cs = jnp.zeros(m, b.dtype)
+                sn = jnp.zeros(m, b.dtype)
+                g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+
+                def cond(c):
+                    j, _, _, _, _, g_ = c
+                    return (j < m) & (jnp.abs(g_[j]) > tol)
+
+                def body(c):
+                    j, big_v, big_h, cs, sn, g_ = c
+                    w = matvec(big_v[j])
+
+                    # Modified Gram-Schmidt over the active basis rows.
+                    def mgs(i, carry):
+                        w_, hcol = carry
+                        active = (i <= j).astype(b.dtype)
+                        hij = jnp.vdot(big_v[i], w_) * active
+                        return w_ - hij * big_v[i], hcol.at[i].set(hij)
+
+                    w, hcol = jax.lax.fori_loop(
+                        0, m + 1, mgs, (w, jnp.zeros(m + 1, b.dtype))
+                    )
+                    h_next = jnp.linalg.norm(w)
+                    hcol = hcol.at[j + 1].set(h_next)
+                    big_v = big_v.at[j + 1].set(
+                        w / jnp.where(h_next > 0, h_next, 1.0)
+                    )
+
+                    # Apply the previous Givens rotations to the new column.
+                    def rot(i, col):
+                        active = (i < j).astype(b.dtype)
+                        t0 = cs[i] * col[i] + sn[i] * col[i + 1]
+                        t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
+                        col = col.at[i].set(active * t0 + (1 - active) * col[i])
+                        return col.at[i + 1].set(
+                            active * t1 + (1 - active) * col[i + 1]
+                        )
+
+                    hcol = jax.lax.fori_loop(0, m, rot, hcol)
+                    denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+                    denom = jnp.where(denom > 0, denom, 1.0)
+                    c_new = hcol[j] / denom
+                    s_new = hcol[j + 1] / denom
+                    hcol = hcol.at[j].set(
+                        c_new * hcol[j] + s_new * hcol[j + 1]
+                    ).at[j + 1].set(0.0)
+                    g_ = g_.at[j + 1].set(-s_new * g_[j]).at[j].set(
+                        c_new * g_[j]
+                    )
+                    big_h = big_h.at[:, j].set(hcol)
+                    cs = cs.at[j].set(c_new)
+                    sn = sn.at[j].set(s_new)
+                    return j + 1, big_v, big_h, cs, sn, g_
+
+                j, big_v, big_h, cs, sn, g = jax.lax.while_loop(
+                    cond, body, (0, big_v, big_h, cs, sn, g)
+                )
+                # Triangular solve on the rotated H; inactive columns get a
+                # unit diagonal and zero RHS so their y entries vanish.
+                idx = jnp.arange(m)
+                active = idx < j
+                r_mat = big_h[:m, :]
+                r_mat = jnp.where(
+                    (idx[:, None] == idx[None, :]) & ~active[:, None],
+                    1.0,
+                    r_mat,
+                )
+                rhs = jnp.where(active, g[:m], 0.0)
+                y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
+                return x0 + y @ big_v[:m], jnp.abs(g[j]), j
+
+            def outer_cond(c):
+                x, res, total = c
+                return (total < max_iter) & (res > tol)
+
+            def outer_body(c):
+                x, _, total = c
+                x, res, j = cycle(x)
+                return x, res, total + jnp.maximum(j, 1)
+
+            r_init = jnp.linalg.norm(b)
+            x, res, total = jax.lax.while_loop(
+                outer_cond, outer_body, (jnp.zeros_like(b), r_init, 0)
+            )
+            return x, res * res, total
+
+        def run(trace_rhs, tolerance: float):
+            return gmres(
+                jnp.asarray(trace_rhs),
+                jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
+                maximum_iterations,
+                m,
+                *self._tables,
+            )
+
+        return run
+
     def block_solve_sharded(self, rhs_sharded):
         """Sharded batched ``A^{-1} rhs`` ([E_pad, n] in, [E_pad, n] out)."""
 
@@ -578,15 +716,23 @@ def _sharded_saddle_solve(
     constraints,
     maximum_iterations: int,
     tolerance: float,
+    method: str = "cg",
 ):
     """Sharded saddle solve: returns (u_sharded, lam, |r|, iters).
 
-    Schur RHS, the fused device CG, and the back substitution — all element
-    work stays sharded; the only host sync is the final result fetch.
+    Schur RHS, the fused device Krylov loop, and the back substitution —
+    all element work stays sharded; the only host sync is the final result
+    fetch.  ``method="cg"`` requires a definite trace Schur complement
+    (mixed forms); ``"gmres"`` handles the general (nonsymmetric /
+    indefinite) case such as direct-form systems.
     """
     ainv_b = system.block_solve_sharded(b_sharded)
     trace_rhs = system.trace_of(ainv_b) - jnp.asarray(constraints)
-    lam, rs, iters = system.make_fused_cg(maximum_iterations)(trace_rhs, tolerance)
+    if method == "gmres":
+        krylov = system.make_fused_gmres(maximum_iterations)
+    else:
+        krylov = system.make_fused_cg(maximum_iterations)
+    lam, rs, iters = krylov(trace_rhs, tolerance)
     u = system.block_solve_sharded(b_sharded - system.trace_t_of(lam))
     return u, lam, float(np.sqrt(float(rs))), int(iters)
 
@@ -597,15 +743,17 @@ def sharded_schur_solve(
     constraints: np.ndarray,
     maximum_iterations: int,
     tolerance: float,
+    method: str = "cg",
 ):
-    """CG on the sharded Schur complement; element work stays sharded.
+    """Krylov solve on the sharded Schur complement; element work sharded.
 
-    The CG iteration is one jitted ``while_loop`` on device (one psum per
-    matvec) — no host round-trip per iteration.
+    The iteration is one jitted ``while_loop`` on device (one psum per
+    matvec) — no host round-trip per iteration.  Use ``method="gmres"``
+    for direct-form systems (nonsymmetric trace Schur complement).
     """
     b = system.shard_dofs(rhs_flat)
     u, lam, res, iters = _sharded_saddle_solve(
-        system, b, constraints, maximum_iterations, tolerance
+        system, b, constraints, maximum_iterations, tolerance, method
     )
     return system.unshard_dofs(u), np.asarray(lam), res, iters
 
@@ -623,8 +771,9 @@ def sharded_steady_solve(
     relative_tolerance: float = 0.0,
     cg_maximum_iterations: int = 2000,
     cg_tolerance: float = 1e-13,
+    krylov_method: str = "cg",
 ):
-    """Fully sharded steady solve: assembly -> Picard -> Schur CG.
+    """Fully sharded steady solve: assembly -> Picard -> Schur Krylov.
 
     Every element-sized object (corners, matrices, factorizations, DoFs,
     residuals) lives sharded over the device mesh for the whole solve; the
@@ -685,7 +834,8 @@ def sharded_steady_solve(
         if max_res <= absolute_tolerance or max_res <= max_mag * relative_tolerance:
             break
         du, dlam, _, _ = _sharded_saddle_solve(
-            sharded, r_elem, r_trace, cg_maximum_iterations, cg_tolerance
+            sharded, r_elem, r_trace, cg_maximum_iterations, cg_tolerance,
+            krylov_method,
         )
         u = u + relax * du
         lam = lam + relax * dlam

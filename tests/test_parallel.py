@@ -372,3 +372,75 @@ def test_sharded_time_march_matches_host(device_mesh):
     ), np.abs(
         grid.point_data[model.u.label] - host_final.point_data[model.u.label]
     ).max()
+
+
+def test_sharded_gmres_solves_nonsymmetric(device_mesh):
+    """Advection makes the trace Schur nonsymmetric: GMRES still converges."""
+    from mfv2d_tpu.parallel.sharding import sharded_steady_solve
+
+    def a_field(x, y):
+        return np.stack((1.5 + 0 * x, -0.8 + 0 * y), axis=-1)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative - ((a_field * v) @ q) == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    disc = discretize_mesh(mesh, system.unknown_forms, FemCache(3))
+    u_sh, lam_sh, residuals = sharded_steady_solve(
+        system,
+        disc,
+        device_mesh,
+        absolute_tolerance=1e-9,
+        krylov_method="gmres",
+    )
+    assert residuals[-1] <= 1e-9
+
+    # Host reference through the frozen direct solver.
+    sols, _, _ = mf.solve_system_2d(
+        mf.examples.unit_square_mesh(3, 3, 3),
+        mf.SystemSettings(system),
+        mf.SolverSettings(mf.ConvergenceSettings(20, 1e-11, 0)),
+        recon_order=3,
+    )
+    from mfv2d_tpu.solver.solve import reconstruct_mesh_from_solution
+
+    grid = reconstruct_mesh_from_solution(disc, 3, u_sh)
+    assert np.allclose(
+        grid.point_data["u"], sols[-1].point_data["u"], atol=1e-7
+    ), np.abs(grid.point_data["u"] - sols[-1].point_data["u"]).max()
+
+
+def test_sharded_rejects_singular_element_blocks(device_mesh):
+    """Direct-form (singular per-element A) raises a clear error."""
+    import pytest
+
+    from mfv2d_tpu.parallel.sharding import sharded_steady_solve
+
+    def ua(x, y):
+        return x + 2 * y
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    p = q.weight
+    system = mf.KFormSystem(
+        v.derivative @ u.derivative == 0 * (v @ ua),
+        p @ u.derivative - p @ q == 0,
+        sorting=lambda f: f.order,
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 2)
+    bc = mf.BoundaryCondition2DSteady(u, mesh.boundary_indices, ua)
+    disc = discretize_mesh(mesh, system.unknown_forms, FemCache(3))
+    with pytest.raises(ValueError, match="singular"):
+        sharded_steady_solve(
+            system,
+            disc,
+            device_mesh,
+            boundary_conditions=[bc],
+            krylov_method="gmres",
+        )
