@@ -102,3 +102,29 @@ def test_projection_reconstruction_matches_reference(qi, orders, k):
         FIX["recon_xi"], FIX["recon_eta"],
     )
     _rel_ok(recon, FIX[f"recon_{tag}_k{k}"])
+
+
+def test_compiler_output_matches_reference():
+    """The lowered + simplified systems print byte-identically.
+
+    Fixture from tests/golden/make_compiler_fixtures.py, which runs the
+    REFERENCE kform/system/eval compiler; this pins the DSL operator
+    semantics, the lowering rules, and the peephole simplifier.
+    """
+    import mfv2d_tpu.compiler as my_compiler
+    import mfv2d_tpu.kform as my_kform
+    import mfv2d_tpu.system as my_system
+
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent / "golden"))
+    try:
+        from make_compiler_fixtures import render
+    finally:
+        sys.path.pop(0)
+
+    golden = (
+        Path(__file__).parent / "golden" / "reference_compiler_strings.txt"
+    ).read_text()
+    mine = render(my_kform, my_system, my_compiler.system_as_string)
+    assert mine == golden
