@@ -368,13 +368,21 @@ def evaluate_static_fields(batch: ElementBatch, field_keys: Sequence) -> dict:
         return {}
     corners = np.asarray(batch.corners)
     tb = batch.tb
-    xi = tb.nodes_xi[None, :]
-    eta = tb.nodes_eta[:, None]
-    from mfv2d_tpu.ops.geometry import physical_coordinates as _pc
-
-    x, y = _pc(corners, xi, eta)
-    x = np.asarray(x).reshape(corners.shape[0], -1)
-    y = np.asarray(y).reshape(corners.shape[0], -1)
+    # Bilinear map evaluated in NumPy: this runs on the host path (the field
+    # values feed a host callable anyway) and eager JAX dispatch here costs a
+    # per-shape XLA compile every refinement round.
+    xi = np.broadcast_to(tb.nodes_xi[None, :], (tb.nodes_eta.size, tb.nodes_xi.size))
+    eta = np.broadcast_to(tb.nodes_eta[:, None], xi.shape)
+    shapes = np.stack(
+        [
+            (1 - xi) * (1 - eta),
+            (1 + xi) * (1 - eta),
+            (1 + xi) * (1 + eta),
+            (1 - xi) * (1 + eta),
+        ]
+    ).reshape(4, -1) / 4
+    x = corners[:, :, 0] @ shapes
+    y = corners[:, :, 1] @ shapes
     out = {}
     for fn in callables:
         vals = np.asarray(fn(x, y), np.float64)
@@ -509,6 +517,18 @@ def compute_element_projector(
 from functools import lru_cache
 
 
+def _pad_pow2(a, e: int, ep: int):
+    """Pad axis 0 from ``e`` to ``ep`` entries by repeating the last one."""
+    a = jnp.asarray(a)
+    return jnp.concatenate(
+        [a, jnp.broadcast_to(a[-1:], (ep - e, *a.shape[1:]))], axis=0
+    )
+
+
+def _pow2(e: int) -> int:
+    return 1 << max(0, e - 1).bit_length()
+
+
 # Bounded: keys hold user callables (static field functions), so an
 # unbounded cache would retain user closures and compiled executables for
 # the process lifetime (long refinement studies with changing fields leak).
@@ -560,20 +580,13 @@ def _cached_element_fn(
         # reuse the compiled executable instead of retracing.  Measured:
         # recompilation was 5.4 s of an 8.0 s warm hp-refinement round.
         e = corners.shape[0]
-        ep = 1 << max(0, e - 1).bit_length()
+        ep = _pow2(e)
         if ep == e:
             return fn(corners, dofs, static_vals)
-
-        def pad(a):
-            a = jnp.asarray(a)
-            return jnp.concatenate(
-                [a, jnp.broadcast_to(a[-1:], (ep - e, *a.shape[1:]))], axis=0
-            )
-
         out = fn(
-            pad(corners),
-            None if dofs is None else pad(dofs),
-            tuple(pad(s) for s in static_vals),
+            _pad_pow2(corners, e, ep),
+            None if dofs is None else _pad_pow2(dofs, e, ep),
+            tuple(_pad_pow2(s, e, ep) for s in static_vals),
         )
         return out[:e]
 
@@ -628,3 +641,186 @@ def element_matrix_fn(batch: ElementBatch, blocks, form_spec, static_keys=()):
         "matrix",
         _cfg.fused_assembly,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cached jitted projector / mass application
+# ---------------------------------------------------------------------------
+#
+# The refinement estimators and VMS call these once per bucket per round with
+# element counts that change every round; running them eagerly cost one XLA
+# compile per op per shape (measured: 814 compiles / 84 s of a 110 s
+# refinement example).  Shape-cached jit + power-of-two element padding makes
+# the compiled executables recur.
+
+
+@lru_cache(maxsize=256)
+def _cached_projector_fn(orders_in, orders_out, int_orders, spec_items):
+    import jax
+
+    from mfv2d_tpu.ops.basis import FemCache
+
+    cache = FemCache(0)
+    basis_in = cache.get_basis2d(*orders_in, *int_orders)
+    basis_out = cache.get_basis2d(*orders_out, *int_orders)
+    form_spec = ElementFormSpecification(*spec_items)
+
+    @jax.jit
+    def fn(corners):
+        return tuple(
+            compute_element_projector(
+                form_spec,
+                ElementBatch(basis_in, corners),
+                ElementBatch(basis_out, corners),
+            )
+        )
+
+    def padded(corners):
+        corners = jnp.asarray(corners)
+        e = corners.shape[0]
+        ep = _pow2(e)
+        if ep == e:
+            return fn(corners)
+        return tuple(o[:e] for o in fn(_pad_pow2(corners, e, ep)))
+
+    return padded
+
+
+def jit_element_projector(
+    form_spec, batch_in: ElementBatch, batch_out: ElementBatch
+) -> list[jnp.ndarray]:
+    """compute_element_projector through the shape-cached jitted padded path."""
+    if batch_in.basis.integration_orders != batch_out.basis.integration_orders:
+        raise ValueError("Input and output integration rules must match.")
+    fn = _cached_projector_fn(
+        batch_in.orders,
+        batch_out.orders,
+        batch_in.basis.integration_orders,
+        tuple((n, int(o)) for n, o in form_spec),
+    )
+    return list(fn(batch_in.corners))
+
+
+@lru_cache(maxsize=256)
+def _cached_mass_apply_fn(orders, int_orders, form_orders, inverse: bool):
+    import jax
+
+    from mfv2d_tpu.ops.basis import FemCache
+
+    basis = FemCache(0).get_basis2d(*orders, *int_orders)
+    orders_list = tuple(UnknownFormOrder(o) for o in form_orders)
+
+    @jax.jit
+    def fn(corners, dofs):
+        batch = ElementBatch(basis, corners)
+        parts = []
+        off = 0
+        for order in orders_list:
+            n = order.full_unknown_count(*orders)
+            v = dofs[:, off : off + n]
+            off += n
+            m = batch.mass(order, False)
+            if inverse:
+                parts.append(jnp.linalg.solve(m, v[..., None])[..., 0])
+            else:
+                parts.append(jnp.einsum("eij,ej->ei", m, v))
+        return jnp.concatenate(parts, axis=1)
+
+    def padded(corners, dofs):
+        corners = jnp.asarray(corners)
+        e = corners.shape[0]
+        ep = _pow2(e)
+        if ep == e:
+            return fn(corners, dofs)
+        return fn(_pad_pow2(corners, e, ep), _pad_pow2(dofs, e, ep))[:e]
+
+    return padded
+
+
+def jit_apply_mass(
+    form_spec, batch: ElementBatch, dofs, *, inverse: bool
+) -> jnp.ndarray:
+    """Per-form (inverse) mass application over the full element vector.
+
+    ``dofs`` is ``[E, total_size]``; applies M or M^-1 of each form's order
+    to its slice (primal<->dual conversion, solve_system.py:274-351).
+    """
+    fn = _cached_mass_apply_fn(
+        batch.orders,
+        batch.basis.integration_orders,
+        tuple(int(o) for _, o in form_spec),
+        bool(inverse),
+    )
+    return fn(batch.corners, dofs)
+
+
+@lru_cache(maxsize=256)
+def _cached_project_apply_fn(orders_in, orders_out, int_orders, spec_items, roundtrip):
+    import jax
+
+    from mfv2d_tpu.ops.basis import FemCache
+
+    cache = FemCache(0)
+    basis_in = cache.get_basis2d(*orders_in, *int_orders)
+    basis_out = cache.get_basis2d(*orders_out, *int_orders)
+    form_spec = ElementFormSpecification(*spec_items)
+
+    @jax.jit
+    def fn(corners, dofs):
+        batch_in = ElementBatch(basis_in, corners)
+        batch_out = ElementBatch(basis_out, corners)
+        projs = compute_element_projector(form_spec, batch_in, batch_out)
+        offsets = form_spec.form_offsets(*orders_in)
+        parts = [
+            jnp.einsum("eij,ej->ei", p, dofs[:, offsets[i] : offsets[i + 1]])
+            for i, p in enumerate(projs)
+        ]
+        out = jnp.concatenate(parts, axis=1)
+        if not roundtrip:
+            return out
+        back = compute_element_projector(form_spec, batch_out, batch_in)
+        offs_out = form_spec.form_offsets(*orders_out)
+        parts_b = [
+            jnp.einsum("eij,ej->ei", p, out[:, offs_out[i] : offs_out[i + 1]])
+            for i, p in enumerate(back)
+        ]
+        return dofs - jnp.concatenate(parts_b, axis=1)
+
+    def padded(corners, dofs):
+        corners = jnp.asarray(corners)
+        dofs = jnp.asarray(dofs)
+        e = corners.shape[0]
+        ep = _pow2(e)
+        if ep == e:
+            return fn(corners, dofs)
+        return fn(_pad_pow2(corners, e, ep), _pad_pow2(dofs, e, ep))[:e]
+
+    return padded
+
+
+def jit_project_between(
+    form_spec, batch_in: ElementBatch, batch_out: ElementBatch, dofs
+) -> jnp.ndarray:
+    """L2-project a full element DoF vector between two order spaces."""
+    fn = _cached_project_apply_fn(
+        batch_in.orders,
+        batch_out.orders,
+        batch_in.basis.integration_orders,
+        tuple((n, int(o)) for n, o in form_spec),
+        False,
+    )
+    return fn(batch_in.corners, dofs)
+
+
+def jit_projection_roundtrip_error(
+    form_spec, batch: ElementBatch, batch_lower: ElementBatch, dofs
+) -> jnp.ndarray:
+    """``dofs - P_up(P_down(dofs))``: the order-reduction error DoFs."""
+    fn = _cached_project_apply_fn(
+        batch.orders,
+        batch_lower.orders,
+        batch.basis.integration_orders,
+        tuple((n, int(o)) for n, o in form_spec),
+        True,
+    )
+    return fn(batch.corners, dofs)

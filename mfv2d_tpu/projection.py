@@ -20,10 +20,27 @@ from mfv2d_tpu.ops.quadrature import dlagrange1d, lagrange1d
 
 
 def evaluate_function_on_batch(batch: ElementBatch, function) -> np.ndarray:
-    """Host-evaluate a user callable at the batch's quadrature points."""
-    x, y = batch.quad_points()
-    x = np.asarray(x)
-    y = np.asarray(y)
+    """Host-evaluate a user callable at the batch's quadrature points.
+
+    The bilinear map runs in NumPy: the values feed a host callable, so
+    eager device dispatch would only add a per-shape compile.
+    """
+    corners = np.asarray(batch.corners)
+    tb = batch.tb
+    xi = np.broadcast_to(
+        tb.nodes_xi[None, :], (tb.nodes_eta.size, tb.nodes_xi.size)
+    )
+    eta = np.broadcast_to(tb.nodes_eta[:, None], xi.shape)
+    shapes = np.stack(
+        [
+            (1 - xi) * (1 - eta),
+            (1 + xi) * (1 - eta),
+            (1 + xi) * (1 + eta),
+            (1 - xi) * (1 + eta),
+        ]
+    ).reshape(4, -1) / 4
+    x = corners[:, :, 0] @ shapes
+    y = corners[:, :, 1] @ shapes
     return np.asarray(function(x, y), np.float64)
 
 
@@ -57,23 +74,47 @@ def element_dual_dofs_batched(
 
 def element_dual_dofs(
     order: UnknownFormOrder, batch: ElementBatch, function
-) -> jnp.ndarray:
-    """Dual DoFs of a host-evaluated callable over the batch."""
+) -> np.ndarray:
+    """Dual DoFs of a host-evaluated callable over the batch (NumPy).
+
+    The function values come from a host callable and the result feeds the
+    host-side RHS/IC assembly, so the whole projection runs in NumPy — eager
+    device dispatch here costs one XLA compile per shape per refinement
+    round.  Same math as :func:`element_dual_dofs_batched`.
+    """
     vals = evaluate_function_on_batch(batch, function)
     e, nq = batch.n_elements, batch.n_quad
+    tb = batch.tb
+    corners = np.asarray(batch.corners)
+    xi = tb.nodes_xi[None, :]
+    eta = tb.nodes_eta[:, None]
+    if order == UnknownFormOrder.FORM_ORDER_0:
+        det = _jacobian_np(corners, xi, eta)[4].reshape(e, nq)
+        k = vals.reshape(e, nq) * tb.w * det
+        return k @ tb.b0.T
     if order == UnknownFormOrder.FORM_ORDER_1:
         vals = vals.reshape(e, nq, 2)
-    else:
-        vals = vals.reshape(e, nq)
-    return element_dual_dofs_batched(order, batch, vals)
+        j00, j01, j10, j11, _ = (
+            j.reshape(e, nq) for j in _jacobian_np(corners, xi, eta)
+        )
+        f_xi = (j00 * vals[..., 0] + j01 * vals[..., 1]) * tb.w
+        f_eta = (j10 * vals[..., 0] + j11 * vals[..., 1]) * tb.w
+        return np.concatenate([f_eta @ tb.bh.T, f_xi @ tb.bv.T], axis=1)
+    if order == UnknownFormOrder.FORM_ORDER_2:
+        k = vals.reshape(e, nq) * tb.w
+        return k @ tb.b2.T
+    raise ValueError(f"Invalid form order {order}.")
 
 
 def element_primal_dofs(
     order: UnknownFormOrder, batch: ElementBatch, function
 ) -> jnp.ndarray:
     """Primal DoFs: mass-inverse applied to the dual DoFs."""
+    from mfv2d_tpu.evaluation import jit_apply_mass
+
     dual = element_dual_dofs(order, batch, function)
-    return jnp.linalg.solve(batch.mass(order, False), dual[..., None])[..., 0]
+    spec = (("_primal", int(order)),)
+    return jit_apply_mass(spec, batch, jnp.asarray(dual), inverse=True)
 
 
 def reconstruct(
@@ -176,6 +217,34 @@ def _jacobian_np(corners, xi, eta):
     if single:
         out = tuple(v[0] for v in out)
     return out
+
+
+def _physical_coordinates_np(corners, xi, eta):
+    """Pure-NumPy bilinear map (host paths avoid eager JAX dispatch).
+
+    ``corners`` is ``[E, 4, 2]`` (or ``[4, 2]``); returns (x, y) broadcast
+    over the reference grid.
+    """
+    c = np.asarray(corners, np.float64)
+    t0 = np.asarray(xi, np.float64)
+    t1 = np.asarray(eta, np.float64)
+    single = c.ndim == 2
+    if single:
+        c = c[None]
+    t0, t1 = np.broadcast_arrays(t0, t1)
+    shapes = np.stack(
+        [
+            (1 - t0) * (1 - t1),
+            (1 + t0) * (1 - t1),
+            (1 + t0) * (1 + t1),
+            (1 - t0) * (1 + t1),
+        ]
+    ) / 4  # [4, *grid]
+    x = np.tensordot(c[:, :, 0], shapes, axes=(1, 0))  # [E, *grid]
+    y = np.tensordot(c[:, :, 1], shapes, axes=(1, 0))
+    if single:
+        x, y = x[0], y[0]
+    return x, y
 
 
 def reconstruct_batched(

@@ -28,10 +28,12 @@ from mfv2d_tpu.boundary import (
 from mfv2d_tpu.compiler import CompiledSystem
 from mfv2d_tpu.evaluation import (
     ElementBatch,
-    compute_element_projector,
     evaluate_static_fields,
     jit_element_matrices,
+    jit_element_projector,
     jit_element_vectors,
+    jit_project_between,
+    jit_projection_roundtrip_error,
 )
 from mfv2d_tpu.kform import Function2D, KBoundaryProjection, KFormUnknown
 from mfv2d_tpu.mesh.quadtree import Mesh
@@ -40,10 +42,14 @@ from mfv2d_tpu.mimetic import (
     element_boundary_dofs,
     find_surface_boundary_id_line,
 )
-from mfv2d_tpu.ops.geometry import jacobian, physical_coordinates
 from mfv2d_tpu.ops.quadrature import compute_legendre
 from mfv2d_tpu.progress import HistogramFormat
-from mfv2d_tpu.projection import reconstruct
+from mfv2d_tpu.projection import (
+    _jacobian_np,
+    _physical_coordinates_np,
+    reconstruct,
+    reconstruct_batched,
+)
 from mfv2d_tpu.solver.discretization import Discretization
 from mfv2d_tpu.solver.solve import SystemEvaluator, compute_element_rhs_bucket
 from mfv2d_tpu.system import ElementFormSpecification, KFormSystem
@@ -301,8 +307,7 @@ def _legendre_estimate_for_element(
     rule_2 = b.basis_eta.rule
     xi = rule_1.nodes[None, :]
     eta = rule_2.nodes[:, None]
-    jac = jacobian(corners, xi, eta)
-    det = np.asarray(jac.det)
+    det = _jacobian_np(corners, xi, eta)[4]
     weights = rule_1.weights[None, :] * rule_2.weights[:, None]
     recon_u = reconstruct(corners, b, form_order, target_dofs, xi, eta)
     if isinstance(error_dofs_or_vals, np.ndarray) and error_dofs_or_vals.shape == (
@@ -333,7 +338,6 @@ def error_estimate_with_custom_estimator(
     Reconstruction, coordinates, and quadrature weights are batched per
     order bucket; only the (scalar-returning) user callable runs per leaf.
     """
-    from mfv2d_tpu.projection import _jacobian_np, reconstruct_batched
 
     form_specs = disc.form_spec
     required = [form_specs.index(u) for u in required_unknowns]
@@ -353,9 +357,7 @@ def error_estimate_with_custom_estimator(
         nodes_eta = rule_2.nodes[:, None]
         corners = np.asarray(bucket.batch.corners)
         dofs = solution[bucket.gather]
-        x, y = (
-            np.asarray(v) for v in physical_coordinates(corners, nodes_xi, nodes_eta)
-        )
+        x, y = _physical_coordinates_np(corners, nodes_xi, nodes_eta)
         batch_form_vals = {}
         for idx in required:
             label, order = form_specs[idx]
@@ -528,7 +530,7 @@ def error_estimate_with_fine_solve(
         )
 
         weights = rule_1.weights[None, :] * rule_2.weights[:, None]
-        det = np.asarray(jacobian(corners, xi, eta).det)
+        det = _jacobian_np(corners, xi, eta)[4]
         err_vals = np.asarray(recon_fine) - np.asarray(recon_u)
         element_error[i_leaf], href_cost[i_leaf] = compute_legendre_error_estimates(
             p1, p2, rule_1.nodes[None, :], rule_2.nodes[:, None], weights, det,
@@ -554,7 +556,6 @@ def error_estimate_with_explicit_solution(
     Evaluated bucket-batched: reconstruction, exact evaluation, and the
     Legendre measures run over all same-order elements at once.
     """
-    from mfv2d_tpu.projection import _jacobian_np, reconstruct_batched
 
     form_specs = disc.form_spec
     idx = form_specs.index(target)
@@ -581,7 +582,7 @@ def error_estimate_with_explicit_solution(
                 corners, basis, target.order, dofs[:, off : off + size], xi, eta
             )
         )
-        x, y = (np.asarray(v) for v in physical_coordinates(corners, xi, eta))
+        x, y = _physical_coordinates_np(corners, xi, eta)
         exact = np.asarray(solution_estimate(x, y))
         det = _jacobian_np(corners, xi, eta)[4]
         w2d = rule_1.weights[None, :] * rule_2.weights[:, None]
@@ -631,23 +632,31 @@ def error_estimate_with_order_reduction(
             *bucket.batch.basis.integration_orders,
         )
         lower_batch = ElementBatch(lower_basis, np.asarray(bucket.batch.corners))
-        proj_down = compute_element_projector(single_spec, bucket.batch, lower_batch)[0]
-        proj_up = compute_element_projector(single_spec, lower_batch, bucket.batch)[0]
         err_dofs = np.asarray(
-            jnp.asarray(dofs)
-            - jnp.einsum(
-                "eij,ej->ei", proj_up, jnp.einsum("eij,ej->ei", proj_down, jnp.asarray(dofs))
+            jit_projection_roundtrip_error(
+                single_spec, bucket.batch, lower_batch, jnp.asarray(dofs)
             )
         )
+        # Reconstruction + Legendre measures batched over the bucket (one
+        # einsum per spectrum instead of a per-leaf host loop).
         basis = bucket.batch.basis
-        for j, rank in enumerate(bucket.leaf_ranks):
-            corners = disc.mesh.get_leaf_corners(disc.leaf_indices[rank])
-            e, h, d = _legendre_estimate_for_element(
-                disc, int(rank), basis, corners, target.order, dofs[j], err_dofs[j]
-            )
-            element_error[rank] = e
-            href_cost[rank] = h
-            dir_cost[rank] = d
+        rule_1 = basis.basis_xi.rule
+        rule_2 = basis.basis_eta.rule
+        xi = rule_1.nodes[None, :]
+        eta = rule_2.nodes[:, None]
+        corners = np.asarray(bucket.batch.corners)
+        recon_u = reconstruct_batched(corners, basis, target.order, dofs, xi, eta)
+        recon_err = reconstruct_batched(
+            corners, basis, target.order, err_dofs, xi, eta
+        )
+        det = _jacobian_np(corners, xi, eta)[4]
+        w2d = rule_1.weights[None, :] * rule_2.weights[:, None]
+        l2, hc, dc = _batched_legendre_measures(
+            p1, p2, rule_1.nodes, rule_2.nodes, w2d, det, recon_u, recon_err
+        )
+        element_error[bucket.leaf_ranks] = l2
+        href_cost[bucket.leaf_ranks] = hc
+        dir_cost[bucket.leaf_ranks] = dc
     return element_error, href_cost, dir_cost
 
 
@@ -678,18 +687,12 @@ def _fine_residuals(
         )
         fine_batch = ElementBatch(fine_basis, np.asarray(bucket.batch.corners))
         fine_batches.append(fine_batch)
-        projectors = compute_element_projector(disc.form_spec, bucket.batch, fine_batch)
-
-        dofs = jnp.asarray(solution[bucket.gather])
-        offsets = disc.form_spec.form_offsets(p1, p2)
-        fine_parts = []
-        for i in range(len(disc.form_spec)):
-            fine_parts.append(
-                jnp.einsum(
-                    "eij,ej->ei", projectors[i], dofs[:, offsets[i] : offsets[i + 1]]
-                )
-            )
-        fine_dofs = jnp.concatenate(fine_parts, axis=1)
+        fine_dofs = jit_project_between(
+            disc.form_spec,
+            bucket.batch,
+            fine_batch,
+            jnp.asarray(solution[bucket.gather]),
+        )
         projected.append(np.asarray(fine_dofs))
 
         statics = evaluate_static_fields(fine_batch, compiled.fields)
@@ -947,7 +950,7 @@ def error_estimate_with_vms(
                 )
             )
         )
-        projs = compute_element_projector(form_specs, bucket.batch, fine_batch)
+        projs = jit_element_projector(form_specs, bucket.batch, fine_batch)
         e = bucket.batch.n_elements
         p1, p2 = bucket.orders
         n_c = form_specs.total_size(p1, p2)

@@ -544,17 +544,18 @@ def compute_element_dual_from_primal_global(
     disc: Discretization, primal: np.ndarray
 ) -> np.ndarray:
     """Apply the per-form mass matrices to the whole solution vector."""
+    from mfv2d_tpu.evaluation import jit_apply_mass
+
     out = np.zeros_like(primal)
     for bucket in disc.buckets:
-        p1, p2 = bucket.orders
-        offsets = disc.form_spec.form_offsets(p1, p2)
-        dofs = jnp.asarray(primal[bucket.gather])
-        parts = []
-        for i in range(len(disc.form_spec)):
-            m = bucket.batch.mass(disc.form_spec[i][1], False)
-            v = dofs[:, offsets[i] : offsets[i + 1]]
-            parts.append(jnp.einsum("eij,ej->ei", m, v))
-        out[bucket.gather] = np.asarray(jnp.concatenate(parts, axis=1))
+        out[bucket.gather] = np.asarray(
+            jit_apply_mass(
+                disc.form_spec,
+                bucket.batch,
+                jnp.asarray(primal[bucket.gather]),
+                inverse=False,
+            )
+        )
     return out
 
 
@@ -562,17 +563,18 @@ def compute_element_primal_from_dual_global(
     disc: Discretization, dual: np.ndarray
 ) -> np.ndarray:
     """Apply the per-form inverse mass matrices to the whole vector."""
+    from mfv2d_tpu.evaluation import jit_apply_mass
+
     out = np.zeros_like(dual)
     for bucket in disc.buckets:
-        p1, p2 = bucket.orders
-        offsets = disc.form_spec.form_offsets(p1, p2)
-        dofs = jnp.asarray(dual[bucket.gather])
-        parts = []
-        for i in range(len(disc.form_spec)):
-            m = bucket.batch.mass(disc.form_spec[i][1], False)
-            v = dofs[:, offsets[i] : offsets[i + 1]]
-            parts.append(jnp.linalg.solve(m, v[..., None])[..., 0])
-        out[bucket.gather] = np.asarray(jnp.concatenate(parts, axis=1))
+        out[bucket.gather] = np.asarray(
+            jit_apply_mass(
+                disc.form_spec,
+                bucket.batch,
+                jnp.asarray(dual[bucket.gather]),
+                inverse=True,
+            )
+        )
     return out
 
 

@@ -21,9 +21,9 @@ from mfv2d_tpu.boundary import BoundaryCondition2DSteady
 from mfv2d_tpu.compiler import CompiledSystem
 from mfv2d_tpu.evaluation import (
     ElementBatch,
-    compute_element_matrices,
-    compute_element_projector,
     evaluate_static_fields,
+    jit_element_matrices,
+    jit_element_projector,
 )
 from mfv2d_tpu.kform import KFormUnknown
 from mfv2d_tpu.solver.discretization import Discretization
@@ -102,7 +102,7 @@ class SuyashGreenOperator:
             fine_batch = ElementBatch(fine_basis, np.asarray(bucket.batch.corners))
             self.fine_batches.append(fine_batch)
 
-            projs = compute_element_projector(form_specs, bucket.batch, fine_batch)
+            projs = jit_element_projector(form_specs, bucket.batch, fine_batch)
             e = bucket.batch.n_elements
             n_c = form_specs.total_size(p1, p2)
             n_f = form_specs.total_size(p1 + dk, p2 + dk)
@@ -118,7 +118,7 @@ class SuyashGreenOperator:
                 fine_batch, self.compiled_advection.fields
             )
             fine_adv = np.asarray(
-                compute_element_matrices(
+                jit_element_matrices(
                     form_specs,
                     self.compiled_advection.linear_blocks,
                     fine_batch,
@@ -129,7 +129,7 @@ class SuyashGreenOperator:
                 bucket.batch, self.compiled_advection.fields
             )
             coarse_adv = np.asarray(
-                compute_element_matrices(
+                jit_element_matrices(
                     form_specs,
                     self.compiled_advection.linear_blocks,
                     bucket.batch,
@@ -138,7 +138,7 @@ class SuyashGreenOperator:
             )
             statics_sym = evaluate_static_fields(fine_batch, compiled_sym.fields)
             fine_sym = np.asarray(
-                compute_element_matrices(
+                jit_element_matrices(
                     form_specs,
                     compiled_sym.lhs_blocks,
                     fine_batch,
@@ -398,7 +398,7 @@ class SuyashGreenOperator:
                 fine_batch, self.compiled_advection.fields
             )
             mats = np.asarray(
-                compute_element_matrices(
+                jit_element_matrices(
                     self.disc.form_spec,
                     self.compiled_advection.nonlin_blocks,
                     fine_batch,
