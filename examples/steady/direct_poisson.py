@@ -5,7 +5,9 @@
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+_here = Path(__file__).resolve()
+sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
+sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
 from common import curved_square_deformation, l2_point_error, report
 

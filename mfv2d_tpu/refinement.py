@@ -816,71 +816,74 @@ def error_estimate_with_local_inversion(
             )
         )
         pf = fine_batch.orders
-        for j, rank in enumerate(bucket.leaf_ranks):
-            mat = local_lhs[j]
-            rhs = res[j]
-            if zeroed or constrained_idx:
-                blocks_rows = []
-                if zeroed:
-                    col_idx: list[np.ndarray] = []
-                    for fi in zeroed:
-                        for side in ElementSide:
-                            col_idx.append(
-                                form_specs.form_offset(fi, *pf)
-                                + element_boundary_dofs(
-                                    side, form_specs[fi][1], *pf
-                                )
-                            )
-                    indices = np.unique(np.concatenate(col_idx))
-                    lag = sp.csr_array(
-                        (
-                            np.ones_like(indices, dtype=np.float64),
-                            (np.arange(indices.size), indices),
-                        ),
-                        shape=(indices.size, mat.shape[1]),
-                    )
-                    blocks_rows.append(lag)
-                if constrained_idx:
-                    rr, cc = [], []
-                    for i_row, fi in enumerate(constrained_idx):
-                        dofs_i = form_specs.form_offset(fi, *pf) + np.arange(
-                            form_specs.form_size(fi, *pf)
-                        )
-                        cc.append(dofs_i)
-                        rr.append(np.full_like(dofs_i, i_row))
-                    rows_arr = np.concatenate(rr)
-                    lag = sp.csr_array(
-                        (np.ones(rows_arr.size), (rows_arr, np.concatenate(cc))),
-                        shape=(len(constrained_idx), mat.shape[1]),
-                    )
-                    blocks_rows.append(lag)
-                lag_all = sp.vstack(blocks_rows, format="csr")
-                padding = lag_all.shape[0]
-                local_mat = sp.block_array(
-                    [[sp.csr_array(mat), lag_all.T], [lag_all, None]]
-                )
-                local_error_dofs = sla.spsolve(
-                    sp.csc_array(local_mat), np.pad(rhs, (0, padding))
-                )
-            else:
-                local_error_dofs = np.linalg.solve(mat, rhs)
+        n_fine = local_lhs.shape[1]
+        res = np.asarray(res)
 
-            off = form_specs.form_offset(unknown_index, *pf)
-            count = form_specs.form_size(unknown_index, *pf)
-            corners = disc.mesh.get_leaf_corners(disc.leaf_indices[rank])
-            e, h, d = _legendre_estimate_for_element(
-                disc,
-                int(rank),
-                fine_batch.basis,
-                corners,
-                target.order,
-                fine_sol[j][off : off + count],
-                local_error_dofs[off : off + count],
-                recon_basis=fine_batch.basis,
-            )
-            element_error[rank] = e
-            href_cost[rank] = h
-            dir_cost[rank] = d
+        # The zeroed-boundary / mean-constraint Lagrange rows depend only on
+        # the bucket's fine orders, so they are identical for every leaf in
+        # the bucket: build them once and solve all padded saddle systems as
+        # one batched dense solve (the per-leaf sparse solves dominated the
+        # estimator wall time).
+        lag_rows: list[np.ndarray] = []
+        if zeroed:
+            col_idx: list[np.ndarray] = []
+            for fi in zeroed:
+                for side in ElementSide:
+                    col_idx.append(
+                        form_specs.form_offset(fi, *pf)
+                        + element_boundary_dofs(side, form_specs[fi][1], *pf)
+                    )
+            indices = np.unique(np.concatenate(col_idx))
+            rows = np.zeros((indices.size, n_fine))
+            rows[np.arange(indices.size), indices] = 1.0
+            lag_rows.append(rows)
+        if constrained_idx:
+            rows = np.zeros((len(constrained_idx), n_fine))
+            for i_row, fi in enumerate(constrained_idx):
+                dofs_i = form_specs.form_offset(fi, *pf) + np.arange(
+                    form_specs.form_size(fi, *pf)
+                )
+                rows[i_row, dofs_i] = 1.0
+            lag_rows.append(rows)
+
+        if lag_rows:
+            lag = np.concatenate(lag_rows, axis=0)
+            m = lag.shape[0]
+            e_cnt = local_lhs.shape[0]
+            saddle = np.zeros((e_cnt, n_fine + m, n_fine + m))
+            saddle[:, :n_fine, :n_fine] = local_lhs
+            saddle[:, :n_fine, n_fine:] = lag.T
+            saddle[:, n_fine:, :n_fine] = lag
+            rhs_b = np.concatenate([res, np.zeros((e_cnt, m))], axis=1)
+            local_error = np.linalg.solve(saddle, rhs_b[..., None])[:, :n_fine, 0]
+        else:
+            local_error = np.linalg.solve(local_lhs, res[..., None])[..., 0]
+
+        off = form_specs.form_offset(unknown_index, *pf)
+        count = form_specs.form_size(unknown_index, *pf)
+        fine_basis = fine_batch.basis
+        rule_1 = fine_basis.basis_xi.rule
+        rule_2 = fine_basis.basis_eta.rule
+        xi = rule_1.nodes[None, :]
+        eta = rule_2.nodes[:, None]
+        corners = np.asarray(bucket.batch.corners)
+        recon_u = reconstruct_batched(
+            corners, fine_basis, target.order,
+            np.asarray(fine_sol)[:, off : off + count], xi, eta,
+        )
+        recon_err = reconstruct_batched(
+            corners, fine_basis, target.order,
+            local_error[:, off : off + count], xi, eta,
+        )
+        det = _jacobian_np(corners, xi, eta)[4]
+        w2d = rule_1.weights[None, :] * rule_2.weights[:, None]
+        p1, p2 = bucket.orders
+        l2, hc, dc = _batched_legendre_measures(
+            p1, p2, rule_1.nodes, rule_2.nodes, w2d, det, recon_u, recon_err
+        )
+        element_error[bucket.leaf_ranks] = l2
+        href_cost[bucket.leaf_ranks] = hc
+        dir_cost[bucket.leaf_ranks] = dc
     return element_error, href_cost, dir_cost
 
 
