@@ -1050,6 +1050,125 @@ class MultiBucketShardedSystem:
         return out, np.asarray(lam), float(np.sqrt(mag2)), iters
 
 
+def _dual_mass_blocks(sharded: ShardedBlockSystem, form_spec):
+    """Sharded block-diagonal per-element mass matrices (dual application).
+
+    Assembled per device from the sharded corners; padding elements hold
+    identity blocks so batched GEMVs stay no-ops there.
+    """
+    from mfv2d_tpu.evaluation import ElementBatch
+
+    basis = sharded.basis
+    n = sharded.n_dofs_per_element
+    bucket_orders = (basis.basis_xi.order, basis.basis_eta.order)
+    offsets = form_spec.form_offsets(*bucket_orders)
+
+    @partial(jax.shard_map, mesh=sharded.mesh,
+             in_specs=(P("e", None, None),), out_specs=P("e", None, None))
+    def build_mass(corners_local):
+        batch = ElementBatch(basis, corners_local)
+        e = batch.n_elements
+        big = jnp.zeros((e, n, n), batch.jac.det.dtype)
+        for i in range(len(form_spec)):
+            m = batch.mass(form_spec[i][1], False)
+            big = big.at[
+                :, offsets[i] : offsets[i + 1], offsets[i] : offsets[i + 1]
+            ].set(m)
+        return big
+
+    mass_blocks = build_mass(sharded.corners_padded)
+    if sharded.e_padded > sharded.e_real:
+        mass_blocks = mass_blocks.at[sharded.e_real :].set(
+            jnp.eye(n, dtype=mass_blocks.dtype)
+        )
+    return mass_blocks
+
+
+def _elementwise_gemv(device_mesh: Mesh):
+    """Sharded ``[E, n, n] @ [E, n] -> [E, n]`` kernel."""
+
+    @partial(jax.shard_map, mesh=device_mesh,
+             in_specs=(P("e", None, None), P("e", None)),
+             out_specs=P("e", None))
+    def block_gemv(blocks, x):
+        return jnp.einsum("eij,ej->ei", blocks, x)
+
+    return block_gemv
+
+
+def _march_prologue(
+    system, disc, device_mesh, time_settings, boundary_conditions,
+    constrained_forms,
+):
+    """Shared march setup: compile, constraints, sharded assembly, carry maps.
+
+    Returns (compiled, form_spec, sharded, b_elem, c_vec, carry_cols,
+    mass_blocks, block_gemv, sample data, forcing).
+    """
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.continuity import add_system_constraints
+    from mfv2d_tpu.solver.fused import _sample_slots
+    from mfv2d_tpu.solver.solve import (
+        compute_forcing_vector,
+        find_time_carry_indices,
+    )
+    from mfv2d_tpu.solve_system_2d import update_system_for_time_march
+
+    marched = update_system_for_time_march(time_settings, system)
+    compiled = CompiledSystem(marched)
+    form_spec = marched.unknown_forms
+
+    forcing = compute_forcing_vector(disc, marched)
+    linear_vectors = [
+        forcing[disc.element_offsets[i] : disc.element_offsets[i + 1]]
+        for i in range(disc.n_leaves)
+    ]
+    lagrange_mat, lagrange_vec = add_system_constraints(
+        marched,
+        disc.mesh,
+        disc.basis_cache,
+        list(constrained_forms),
+        list(boundary_conditions),
+        disc.leaf_indices,
+        disc.element_offsets,
+        linear_vectors,
+    )
+    sharded = ShardedBlockSystem.from_assembly(
+        disc, compiled.linear_blocks, lagrange_mat, device_mesh
+    )
+
+    bucket = disc.buckets[0]
+    p1, p2 = bucket.orders
+    march_indices = tuple(
+        sorted(
+            marched.weight_forms.index(form)
+            for form in time_settings.time_march_relations
+        )
+    )
+    carry_cols = jnp.asarray(
+        find_time_carry_indices(march_indices, form_spec, p1, p2), jnp.int32
+    )
+    mass_blocks = _dual_mass_blocks(sharded, form_spec)
+    block_gemv = _elementwise_gemv(device_mesh)
+    b_elem = sharded.shard_dofs(forcing)
+    c_vec = jnp.asarray(lagrange_vec)
+    sample_steps, slots = _sample_slots(
+        time_settings.nt, time_settings.sample_rate
+    )
+    return (
+        compiled,
+        form_spec,
+        sharded,
+        b_elem,
+        c_vec,
+        carry_cols,
+        mass_blocks,
+        block_gemv,
+        sample_steps,
+        jnp.asarray(slots),
+    )
+
+
 def sharded_time_march(
     system,
     disc: Discretization,
@@ -1071,96 +1190,30 @@ def sharded_time_march(
 
     Returns ``(solutions [nt_sampled, n_dofs], sample_steps, lam)``.
     """
-    from mfv2d_tpu.compiler import CompiledSystem
-    from mfv2d_tpu.continuity import add_system_constraints
-    from mfv2d_tpu.evaluation import ElementBatch
-    from mfv2d_tpu.solver.fused import _sample_slots
-    from mfv2d_tpu.solver.solve import (
-        compute_forcing_vector,
-        find_time_carry_indices,
+    (
+        compiled,
+        form_spec,
+        sharded,
+        b_elem,
+        c_vec,
+        carry_cols,
+        mass_blocks,
+        block_gemv,
+        sample_steps,
+        slots_dev,
+    ) = _march_prologue(
+        system, disc, device_mesh, time_settings, boundary_conditions,
+        constrained_forms,
     )
-    from mfv2d_tpu.solve_system_2d import update_system_for_time_march
-
-    marched = update_system_for_time_march(time_settings, system)
-    compiled = CompiledSystem(marched)
     if compiled.nonlin_blocks is not None or compiled.rhs_blocks is not None:
         raise NotImplementedError(
             "sharded_time_march handles linear marches; nonlinear systems"
-            " use the host/fused paths."
+            " use sharded_nonlinear_time_march."
         )
-    form_spec = marched.unknown_forms
-
-    forcing = compute_forcing_vector(disc, marched)
-    linear_vectors = [
-        forcing[disc.element_offsets[i] : disc.element_offsets[i + 1]]
-        for i in range(disc.n_leaves)
-    ]
-    lagrange_mat, lagrange_vec = add_system_constraints(
-        marched,
-        disc.mesh,
-        disc.basis_cache,
-        list(constrained_forms),
-        list(boundary_conditions),
-        disc.leaf_indices,
-        disc.element_offsets,
-        linear_vectors,
-    )
-    sharded = ShardedBlockSystem.from_assembly(
-        disc, compiled.lhs_blocks, lagrange_mat, device_mesh
-    )
-
-    bucket = disc.buckets[0]
-    p1, p2 = bucket.orders
-    march_indices = tuple(
-        sorted(
-            marched.weight_forms.index(form)
-            for form in time_settings.time_march_relations
-        )
-    )
-    carry_cols = jnp.asarray(
-        find_time_carry_indices(march_indices, form_spec, p1, p2), jnp.int32
-    )
-
-    # Block-diagonal per-element mass (the dual application for the carry
-    # projection), assembled per device; identity on padding elements.
-    basis = sharded.basis
-    n = sharded.n_dofs_per_element
-    offsets = form_spec.form_offsets(p1, p2)
-
-    @partial(jax.shard_map, mesh=device_mesh,
-             in_specs=(P("e", None, None),), out_specs=P("e", None, None))
-    def build_mass(corners_local):
-        batch = ElementBatch(basis, corners_local)
-        e = batch.n_elements
-        big = jnp.zeros((e, n, n), batch.jac.det.dtype)
-        for i in range(len(form_spec)):
-            m = batch.mass(form_spec[i][1], False)
-            big = big.at[
-                :, offsets[i] : offsets[i + 1], offsets[i] : offsets[i + 1]
-            ].set(m)
-        return big
-
-    mass_blocks = build_mass(sharded.corners_padded)
-    if sharded.e_padded > sharded.e_real:
-        mass_blocks = mass_blocks.at[sharded.e_real :].set(
-            jnp.eye(n, dtype=mass_blocks.dtype)
-        )
-
-    @partial(jax.shard_map, mesh=device_mesh,
-             in_specs=(P("e", None, None), P("e", None)),
-             out_specs=P("e", None))
-    def block_gemv(blocks, x):
-        return jnp.einsum("eij,ej->ei", blocks, x)
 
     schur = sharded._schur_shardmap()
     tables = sharded._tables
-    b_elem = sharded.shard_dofs(forcing)
-    c_vec = jnp.asarray(lagrange_vec)
-    nt = time_settings.nt
-    dt = time_settings.dt
-    two_over_dt = 2.0 / dt
-    sample_steps, slots = _sample_slots(nt, time_settings.sample_rate)
-    slots_dev = jnp.asarray(slots)
+    two_over_dt = 2.0 / time_settings.dt
     n_lag = sharded.n_lagrange
     tol = jnp.asarray(cg_tolerance)
 
@@ -1234,3 +1287,145 @@ def sharded_time_march(
         [np.asarray(us[i])[: sharded.e_real].reshape(-1) for i in range(len(sample_steps))]
     )
     return out, sample_steps, np.asarray(lam_f)
+
+
+def sharded_nonlinear_time_march(
+    system,
+    disc: Discretization,
+    device_mesh: Mesh,
+    time_settings,
+    *,
+    boundary_conditions=(),
+    constrained_forms=(),
+    max_iterations: int = 20,
+    relax: float = 1.0,
+    absolute_tolerance: float = 1e-10,
+    relative_tolerance: float = 0.0,
+    cg_maximum_iterations: int = 2000,
+    cg_tolerance: float = 1e-12,
+    krylov_method: str = "cg",
+):
+    """Fully sharded nonlinear (Picard) trapezoidal march: one jitted scan.
+
+    Each time step runs a Picard defect-correction ``while_loop`` against
+    the frozen linear operator: the residual evaluates element-locally per
+    device (nonlinear advection fields reconstruct from the device's own
+    DoFs), the correction is the sharded Schur-complement saddle solve (one
+    psum per Krylov matvec), and the trapezoidal carry updates from the
+    sharded dual (mass) application.  Semantics match the host
+    ``non_linear_solve_run``-per-step march and the single-device
+    ``fused_nonlinear_time_march``.
+
+    Returns ``(solutions [nt_sampled, n_dofs], sample_steps, lam,
+    iterations [nt], residuals [nt])``.
+    """
+    (
+        compiled,
+        form_spec,
+        sharded,
+        b_elem,
+        c_vec,
+        carry_cols,
+        mass_blocks,
+        block_gemv,
+        sample_steps,
+        slots_dev,
+    ) = _march_prologue(
+        system, disc, device_mesh, time_settings, boundary_conditions,
+        constrained_forms,
+    )
+    residual_fn = sharded.make_picard_residual(
+        form_spec, compiled.lhs_blocks, compiled.rhs_blocks
+    )
+    if krylov_method == "gmres":
+        krylov = sharded.make_fused_gmres(cg_maximum_iterations)
+    else:
+        krylov = sharded.make_fused_cg(cg_maximum_iterations)
+
+    two_over_dt = 2.0 / time_settings.dt
+    n_lag = sharded.n_lagrange
+    atol = jnp.asarray(absolute_tolerance)
+    rtol = jnp.asarray(relative_tolerance)
+    cg_tol = jnp.asarray(cg_tolerance)
+    # Padding elements stay exactly zero through the march (zero forcing,
+    # identity blocks, no constraint entries); the mask keeps the residual
+    # norm insensitive to them even so.
+    mask = (jnp.arange(sharded.e_padded) < sharded.e_real)[:, None]
+    max_mag = jnp.maximum(
+        jnp.abs(b_elem).max(),
+        jnp.abs(c_vec).max() if n_lag else 0.0,
+    )
+
+    @jax.jit
+    def march(u0, lam0, carry0, carry_term0):
+        def step(state, slot):
+            u, lam, old_carry, carry_term, buf = state
+            current_carry = two_over_dt * old_carry + carry_term
+            base = b_elem.at[:, carry_cols].add(current_carry)
+            step_mag = jnp.maximum(max_mag, jnp.abs(base).max())
+
+            def cond(s):
+                _, _, it, converged, _ = s
+                return jnp.logical_and(
+                    it < max_iterations, jnp.logical_not(converged)
+                )
+
+            def body(s):
+                ui, lami, it, _, _ = s
+                # Element-local Picard residual (one psum for the trace).
+                r_elem, g_u = residual_fn(ui, lami, base)
+                r_tr = c_vec - g_u
+                mres = jnp.abs(r_elem * mask).max()
+                if n_lag:
+                    mres = jnp.maximum(mres, jnp.abs(r_tr).max())
+                conv = jnp.logical_not(
+                    jnp.logical_and(mres > atol, mres > step_mag * rtol)
+                )
+                # Frozen-operator correction via the sharded Schur solve.
+                ainv_r = sharded.block_solve_sharded(r_elem)
+                trace_rhs = sharded.trace_of(ainv_r) - r_tr
+                dlam, _, _ = krylov(trace_rhs, cg_tol)
+                du = sharded.block_solve_sharded(
+                    r_elem - sharded.trace_t_of(dlam)
+                )
+                u_new = jnp.where(conv, ui, ui + relax * du)
+                lam_new = jnp.where(conv, lami, lami + relax * dlam)
+                return (u_new, lam_new, jnp.where(conv, it, it + 1), conv, mres)
+
+            u_new, lam_new, iters, _, mres = jax.lax.while_loop(
+                cond, body, (u, lam, jnp.int32(0), jnp.bool_(False), jnp.inf)
+            )
+            dual = block_gemv(mass_blocks, u_new)
+            new_carry = dual[:, carry_cols]
+            new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
+            idx = jnp.maximum(slot, 0)
+            buf = buf.at[idx].set(jnp.where(slot >= 0, u_new, buf[idx]))
+            return (u_new, lam_new, new_carry, new_carry_term, buf), (
+                iters,
+                mres,
+            )
+
+        buf0 = jnp.zeros((len(sample_steps),) + u0.shape)
+        (_, lam_f, _, _, buf), (iters, residuals) = jax.lax.scan(
+            step, (u0, lam0, carry0, carry_term0, buf0), slots_dev
+        )
+        return buf, lam_f, iters, residuals
+
+    u0 = jnp.zeros_like(b_elem)
+    carry_term0 = b_elem[:, carry_cols]
+    us, lam_f, iters, residuals = march(
+        u0, jnp.zeros(n_lag), jnp.zeros_like(carry_term0), carry_term0
+    )
+    out = np.stack(
+        [
+            np.asarray(us[i])[: sharded.e_real].reshape(-1)
+            for i in range(len(sample_steps))
+        ]
+    )
+    return (
+        out,
+        sample_steps,
+        np.asarray(lam_f),
+        np.asarray(iters, np.uint32),
+        np.asarray(residuals),
+    )

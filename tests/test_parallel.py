@@ -444,3 +444,63 @@ def test_sharded_rejects_singular_element_blocks(device_mesh):
             boundary_conditions=[bc],
             krylov_method="gmres",
         )
+
+
+def test_sharded_nonlinear_time_march_matches_host(device_mesh):
+    """The sharded Picard march matches the host march on unsteady NS."""
+    from mfv2d_tpu.models import flow
+    from mfv2d_tpu.parallel.sharding import sharded_nonlinear_time_march
+
+    def lid_velocity(x, y):
+        on_lid = np.isclose(y, 1.0)
+        return np.stack(
+            (np.where(on_lid, 1.0, 0.0), np.zeros_like(y)), axis=-1
+        )
+
+    model = flow.cavity_flow(20.0, lid_velocity)
+    nt, dt = 4, 0.25
+    settings = mf.TimeSettings(
+        dt=dt, nt=nt, time_march_relations=model.time_march_relations,
+        sample_rate=2,
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 2)
+    bc = mf.BoundaryCondition2DSteady(
+        model.velocity, mesh.boundary_indices, lid_velocity
+    )
+    sols_host, _, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+        mf.SolverSettings(ConvergenceSettings(40, 1e-11, 0)),
+        time_settings=settings,
+        recon_order=2,
+    )
+
+    mesh2 = mf.examples.unit_square_mesh(3, 3, 2)
+    bc2 = mf.BoundaryCondition2DSteady(
+        model.velocity, mesh2.boundary_indices, lid_velocity
+    )
+    disc = discretize_mesh(mesh2, model.system.unknown_forms, FemCache(3))
+    us, sample_steps, lam, iters, residuals = sharded_nonlinear_time_march(
+        model.system,
+        disc,
+        device_mesh,
+        settings,
+        boundary_conditions=[bc2],
+        constrained_forms=[(0.0, model.pressure)],
+        max_iterations=40,
+        absolute_tolerance=1e-11,
+        cg_tolerance=1e-13,
+        krylov_method="gmres",
+    )
+    assert list(sample_steps) == [0, 2, 3]
+    assert np.all(np.asarray(iters) >= 1)
+    assert np.all(np.isfinite(us))
+
+    from mfv2d_tpu.solver.solve import reconstruct_mesh_from_solution
+
+    grid = reconstruct_mesh_from_solution(disc, 2, us[-1])
+    host_final = sols_host[-1]
+    err = np.abs(
+        grid.point_data["vel"] - host_final.point_data["vel"]
+    ).max()
+    assert err < 1e-7, err
