@@ -179,26 +179,27 @@ class BlockSaddleSystem:
             # slower than dense gathers, so both trace products are stored
             # row-major ([n_lag, k1]: G x) and column-major ([n_dofs, k2]:
             # G^T lam) with zero-padded entries.
+            def padded_table(indptr, indices, data, n_rows):
+                # Vectorized fill (a Python loop here was ~1 s at the 64x64
+                # p=4 scale: the column table has n_dofs = 262k rows).
+                counts = np.diff(indptr)
+                k = max(1, int(counts.max()) if counts.size else 1)
+                row_ids = np.repeat(np.arange(n_rows), counts)
+                slots = np.arange(indices.size) - np.repeat(indptr[:-1], counts)
+                out_idx = np.zeros((n_rows, k), np.int32)
+                out_val = np.zeros((n_rows, k))
+                out_idx[row_ids, slots] = indices
+                out_val[row_ids, slots] = data
+                return jnp.asarray(out_idx), jnp.asarray(out_val)
+
             csr = lagrange_mat.tocsr()
-            k1 = max(1, int(np.diff(csr.indptr).max()))
-            rc = np.zeros((self.n_lagrange, k1), np.int32)
-            rv = np.zeros((self.n_lagrange, k1))
-            for r in range(self.n_lagrange):
-                a, b = csr.indptr[r], csr.indptr[r + 1]
-                rc[r, : b - a] = csr.indices[a:b]
-                rv[r, : b - a] = csr.data[a:b]
-            self._row_cols = jnp.asarray(rc)
-            self._row_vals = jnp.asarray(rv)
+            self._row_cols, self._row_vals = padded_table(
+                csr.indptr, csr.indices, csr.data, self.n_lagrange
+            )
             csc = lagrange_mat.tocsc()
-            k2 = max(1, int(np.diff(csc.indptr).max()))
-            cr = np.zeros((self.n_dofs, k2), np.int32)
-            cv = np.zeros((self.n_dofs, k2))
-            for c in range(self.n_dofs):
-                a, b = csc.indptr[c], csc.indptr[c + 1]
-                cr[c, : b - a] = csc.indices[a:b]
-                cv[c, : b - a] = csc.data[a:b]
-            self._col_rows = jnp.asarray(cr)
-            self._col_vals = jnp.asarray(cv)
+            self._col_rows, self._col_vals = padded_table(
+                csc.indptr, csc.indices, csc.data, self.n_dofs
+            )
         else:
             self.n_lagrange = 0
             self.g_rows = jnp.zeros(0, jnp.int32)
