@@ -635,7 +635,7 @@ def reconstruct_mesh_from_solution(
     Reconstruction is vectorized per order bucket (reconstruct_batched); the
     per-leaf host loop this replaces dominated warm-solve wall time.
     """
-    from mfv2d_tpu.projection import _jacobian_np, reconstruct_batched
+    from mfv2d_tpu.projection import reconstruct_batched
 
     form_spec = disc.form_spec
     n_leaves = disc.n_leaves
