@@ -38,16 +38,6 @@ from mfv2d_tpu.ops.quadrature import compute_gll, lagrange1d
 from mfv2d_tpu.system import ElementFormSpecification, KFormSystem
 
 
-def _find_surface_boundary_id_node(mesh: Mesh, surf_idx: int, node_idx: int) -> ElementSide:
-    """Side of the surface whose first line begins at the given node."""
-    s = mesh.primal.get_surface(surf_idx + 1)
-    for line_id, bnd_id in zip(iter(s), ElementSide):
-        line = mesh.primal.get_line(line_id)
-        if line.begin.index == node_idx:
-            return bnd_id
-    raise ValueError(f"Node with index {node_idx=} is not in the surface {surf_idx=}.")
-
-
 def _get_corner_dof(mesh: Mesh, element: int, side: ElementSide, /) -> tuple[int, int]:
     """Leaf element index + 0-form DoF index of the corner starting ``side``."""
     children = mesh.get_element_children(element)
@@ -476,28 +466,51 @@ def connect_elements(
     )
 
     inter_corner_0: list[Constraint] = []
+    bulk_corner: list[BulkConstraints] = []
     if has_0:
+        # One pass over root surfaces replaces the per-(node, element) side
+        # search of _find_surface_boundary_id_node, and the corner chains
+        # emit as one bulk (+1, -1) block instead of per-row Constraint
+        # objects (the per-node Python path dominated 0-form constraint
+        # generation at production mesh sizes).
+        side_of: dict[tuple[int, int], ElementSide] = {}
+        for e in range(mesh.primal.n_surfaces):
+            s = mesh.primal.get_surface(e + 1)
+            for line_id, side in zip(iter(s), ElementSide):
+                line = mesh.primal.get_line(line_id)
+                side_of[(e, line.begin.index)] = side
+        chain_ranks: list[tuple[int, int]] = []
+        chain_dofs: list[tuple[int, int]] = []
         for node_index in range(mesh.primal.n_points):
             dual_surf = mesh.dual.get_surface(node_index + 1)
             element_indices: list[int] = []
             for dual_line_id in iter(dual_surf):
                 dual_line = mesh.dual.get_line(dual_line_id)
-                primal_line = mesh.primal.get_line(dual_line_id)
-                assert primal_line.begin.index == node_index
                 e_idx = dual_line.begin
                 if not e_idx:
                     continue
                 element_indices.append(e_idx.index)
             if len(element_indices) <= 1:
                 continue
-            inter_corner_0 += connect_corner_based(
-                mesh,
-                *(
-                    (ie, _find_surface_boundary_id_node(mesh, ie, node_index))
-                    for ie in element_indices
-                ),
+            prev = None
+            for ie in element_indices:
+                leaf, dof = _get_corner_dof(mesh, ie, side_of[(ie, node_index)])
+                cur = (mesh.get_leaf_index(leaf), dof)
+                if prev is not None:
+                    chain_ranks.append((prev[0], cur[0]))
+                    chain_dofs.append((prev[1], cur[1]))
+                prev = cur
+        if chain_ranks:
+            r = len(chain_ranks)
+            bulk_corner.append(
+                (
+                    np.asarray(chain_ranks, np.intp),
+                    np.asarray(chain_dofs, np.intp),
+                    np.broadcast_to(np.array([1.0, -1.0]), (r, 2)).copy(),
+                )
             )
 
+    bulk_0 = bulk_0 + bulk_corner
     combined_0 = intra_0 + inter_0 + inter_corner_0
     combined_1 = intra_1 + inter_1
 
