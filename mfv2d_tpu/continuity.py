@@ -352,6 +352,10 @@ BulkConstraints = tuple[
 """``(leaf_ranks, dofs, coefs)``, each ``[n_rows, entries_per_row]``; every
 row is one zero-RHS constraint over in-element DoF indices."""
 
+# Test hook: force every edge/corner through the general per-row path so the
+# bulk fast path can be cross-checked against it.
+_DISABLE_BULK = False
+
 
 def _bulk_conforming_edges(
     mesh: Mesh,
@@ -435,7 +439,8 @@ def connect_elements(
         side_2 = find_surface_boundary_id_line(surf_2, edge_index)
         e1, e2 = idx1.index, idx2.index
         if (
-            mesh.get_element_children(e1) is None
+            not _DISABLE_BULK
+            and mesh.get_element_children(e1) is None
             and mesh.get_element_children(e2) is None
         ):
             o1 = mesh.get_leaf_orders(e1)
@@ -491,6 +496,12 @@ def connect_elements(
                     continue
                 element_indices.append(e_idx.index)
             if len(element_indices) <= 1:
+                continue
+            if _DISABLE_BULK:
+                inter_corner_0 += connect_corner_based(
+                    mesh,
+                    *((ie, side_of[(ie, node_index)]) for ie in element_indices),
+                )
                 continue
             prev = None
             for ie in element_indices:

@@ -188,3 +188,59 @@ def test_vtu_writer_vector_data(tmp_path):
     vals = np.fromstring(arrays["vel"].text.replace("\n", " "), sep=" ")
     assert vals.size == 2 * int(root.find(".//Piece").attrib["NumberOfPoints"])
     assert np.all(np.isfinite(vals))
+
+
+def test_bulk_constraints_match_general_path():
+    """The vectorized constraint fast path emits exactly the general rows."""
+    import scipy.sparse as sp
+
+    import mfv2d_tpu as mf
+    import mfv2d_tpu.continuity as cont
+    from mfv2d_tpu.continuity import add_system_constraints
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.solver.discretization import discretize_mesh
+
+    vor = mf.KFormUnknown("vor", mf.UnknownFormOrder.FORM_ORDER_0)
+    w0 = vor.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    w1 = q.weight
+    system = mf.KFormSystem(
+        w0.derivative @ q - w0 @ vor == 0,
+        w1 @ vor.derivative + w1 @ q == 0,
+    )
+
+    def build(disable):
+        mesh = unit_square_mesh(4, 3, 3)
+        mesh.split_element(5, (2, 2), (2, 2), (2, 2), (2, 2))  # hanging nodes
+        mesh.set_leaf_orders(10, 4, 2)  # anisotropic + mixed side orders
+        disc = discretize_mesh(mesh, system.unknown_forms, FemCache(2))
+        old = cont._DISABLE_BULK
+        cont._DISABLE_BULK = disable
+        try:
+            mat, vec = add_system_constraints(
+                system, mesh, disc.basis_cache, [], [],
+                disc.leaf_indices, disc.element_offsets, None,
+            )
+        finally:
+            cont._DISABLE_BULK = old
+        return mat, vec
+
+    fast_mat, fast_vec = build(False)
+    slow_mat, slow_vec = build(True)
+    assert fast_mat.shape == slow_mat.shape
+    assert fast_vec.size == slow_vec.size
+
+    def canonical(mat):
+        rows = []
+        csr = sp.csr_array(mat)
+        for r in range(csr.shape[0]):
+            a, b = csr.indptr[r], csr.indptr[r + 1]
+            order = np.argsort(csr.indices[a:b])
+            cols = csr.indices[a:b][order]
+            vals = csr.data[a:b][order]
+            # Normalize row sign by the first entry.
+            s = np.sign(vals[0]) if vals.size else 1.0
+            rows.append((tuple(cols), tuple(np.round(s * vals, 12))))
+        return sorted(rows)
+
+    assert canonical(fast_mat) == canonical(slow_mat)
