@@ -112,16 +112,20 @@ def _build_trace_system(system, nh, nv, p, device_mesh):
 
 
 def _time_cg(sharded, n_lag, iters_a=50, iters_b=400, repeats=3):
-    """Iterations/sec from the difference of two fixed-length CG runs."""
+    """Iterations/sec from the difference of two fixed-length CG runs.
+
+    The chain length adapts upward until the measured time difference
+    clears the dispatch/relay jitter floor — tiny trace systems otherwise
+    produce a difference smaller than the timer noise (observed as a
+    negative rate on the 72-row config).
+    """
     import jax.numpy as jnp
 
     rng = np.random.default_rng(3)
     rhs = jnp.asarray(rng.normal(size=n_lag))
     cg_a = sharded.make_fused_cg(iters_a)
-    cg_b = sharded.make_fused_cg(iters_b)
     # Force the full iteration count with tol=0.
     float(cg_a(rhs, 0.0)[1])  # compile + warm
-    float(cg_b(rhs, 0.0)[1])
 
     def run(cg):
         t0 = time.perf_counter()
@@ -130,7 +134,14 @@ def _time_cg(sharded, n_lag, iters_a=50, iters_b=400, repeats=3):
         return time.perf_counter() - t0
 
     ta = min(run(cg_a) for _ in range(repeats))
-    tb = min(run(cg_b) for _ in range(repeats))
+    while True:
+        cg_b = sharded.make_fused_cg(iters_b)
+        float(cg_b(rhs, 0.0)[1])
+        tb = min(run(cg_b) for _ in range(repeats))
+        # 20 ms clears the observed relay jitter (~2-5 ms) comfortably.
+        if tb - ta > 0.02 or iters_b >= 51200:
+            break
+        iters_b *= 4
     return (iters_b - iters_a) / (tb - ta)
 
 

@@ -325,7 +325,9 @@ class SuyashGreenOperator:
                     self.fine_scale_greens_function(w)
                 )
 
-            linop = _sla.LinearOperator((n_u, n_u), matvec=op)
+            # dtype must be declared: scipy otherwise probes the matvec with
+            # an int8 vector, which the jitted Green's-function path rejects.
+            linop = _sla.LinearOperator((n_u, n_u), matvec=op, dtype=np.float64)
             out, info = _sla.gmres(
                 linop,
                 agr,

@@ -182,3 +182,42 @@ def test_gmres_unresolved_scales_match_fixed_point():
     assert np.allclose(outs["gmres"], outs["fixed-point"], atol=1e-8), np.abs(
         outs["gmres"] - outs["fixed-point"]
     ).max()
+
+
+def test_vms_matrix_free_full_solve():
+    """solve_system_2d with matrix_free=True VMS (regression: the GMRES
+    unresolved-scale LinearOperator must declare its dtype, else scipy
+    probes the jitted matvec with an int8 vector)."""
+
+    def u_exact(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def source_exact(x, y):
+        return -(np.pi**2) / 2 * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    p = q.weight
+    system = mf.KFormSystem(
+        p.derivative @ u - p @ q == p ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    sols, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(system, over_integration_order=3),
+        mf.SolverSettings(mf.ConvergenceSettings(20, 1e-8, 0)),
+        vms_settings=mf.VMSSettings(
+            symmetric_system=system,
+            nonsymmetric_system=system,
+            order_increase=2,
+            fine_scale_convergence=mf.ConvergenceSettings(10, 1e-10, 1e-8),
+            matrix_free=True,
+        ),
+        recon_order=3,
+    )
+    grid = sols[-1]
+    assert np.all(np.isfinite(grid.point_data["vms-u"]))
+    # Resolved problem: the fine scales are numerically zero.
+    assert np.abs(grid.point_data["vms-u"]).max() < 1e-10
