@@ -126,6 +126,35 @@ def solve_system_2d(
             raise ValueError("Sample rate can not be less than 1.")
         if len(time_settings.time_march_relations) < 1:
             raise ValueError("Problem has no time march relations.")
+
+    if solver_settings.device_mesh is not None:
+        unsupported = {
+            "vms_settings": vms_settings is not None,
+            "refinement_settings": refinement_settings is not None,
+            "checkpoint_settings": checkpoint_settings is not None,
+            "unsteady boundary conditions": has_unsteady_bcs,
+            "TimeDependent forcing": has_td_rhs,
+            "initial_conditions": bool(system_settings.initial_conditions),
+            'method="newton"': solver_settings.method == "newton",
+        }
+        bad = [k for k, v in unsupported.items() if v]
+        if bad:
+            raise NotImplementedError(
+                f"device_mesh solves do not support: {', '.join(bad)}."
+                " Use the single-device path or the mfv2d_tpu.parallel"
+                " primitives directly."
+            )
+        return _solve_sharded(
+            mesh,
+            system_settings,
+            solver_settings,
+            time_settings,
+            basis_cache,
+            recon_order,
+            boundary_conditions,
+        )
+
+    if time_settings is not None:
         system = update_system_for_time_march(time_settings, system)
 
     from mfv2d_tpu.tracing import tracer
@@ -678,3 +707,122 @@ def update_system_for_time_march(
                 == eq.right
             )
     return KFormSystem(*new_equations)
+
+
+def _solve_sharded(
+    mesh: Mesh,
+    system_settings: SystemSettings,
+    solver_settings: SolverSettings,
+    time_settings: TimeSettings | None,
+    basis_cache: FemCache,
+    recon_order: int | None,
+    boundary_conditions,
+) -> tuple[Sequence[ReconstructedGrid], SolutionStatistics, Mesh]:
+    """Element-sharded solve over ``solver_settings.device_mesh``.
+
+    Routes to the mfv2d_tpu.parallel.sharding training steps: the steady
+    Picard solve, or the linear/nonlinear trapezoidal march — each fully
+    sharded with one trace psum per matvec/residual.
+    """
+    from mfv2d_tpu.parallel.sharding import (
+        sharded_nonlinear_time_march,
+        sharded_steady_solve,
+        sharded_time_march,
+    )
+
+    system = system_settings.system
+    device_mesh = solver_settings.device_mesh
+    disc = discretize_mesh(mesh, system.unknown_forms, basis_cache)
+    conv = solver_settings.convergence
+    krylov = "gmres" if solver_settings.linear_solver == "gmres" else "cg"
+    bcs = list(boundary_conditions or [])
+    cforms = list(system_settings.constrained_forms)
+    cg_cap = max(200, 4 * disc.n_dofs)
+    cg_tol = conv.absolute_tolerance * 1e-3
+
+    grids: list[ReconstructedGrid] = []
+    if time_settings is None:
+        u, lam, residuals = sharded_steady_solve(
+            system,
+            disc,
+            device_mesh,
+            boundary_conditions=bcs,
+            constrained_forms=cforms,
+            maximum_iterations=conv.maximum_iterations,
+            relax=solver_settings.relaxation,
+            absolute_tolerance=conv.absolute_tolerance,
+            relative_tolerance=conv.relative_tolerance,
+            cg_maximum_iterations=cg_cap,
+            cg_tolerance=cg_tol,
+            krylov_method=krylov,
+        )
+        grid = reconstruct_mesh_from_solution(disc, recon_order, u)
+        grid.field_data["time"] = np.array([0.0])
+        grids.append(grid)
+        iters = np.array((len(residuals),), np.uint32)
+        changes = np.asarray(residuals)
+        lam_size = np.asarray(lam).size
+    else:
+        marched = update_system_for_time_march(time_settings, system)
+        marched_compiled = CompiledSystem(marched)
+        grid0 = reconstruct_mesh_from_solution(
+            disc, recon_order, np.zeros(disc.n_dofs)
+        )
+        grid0.field_data["time"] = np.array([0.0])
+        grids.append(grid0)
+        linear = (
+            marched_compiled.nonlin_blocks is None
+            and marched_compiled.rhs_blocks is None
+        )
+        if linear:
+            us, sample_steps, lam = sharded_time_march(
+                system,
+                disc,
+                device_mesh,
+                time_settings,
+                boundary_conditions=bcs,
+                constrained_forms=cforms,
+                cg_maximum_iterations=cg_cap,
+                cg_tolerance=cg_tol,
+            )
+            iters = np.ones(time_settings.nt, np.uint32)
+            changes = np.zeros(time_settings.nt)
+        else:
+            us, sample_steps, lam, iters, changes = sharded_nonlinear_time_march(
+                system,
+                disc,
+                device_mesh,
+                time_settings,
+                boundary_conditions=bcs,
+                constrained_forms=cforms,
+                max_iterations=conv.maximum_iterations,
+                relax=solver_settings.relaxation,
+                absolute_tolerance=conv.absolute_tolerance,
+                relative_tolerance=conv.relative_tolerance,
+                cg_maximum_iterations=cg_cap,
+                cg_tolerance=cg_tol,
+                krylov_method=krylov,
+            )
+            iters = np.asarray(iters, np.uint32)
+            changes = np.asarray(changes)
+        for s_i, step in enumerate(sample_steps):
+            g = reconstruct_mesh_from_solution(disc, recon_order, us[s_i])
+            g.field_data["time"] = np.array([(int(step) + 1) * time_settings.dt])
+            grids.append(g)
+        lam_size = np.asarray(lam).size
+
+    mesh_orders = disc.element_orders
+    orders, counts = np.unique(mesh_orders, axis=0, return_counts=True)
+    stats = SolutionStatistics(
+        element_orders={
+            (int(o[0]), int(o[1])): int(c) for o, c in zip(orders, counts)
+        },
+        n_total_dofs=disc.n_dofs + lam_size,
+        n_lagrange=int(lam_size),
+        n_elems=mesh.element_count,
+        n_leaves=mesh.leaf_count,
+        n_leaf_dofs=disc.n_dofs,
+        iter_history=iters,
+        residual_history=changes,
+    )
+    return grids, stats, mesh

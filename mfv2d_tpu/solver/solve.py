@@ -70,6 +70,12 @@ class SolverSettings:
     method: str = "picard"
     """Nonlinear iteration: "picard" (frozen operator, the reference scheme)
     or "newton" (exact Jacobian via jax.jacfwd, rebuilt every iteration)."""
+    device_mesh: object | None = None
+    """A 1D ``jax.sharding.Mesh`` (axis "e"): run the solve element-sharded
+    over it (mfv2d_tpu.parallel.sharding) — steady Picard solves and
+    linear/nonlinear time marches on uniform-order meshes.  ``linear_solver``
+    selects the trace Krylov method ("gmres" for nonsymmetric systems,
+    otherwise the fused Schur CG)."""
 
 
 @dataclass(frozen=True)

@@ -504,3 +504,81 @@ def test_sharded_nonlinear_time_march_matches_host(device_mesh):
         grid.point_data["vel"] - host_final.point_data["vel"]
     ).max()
     assert err < 1e-7, err
+
+
+def test_solve_system_2d_device_mesh(device_mesh):
+    """solve_system_2d routes through the sharded paths via SolverSettings."""
+    import pytest
+
+    from mfv2d_tpu.models import transport
+
+    def final_u(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    # Steady: mixed Poisson through the entry point, sharded vs host.
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(4, 4, 3)
+    sols_host, stats_host, _ = mf.solve_system_2d(
+        mesh, mf.SystemSettings(system)
+    )
+    mesh2 = mf.examples.unit_square_mesh(4, 4, 3)
+    sols_sh, stats_sh, _ = mf.solve_system_2d(
+        mesh2,
+        mf.SystemSettings(system),
+        mf.SolverSettings(
+            mf.ConvergenceSettings(20, 1e-10, 0), device_mesh=device_mesh
+        ),
+    )
+    assert stats_sh.n_leaf_dofs == stats_host.n_leaf_dofs
+    assert np.allclose(
+        sols_sh[-1].point_data["u"], sols_host[-1].point_data["u"], atol=1e-8
+    )
+
+    # Unsteady linear march through the entry point.
+    model = transport.reaction_mixed(1.5, final_u)
+    ts = mf.TimeSettings(
+        dt=0.05, nt=4, time_march_relations=model.time_march_relations,
+        sample_rate=2,
+    )
+    mesh3 = mf.examples.unit_square_mesh(3, 3, 3)
+    sols_h2, _, _ = mf.solve_system_2d(
+        mesh3,
+        mf.SystemSettings(model.system),
+        mf.SolverSettings(mf.ConvergenceSettings(20, 1e-12, 0)),
+        time_settings=ts,
+        recon_order=3,
+    )
+    mesh4 = mf.examples.unit_square_mesh(3, 3, 3)
+    sols_s2, _, _ = mf.solve_system_2d(
+        mesh4,
+        mf.SystemSettings(model.system),
+        mf.SolverSettings(
+            mf.ConvergenceSettings(20, 1e-12, 0), device_mesh=device_mesh
+        ),
+        time_settings=ts,
+        recon_order=3,
+    )
+    assert len(sols_s2) == len(sols_h2)
+    assert float(sols_s2[-1].field_data["time"][0]) == float(
+        sols_h2[-1].field_data["time"][0]
+    )
+    assert np.allclose(
+        sols_s2[-1].point_data[model.u.label],
+        sols_h2[-1].point_data[model.u.label],
+        atol=1e-8,
+    )
+
+    # Unsupported combos fail loudly.
+    with pytest.raises(NotImplementedError, match="device_mesh"):
+        mf.solve_system_2d(
+            mf.examples.unit_square_mesh(2, 2, 2),
+            mf.SystemSettings(system),
+            mf.SolverSettings(device_mesh=device_mesh, method="newton"),
+        )
