@@ -124,8 +124,7 @@ def _time_cg(sharded, n_lag, iters_a=50, iters_b=400, repeats=3):
     rng = np.random.default_rng(3)
     rhs = jnp.asarray(rng.normal(size=n_lag))
     cg_a = sharded.make_fused_cg(iters_a)
-    # Force the full iteration count with tol=0.
-    float(cg_a(rhs, 0.0)[1])  # compile + warm
+    ka = int(cg_a(rhs, 0.0)[2])  # compile + warm; actual iterations run
 
     def run(cg):
         t0 = time.perf_counter()
@@ -136,13 +135,20 @@ def _time_cg(sharded, n_lag, iters_a=50, iters_b=400, repeats=3):
     ta = min(run(cg_a) for _ in range(repeats))
     while True:
         cg_b = sharded.make_fused_cg(iters_b)
-        float(cg_b(rhs, 0.0)[1])
+        kb = int(cg_b(rhs, 0.0)[2])
         tb = min(run(cg_b) for _ in range(repeats))
-        # 20 ms clears the observed relay jitter (~2-5 ms) comfortably.
-        if tb - ta > 0.02 or iters_b >= 51200:
-            break
+        # Use the ACTUAL iteration counts: small systems converge (rs hits
+        # exact zero / degenerates) before the cap even with tol=0, so the
+        # nominal lengths would overstate the work.
+        if kb > ka and tb - ta > 0.02:
+            # 20 ms clears the observed relay jitter (~2-5 ms).
+            return (kb - ka) / (tb - ta)
+        if iters_b >= 51200:
+            # Converged before the cap on both lengths: per-solve wall time
+            # is dispatch-bound; report iterations over the single-solve
+            # time (a lower bound on the device rate).
+            return kb / tb
         iters_b *= 4
-    return (iters_b - iters_a) / (tb - ta)
 
 
 def bench_krylov() -> list[dict]:

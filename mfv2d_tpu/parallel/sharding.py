@@ -39,6 +39,178 @@ def _pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarra
     return np.pad(arr, widths)
 
 
+
+def _fused_cg_factory(schurs, all_tables, maximum_iterations: int):
+    """Jitted while_loop CG over summed per-bucket Schur matvecs.
+
+    ``all_tables`` is the flat concatenation of each bucket's 8 operator
+    tables; each matvec issues the bucket kernels back-to-back (one psum
+    per bucket) and sums the replicated results.
+    """
+    n_tab = 8
+
+    @partial(jax.jit, static_argnames=("max_iter",))
+    def cg(trace_rhs, tol, max_iter, *tables):
+        def matvec(lam):
+            out = None
+            for i, schur in enumerate(schurs):
+                v = schur(lam, *tables[n_tab * i : n_tab * (i + 1)])
+                out = v if out is None else out + v
+            return out
+
+        r0 = trace_rhs  # lambda starts at zero
+        rs0 = jnp.vdot(r0, r0)
+
+        def cond(carry):
+            _, _, _, rs, k = carry
+            return (k < max_iter) & (rs > tol * tol)
+
+        def body(carry):
+            lam, r, p, rs, k = carry
+            ap = matvec(p)
+            alpha = rs / jnp.vdot(p, ap)
+            lam = lam + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / rs) * p
+            return lam, r, p, rs_new, k + 1
+
+        lam, _, _, rs, k = jax.lax.while_loop(
+            cond, body, (jnp.zeros_like(r0), r0, r0, rs0, 0)
+        )
+        return lam, rs, k
+
+    def run(trace_rhs, tolerance: float):
+        return cg(
+            jnp.asarray(trace_rhs),
+            jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
+            maximum_iterations,
+            *all_tables,
+        )
+
+    return run
+
+
+def _fused_gmres_factory(schurs, all_tables, maximum_iterations: int, restart: int = 100):
+    """Jitted restarted GMRES over summed per-bucket Schur matvecs."""
+    n_tab = 8
+    m = min(restart, maximum_iterations)
+
+    @partial(jax.jit, static_argnames=("max_iter", "m"))
+    def gmres(b, tol, max_iter, m, *tables):
+        def matvec(x):
+            out = None
+            for i, schur in enumerate(schurs):
+                v = schur(x, *tables[n_tab * i : n_tab * (i + 1)])
+                out = v if out is None else out + v
+            return out
+
+        n = b.shape[0]
+
+        def cycle(x0):
+            r0 = b - matvec(x0)
+            beta = jnp.linalg.norm(r0)
+            v0 = r0 / jnp.where(beta > 0, beta, 1.0)
+            big_v = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
+            big_h = jnp.zeros((m + 1, m), b.dtype)
+            cs = jnp.zeros(m, b.dtype)
+            sn = jnp.zeros(m, b.dtype)
+            g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+
+            def cond(c):
+                j, _, _, _, _, g_ = c
+                return (j < m) & (jnp.abs(g_[j]) > tol)
+
+            def body(c):
+                j, big_v, big_h, cs, sn, g_ = c
+                w = matvec(big_v[j])
+
+                # Modified Gram-Schmidt over the active basis rows.
+                def mgs(i, carry):
+                    w_, hcol = carry
+                    active = (i <= j).astype(b.dtype)
+                    hij = jnp.vdot(big_v[i], w_) * active
+                    return w_ - hij * big_v[i], hcol.at[i].set(hij)
+
+                w, hcol = jax.lax.fori_loop(
+                    0, m + 1, mgs, (w, jnp.zeros(m + 1, b.dtype))
+                )
+                h_next = jnp.linalg.norm(w)
+                hcol = hcol.at[j + 1].set(h_next)
+                big_v = big_v.at[j + 1].set(
+                    w / jnp.where(h_next > 0, h_next, 1.0)
+                )
+
+                # Apply the previous Givens rotations to the new column.
+                def rot(i, col):
+                    active = (i < j).astype(b.dtype)
+                    t0 = cs[i] * col[i] + sn[i] * col[i + 1]
+                    t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
+                    col = col.at[i].set(active * t0 + (1 - active) * col[i])
+                    return col.at[i + 1].set(
+                        active * t1 + (1 - active) * col[i + 1]
+                    )
+
+                hcol = jax.lax.fori_loop(0, m, rot, hcol)
+                denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+                denom = jnp.where(denom > 0, denom, 1.0)
+                c_new = hcol[j] / denom
+                s_new = hcol[j + 1] / denom
+                hcol = hcol.at[j].set(
+                    c_new * hcol[j] + s_new * hcol[j + 1]
+                ).at[j + 1].set(0.0)
+                g_ = g_.at[j + 1].set(-s_new * g_[j]).at[j].set(
+                    c_new * g_[j]
+                )
+                big_h = big_h.at[:, j].set(hcol)
+                cs = cs.at[j].set(c_new)
+                sn = sn.at[j].set(s_new)
+                return j + 1, big_v, big_h, cs, sn, g_
+
+            j, big_v, big_h, cs, sn, g = jax.lax.while_loop(
+                cond, body, (0, big_v, big_h, cs, sn, g)
+            )
+            # Triangular solve on the rotated H; inactive columns get a
+            # unit diagonal and zero RHS so their y entries vanish.
+            idx = jnp.arange(m)
+            active = idx < j
+            r_mat = big_h[:m, :]
+            r_mat = jnp.where(
+                (idx[:, None] == idx[None, :]) & ~active[:, None],
+                1.0,
+                r_mat,
+            )
+            rhs = jnp.where(active, g[:m], 0.0)
+            y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
+            return x0 + y @ big_v[:m], jnp.abs(g[j]), j
+
+        def outer_cond(c):
+            x, res, total = c
+            return (total < max_iter) & (res > tol)
+
+        def outer_body(c):
+            x, _, total = c
+            x, res, j = cycle(x)
+            return x, res, total + jnp.maximum(j, 1)
+
+        r_init = jnp.linalg.norm(b)
+        x, res, total = jax.lax.while_loop(
+            outer_cond, outer_body, (jnp.zeros_like(b), r_init, 0)
+        )
+        return x, res * res, total
+
+    def run(trace_rhs, tolerance: float):
+        return gmres(
+            jnp.asarray(trace_rhs),
+            jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
+            maximum_iterations,
+            m,
+            *all_tables,
+        )
+
+    return run
+
+
 class ShardedBlockSystem:
     """Element-sharded saddle system over a 1D device mesh.
 
@@ -439,44 +611,9 @@ class ShardedBlockSystem:
         one psum per matvec riding the ICI, and returns
         ``(lambda, |r|^2, iterations)`` in a single dispatch.
         """
-        schur = self._schur_shardmap()
-
-        @partial(jax.jit, static_argnames=("max_iter",))
-        def cg(trace_rhs, tol, max_iter, *tables):
-            def matvec(lam):
-                return schur(lam, *tables)
-
-            r0 = trace_rhs  # lambda starts at zero
-            rs0 = jnp.vdot(r0, r0)
-
-            def cond(carry):
-                _, _, _, rs, k = carry
-                return (k < max_iter) & (rs > tol * tol)
-
-            def body(carry):
-                lam, r, p, rs, k = carry
-                ap = matvec(p)
-                alpha = rs / jnp.vdot(p, ap)
-                lam = lam + alpha * p
-                r = r - alpha * ap
-                rs_new = jnp.vdot(r, r)
-                p = r + (rs_new / rs) * p
-                return lam, r, p, rs_new, k + 1
-
-            lam, _, _, rs, k = jax.lax.while_loop(
-                cond, body, (jnp.zeros_like(r0), r0, r0, rs0, 0)
-            )
-            return lam, rs, k
-
-        def run(trace_rhs, tolerance: float):
-            return cg(
-                jnp.asarray(trace_rhs),
-                jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
-                maximum_iterations,
-                *self._tables,
-            )
-
-        return run
+        return _fused_cg_factory(
+            [self._schur_shardmap()], self._tables, maximum_iterations
+        )
 
     def make_fused_gmres(self, maximum_iterations: int, restart: int = 100):
         """Device-resident restarted GMRES on the Schur complement.
@@ -488,118 +625,9 @@ class ShardedBlockSystem:
         pattern (one psum per matvec); the Arnoldi loop, Givens rotations,
         and restarts all run inside one jitted computation.
         """
-        schur = self._schur_shardmap()
-        m = min(restart, maximum_iterations)
-
-        @partial(jax.jit, static_argnames=("max_iter", "m"))
-        def gmres(b, tol, max_iter, m, *tables):
-            def matvec(x):
-                return schur(x, *tables)
-
-            n = b.shape[0]
-
-            def cycle(x0):
-                r0 = b - matvec(x0)
-                beta = jnp.linalg.norm(r0)
-                v0 = r0 / jnp.where(beta > 0, beta, 1.0)
-                big_v = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
-                big_h = jnp.zeros((m + 1, m), b.dtype)
-                cs = jnp.zeros(m, b.dtype)
-                sn = jnp.zeros(m, b.dtype)
-                g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
-
-                def cond(c):
-                    j, _, _, _, _, g_ = c
-                    return (j < m) & (jnp.abs(g_[j]) > tol)
-
-                def body(c):
-                    j, big_v, big_h, cs, sn, g_ = c
-                    w = matvec(big_v[j])
-
-                    # Modified Gram-Schmidt over the active basis rows.
-                    def mgs(i, carry):
-                        w_, hcol = carry
-                        active = (i <= j).astype(b.dtype)
-                        hij = jnp.vdot(big_v[i], w_) * active
-                        return w_ - hij * big_v[i], hcol.at[i].set(hij)
-
-                    w, hcol = jax.lax.fori_loop(
-                        0, m + 1, mgs, (w, jnp.zeros(m + 1, b.dtype))
-                    )
-                    h_next = jnp.linalg.norm(w)
-                    hcol = hcol.at[j + 1].set(h_next)
-                    big_v = big_v.at[j + 1].set(
-                        w / jnp.where(h_next > 0, h_next, 1.0)
-                    )
-
-                    # Apply the previous Givens rotations to the new column.
-                    def rot(i, col):
-                        active = (i < j).astype(b.dtype)
-                        t0 = cs[i] * col[i] + sn[i] * col[i + 1]
-                        t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
-                        col = col.at[i].set(active * t0 + (1 - active) * col[i])
-                        return col.at[i + 1].set(
-                            active * t1 + (1 - active) * col[i + 1]
-                        )
-
-                    hcol = jax.lax.fori_loop(0, m, rot, hcol)
-                    denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-                    denom = jnp.where(denom > 0, denom, 1.0)
-                    c_new = hcol[j] / denom
-                    s_new = hcol[j + 1] / denom
-                    hcol = hcol.at[j].set(
-                        c_new * hcol[j] + s_new * hcol[j + 1]
-                    ).at[j + 1].set(0.0)
-                    g_ = g_.at[j + 1].set(-s_new * g_[j]).at[j].set(
-                        c_new * g_[j]
-                    )
-                    big_h = big_h.at[:, j].set(hcol)
-                    cs = cs.at[j].set(c_new)
-                    sn = sn.at[j].set(s_new)
-                    return j + 1, big_v, big_h, cs, sn, g_
-
-                j, big_v, big_h, cs, sn, g = jax.lax.while_loop(
-                    cond, body, (0, big_v, big_h, cs, sn, g)
-                )
-                # Triangular solve on the rotated H; inactive columns get a
-                # unit diagonal and zero RHS so their y entries vanish.
-                idx = jnp.arange(m)
-                active = idx < j
-                r_mat = big_h[:m, :]
-                r_mat = jnp.where(
-                    (idx[:, None] == idx[None, :]) & ~active[:, None],
-                    1.0,
-                    r_mat,
-                )
-                rhs = jnp.where(active, g[:m], 0.0)
-                y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
-                return x0 + y @ big_v[:m], jnp.abs(g[j]), j
-
-            def outer_cond(c):
-                x, res, total = c
-                return (total < max_iter) & (res > tol)
-
-            def outer_body(c):
-                x, _, total = c
-                x, res, j = cycle(x)
-                return x, res, total + jnp.maximum(j, 1)
-
-            r_init = jnp.linalg.norm(b)
-            x, res, total = jax.lax.while_loop(
-                outer_cond, outer_body, (jnp.zeros_like(b), r_init, 0)
-            )
-            return x, res * res, total
-
-        def run(trace_rhs, tolerance: float):
-            return gmres(
-                jnp.asarray(trace_rhs),
-                jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
-                maximum_iterations,
-                m,
-                *self._tables,
-            )
-
-        return run
+        return _fused_gmres_factory(
+            [self._schur_shardmap()], self._tables, maximum_iterations, restart
+        )
 
     def block_solve_sharded(self, rhs_sharded):
         """Sharded batched ``A^{-1} rhs`` ([E_pad, n] in, [E_pad, n] out)."""
@@ -778,8 +806,9 @@ def sharded_steady_solve(
     Every element-sized object (corners, matrices, factorizations, DoFs,
     residuals) lives sharded over the device mesh for the whole solve; the
     only replicated data is the trace (lambda) vector, reduced by one psum
-    per matvec / residual.  Host work is limited to constraint generation
-    and the per-Picard-iteration convergence check.
+    per matvec / residual.  hp meshes run one sharded subsystem per order
+    bucket (one psum per bucket per matvec).  Host work is limited to
+    constraint generation and the per-Picard-iteration convergence check.
 
     Returns ``(solution_flat, lam, residual_history)``.
     """
@@ -807,44 +836,65 @@ def sharded_steady_solve(
         linear_vectors,
     )
 
-    # Device: sharded assembly of the frozen (linear) operator.
-    sharded = ShardedBlockSystem.from_assembly(
+    # Device: sharded assembly of the frozen (linear) operator per bucket.
+    msys = MultiBucketShardedSystem.from_assembly(
         disc, compiled.linear_blocks, lagrange_mat, device_mesh
     )
-    residual_fn = sharded.make_picard_residual(
-        form_spec, compiled.lhs_blocks, compiled.rhs_blocks
-    )
+    subs = msys.subsystems
+    residual_fns = [
+        sub.make_picard_residual(
+            form_spec, compiled.lhs_blocks, compiled.rhs_blocks
+        )
+        for _, sub in subs
+    ]
+    if krylov_method == "gmres":
+        krylov = msys.make_fused_gmres(cg_maximum_iterations)
+    else:
+        krylov = msys.make_fused_cg(cg_maximum_iterations)
 
-    b = sharded.shard_dofs(forcing)
-    u = jnp.zeros_like(b)
-    lam = jnp.zeros(sharded.n_lagrange)
+    bs = [
+        sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))
+        for bucket, sub in subs
+    ]
+    us = [jnp.zeros_like(b) for b in bs]
+    lam = jnp.zeros(msys.n_lagrange)
     c_vec = jnp.asarray(lagrange_vec)
 
     residuals = []
     max_mag = 0.0
     for _ in range(maximum_iterations):
-        r_elem, g_u = residual_fn(u, lam, b)
-        r_trace = c_vec - g_u
-        max_res = max(
-            float(jnp.abs(r_elem[: sharded.e_real]).max()),
-            float(jnp.abs(r_trace).max()) if sharded.n_lagrange else 0.0,
-        )
+        r_elems = []
+        r_trace = c_vec
+        max_res = 0.0
+        for (bucket, sub), fn, u, b in zip(subs, residual_fns, us, bs):
+            r_elem, g_u = fn(u, lam, b)
+            r_elems.append(r_elem)
+            r_trace = r_trace - g_u
+            max_res = max(max_res, float(jnp.abs(r_elem[: sub.e_real]).max()))
+            max_mag = max(max_mag, float(jnp.abs(b).max()))
+        if msys.n_lagrange:
+            max_res = max(max_res, float(jnp.abs(r_trace).max()))
         residuals.append(max_res)
-        max_mag = max(max_mag, float(jnp.abs(b).max()))
         if max_res <= absolute_tolerance or max_res <= max_mag * relative_tolerance:
             break
-        du, dlam, _, _ = _sharded_saddle_solve(
-            sharded, r_elem, r_trace, cg_maximum_iterations, cg_tolerance,
-            krylov_method,
-        )
-        u = u + relax * du
+        # Saddle correction via the Schur complement over all buckets.
+        trace_rhs = -r_trace
+        ainvs = []
+        for (_, sub), r in zip(subs, r_elems):
+            a = sub.block_solve_sharded(r)
+            ainvs.append(a)
+            trace_rhs = trace_rhs + sub.trace_of(a)
+        dlam, _, _ = krylov(trace_rhs, cg_tolerance)
+        us = [
+            u + relax * sub.block_solve_sharded(r - sub.trace_t_of(dlam))
+            for (_, sub), u, r in zip(subs, us, r_elems)
+        ]
         lam = lam + relax * dlam
 
-    return (
-        sharded.unshard_dofs(u),
-        np.asarray(lam),
-        np.asarray(residuals),
-    )
+    out = np.zeros(disc.n_dofs)
+    for (bucket, sub), u in zip(subs, us):
+        out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
+    return out, np.asarray(lam), np.asarray(residuals)
 
 
 class MultiBucketShardedSystem:
@@ -856,6 +906,54 @@ class MultiBucketShardedSystem:
     issued back-to-back and overlap across the mesh.
     """
 
+    @staticmethod
+    def _bucket_view(disc, bucket, lagrange_mat, n_lag):
+        """Single-bucket Discretization view + bucket-local constraint block.
+
+        Column indices are relative to the bucket's own flat DoF vector
+        (elements packed contiguously); constraint rows keep their GLOBAL
+        numbering so per-bucket trace products sum into one lambda.
+        """
+        from mfv2d_tpu.solver.discretization import Discretization as _D
+
+        e, n = bucket.gather.shape
+        sub_disc = _D(
+            mesh=disc.mesh,
+            form_spec=disc.form_spec,
+            basis_cache=disc.basis_cache,
+            leaf_indices=tuple(
+                disc.leaf_indices[int(r)] for r in bucket.leaf_ranks
+            ),
+            element_orders=disc.element_orders[bucket.leaf_ranks],
+            element_sizes=np.full(e, n, np.int64),
+            element_offsets=np.arange(e + 1, dtype=np.int64) * n,
+            buckets=[bucket],
+        )
+        if lagrange_mat is not None:
+            coo = lagrange_mat.tocoo()
+            col_map = np.full(disc.n_dofs, -1, np.int64)
+            flat = bucket.gather.reshape(-1)
+            col_map[flat] = np.arange(flat.size)
+            sel = col_map[coo.col] >= 0
+            sub_g = sp.csr_array(
+                (
+                    coo.data[sel],
+                    (coo.row[sel], col_map[coo.col[sel]]),
+                ),
+                shape=(n_lag, e * n),
+            )
+        else:
+            sub_g = None
+        # The sub-bucket's gather map is the identity layout.
+        local_bucket = type(bucket)(
+            orders=bucket.orders,
+            leaf_ranks=np.arange(e),
+            batch=bucket.batch,
+            gather=np.arange(e * n, dtype=np.int64).reshape(e, n),
+        )
+        sub_disc.buckets = [local_bucket]
+        return sub_disc, sub_g
+
     def __init__(
         self,
         disc: Discretization,
@@ -863,55 +961,48 @@ class MultiBucketShardedSystem:
         lagrange_mat: sp.csr_array | None,
         mesh: Mesh,
     ) -> None:
-        from mfv2d_tpu.solver.discretization import Discretization as _D
-
         self.n_lagrange = 0 if lagrange_mat is None else lagrange_mat.shape[0]
         self.subsystems = []
         for bucket, mats in zip(disc.buckets, element_matrices):
-            # Build a single-bucket view with column indices relative to the
-            # bucket's own flat DoF vector (elements packed contiguously).
-            n = mats.shape[1]
-            e = mats.shape[0]
-            sub_disc = _D(
-                mesh=disc.mesh,
-                form_spec=disc.form_spec,
-                basis_cache=disc.basis_cache,
-                leaf_indices=tuple(
-                    disc.leaf_indices[int(r)] for r in bucket.leaf_ranks
-                ),
-                element_orders=disc.element_orders[bucket.leaf_ranks],
-                element_sizes=np.full(e, n, np.int64),
-                element_offsets=np.arange(e + 1, dtype=np.int64) * n,
-                buckets=[bucket],
+            sub_disc, sub_g = self._bucket_view(
+                disc, bucket, lagrange_mat, self.n_lagrange
             )
-            # Remap the global constraint columns into bucket-local columns.
-            if lagrange_mat is not None:
-                coo = lagrange_mat.tocoo()
-                col_map = np.full(disc.n_dofs, -1, np.int64)
-                flat = bucket.gather.reshape(-1)
-                col_map[flat] = np.arange(flat.size)
-                sel = col_map[coo.col] >= 0
-                sub_g = sp.csr_array(
-                    (
-                        coo.data[sel],
-                        (coo.row[sel], col_map[coo.col[sel]]),
-                    ),
-                    shape=(self.n_lagrange, e * n),
-                )
-            else:
-                sub_g = None
-            # The sub-bucket's gather map is the identity layout.
-            local_bucket = type(bucket)(
-                orders=bucket.orders,
-                leaf_ranks=np.arange(e),
-                batch=bucket.batch,
-                gather=np.arange(e * n, dtype=np.int64).reshape(e, n),
-            )
-            sub_disc.buckets = [local_bucket]
             self.subsystems.append(
                 (bucket, ShardedBlockSystem(sub_disc, mats, sub_g, mesh))
             )
         self.disc = disc
+
+    @classmethod
+    def from_assembly(
+        cls,
+        disc: Discretization,
+        blocks_ir,
+        lagrange_mat: sp.csr_array | None,
+        mesh: Mesh,
+    ) -> "MultiBucketShardedSystem":
+        """Per-device element assembly for every bucket (hp meshes).
+
+        Each bucket's elements shard over the same device mesh and assemble
+        locally (the fused pair-table path), exactly like the single-bucket
+        :meth:`ShardedBlockSystem.from_assembly`.
+        """
+        obj = cls.__new__(cls)
+        obj.n_lagrange = 0 if lagrange_mat is None else lagrange_mat.shape[0]
+        obj.subsystems = []
+        for bucket in disc.buckets:
+            sub_disc, sub_g = cls._bucket_view(
+                disc, bucket, lagrange_mat, obj.n_lagrange
+            )
+            obj.subsystems.append(
+                (
+                    bucket,
+                    ShardedBlockSystem.from_assembly(
+                        sub_disc, blocks_ir, sub_g, mesh
+                    ),
+                )
+            )
+        obj.disc = disc
+        return obj
 
     def make_schur_matvec(self):
         fns = [sub.make_schur_matvec() for _, sub in self.subsystems]
@@ -928,50 +1019,20 @@ class MultiBucketShardedSystem:
     def make_fused_cg(self, maximum_iterations: int):
         """One jitted while_loop CG over all buckets (one psum per bucket
         per matvec)."""
-        schurs = [sub._schur_shardmap() for _, sub in self.subsystems]
-        all_tables = tuple(t for _, sub in self.subsystems for t in sub._tables)
-        n_tab = 8
+        return _fused_cg_factory(
+            [sub._schur_shardmap() for _, sub in self.subsystems],
+            tuple(t for _, sub in self.subsystems for t in sub._tables),
+            maximum_iterations,
+        )
 
-        @partial(jax.jit, static_argnames=("max_iter",))
-        def cg(trace_rhs, tol, max_iter, *tables):
-            def matvec(lam):
-                out = None
-                for i, schur in enumerate(schurs):
-                    v = schur(lam, *tables[n_tab * i : n_tab * (i + 1)])
-                    out = v if out is None else out + v
-                return out
-
-            r0 = trace_rhs
-            rs0 = jnp.vdot(r0, r0)
-
-            def cond(carry):
-                _, _, _, rs, k = carry
-                return (k < max_iter) & (rs > tol * tol)
-
-            def body(carry):
-                lam, r, p, rs, k = carry
-                ap = matvec(p)
-                alpha = rs / jnp.vdot(p, ap)
-                lam = lam + alpha * p
-                r = r - alpha * ap
-                rs_new = jnp.vdot(r, r)
-                p = r + (rs_new / rs) * p
-                return lam, r, p, rs_new, k + 1
-
-            lam, _, _, rs, k = jax.lax.while_loop(
-                cond, body, (jnp.zeros_like(r0), r0, r0, rs0, 0)
-            )
-            return lam, rs, k
-
-        def run(trace_rhs, tolerance: float):
-            return cg(
-                jnp.asarray(trace_rhs),
-                jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
-                maximum_iterations,
-                *all_tables,
-            )
-
-        return run
+    def make_fused_gmres(self, maximum_iterations: int, restart: int = 100):
+        """One jitted restarted GMRES over all buckets (nonsymmetric S)."""
+        return _fused_gmres_factory(
+            [sub._schur_shardmap() for _, sub in self.subsystems],
+            tuple(t for _, sub in self.subsystems for t in sub._tables),
+            maximum_iterations,
+            restart,
+        )
 
     def schur_rhs(self, rhs_flat: np.ndarray, constraints: np.ndarray):
         """G A^{-1} b - c across buckets."""
@@ -1102,8 +1163,9 @@ def _march_prologue(
 ):
     """Shared march setup: compile, constraints, sharded assembly, carry maps.
 
-    Returns (compiled, form_spec, sharded, b_elem, c_vec, carry_cols,
-    mass_blocks, block_gemv, sample data, forcing).
+    Returns ``(compiled, msys, b_elems, c_vec, carry_cols, mass_blocks,
+    block_gemv, sample_steps, slots)`` with one entry per order bucket in
+    the per-bucket lists.
     """
     from mfv2d_tpu.compiler import CompiledSystem
     from mfv2d_tpu.continuity import add_system_constraints
@@ -1133,24 +1195,30 @@ def _march_prologue(
         disc.element_offsets,
         linear_vectors,
     )
-    sharded = ShardedBlockSystem.from_assembly(
+    msys = MultiBucketShardedSystem.from_assembly(
         disc, compiled.linear_blocks, lagrange_mat, device_mesh
     )
 
-    bucket = disc.buckets[0]
-    p1, p2 = bucket.orders
     march_indices = tuple(
         sorted(
             marched.weight_forms.index(form)
             for form in time_settings.time_march_relations
         )
     )
-    carry_cols = jnp.asarray(
-        find_time_carry_indices(march_indices, form_spec, p1, p2), jnp.int32
-    )
-    mass_blocks = _dual_mass_blocks(sharded, form_spec)
+    b_elems, carry_cols, mass_blocks = [], [], []
+    for bucket, sub in msys.subsystems:
+        p1, p2 = bucket.orders
+        carry_cols.append(
+            jnp.asarray(
+                find_time_carry_indices(march_indices, form_spec, p1, p2),
+                jnp.int32,
+            )
+        )
+        b_elems.append(
+            sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))
+        )
+        mass_blocks.append(_dual_mass_blocks(sub, form_spec))
     block_gemv = _elementwise_gemv(device_mesh)
-    b_elem = sharded.shard_dofs(forcing)
     c_vec = jnp.asarray(lagrange_vec)
     sample_steps, slots = _sample_slots(
         time_settings.nt, time_settings.sample_rate
@@ -1158,15 +1226,27 @@ def _march_prologue(
     return (
         compiled,
         form_spec,
-        sharded,
-        b_elem,
+        msys,
+        tuple(b_elems),
         c_vec,
-        carry_cols,
-        mass_blocks,
+        tuple(carry_cols),
+        tuple(mass_blocks),
         block_gemv,
         sample_steps,
         jnp.asarray(slots),
     )
+
+
+def _march_gather_samples(msys, bufs, sample_steps, n_dofs):
+    """Per-bucket sample buffers -> flat global solutions [S, n_dofs]."""
+    out = np.zeros((len(sample_steps), n_dofs))
+    for (bucket, sub), buf in zip(msys.subsystems, bufs):
+        arr = np.asarray(buf)
+        for s_i in range(len(sample_steps)):
+            out[s_i][bucket.gather.reshape(-1)] = arr[s_i][
+                : sub.e_real
+            ].reshape(-1)
+    return out
 
 
 def sharded_time_march(
@@ -1184,17 +1264,18 @@ def sharded_time_march(
 
     Element data (DoFs, matrices, factorizations, carry slices, mass
     applications) stays sharded over the device mesh for the entire march;
-    the only communication is one psum per Schur-CG matvec inside each
-    step's saddle solve.  Semantics match the host/fused marches (one
-    linear solve per step, trapezoidal carry update).
+    the only communication is one psum per Schur-CG matvec per bucket
+    inside each step's saddle solve.  hp meshes run one sharded subsystem
+    per order bucket.  Semantics match the host/fused marches (one linear
+    solve per step, trapezoidal carry update).
 
     Returns ``(solutions [nt_sampled, n_dofs], sample_steps, lam)``.
     """
     (
         compiled,
         form_spec,
-        sharded,
-        b_elem,
+        msys,
+        b_elems,
         c_vec,
         carry_cols,
         mass_blocks,
@@ -1211,81 +1292,74 @@ def sharded_time_march(
             " use sharded_nonlinear_time_march."
         )
 
-    schur = sharded._schur_shardmap()
-    tables = sharded._tables
+    subs = msys.subsystems
+    krylov = msys.make_fused_cg(cg_maximum_iterations)
     two_over_dt = 2.0 / time_settings.dt
-    n_lag = sharded.n_lagrange
-    tol = jnp.asarray(cg_tolerance)
-
-    def cg(trace_rhs):
-        def matvec(lam):
-            return schur(lam, *tables)
-
-        rs0 = jnp.vdot(trace_rhs, trace_rhs)
-
-        def cond(carry):
-            _, _, _, rs, k = carry
-            return (k < cg_maximum_iterations) & (rs > tol * tol)
-
-        def body(carry):
-            lam, r, p, rs, k = carry
-            ap = matvec(p)
-            alpha = rs / jnp.vdot(p, ap)
-            lam = lam + alpha * p
-            r = r - alpha * ap
-            rs_new = jnp.vdot(r, r)
-            p = r + (rs_new / rs) * p
-            return lam, r, p, rs_new, k + 1
-
-        lam, _, _, _, _ = jax.lax.while_loop(
-            cond, body,
-            (jnp.zeros_like(trace_rhs), trace_rhs, trace_rhs, rs0, 0),
-        )
-        return lam
+    n_lag = msys.n_lagrange
+    cg_tol = jnp.asarray(cg_tolerance)
 
     @jax.jit
     def march(u0, lam0, carry0, carry_term0):
         def step(state, slot):
-            u, lam, old_carry, carry_term, buf = state
-            current_carry = two_over_dt * old_carry + carry_term
-            base = b_elem.at[:, carry_cols].add(current_carry)
-            # Saddle residual of the current state (element-local + 1 psum).
-            r_elem = base - block_gemv(sharded.blocks, u) - sharded.trace_t_of(lam)
-            r_tr = c_vec - sharded.trace_of(u)
-            # Saddle solve via the Schur complement (1 psum per CG matvec).
-            ainv_r = sharded.block_solve_sharded(r_elem)
-            trace_rhs = sharded.trace_of(ainv_r) - r_tr
-            dlam = cg(trace_rhs)
-            du = sharded.block_solve_sharded(r_elem - sharded.trace_t_of(dlam))
-            u = u + du
+            us, lam, old_carries, carry_terms, bufs = state
+            bases = tuple(
+                b.at[:, cc].add(two_over_dt * oc + ct)
+                for b, cc, oc, ct in zip(
+                    b_elems, carry_cols, old_carries, carry_terms
+                )
+            )
+            # Saddle residual of the current state (element-local + psums).
+            r_elems = tuple(
+                base - block_gemv(sub.blocks, u) - sub.trace_t_of(lam)
+                for base, (_, sub), u in zip(bases, subs, us)
+            )
+            r_tr = c_vec
+            for (_, sub), u in zip(subs, us):
+                r_tr = r_tr - sub.trace_of(u)
+            # Saddle solve via the Schur complement.
+            trace_rhs = -r_tr
+            for (_, sub), r in zip(subs, r_elems):
+                trace_rhs = trace_rhs + sub.trace_of(
+                    sub.block_solve_sharded(r)
+                )
+            dlam, _, _ = krylov(trace_rhs, cg_tol)
+            us = tuple(
+                u + sub.block_solve_sharded(r - sub.trace_t_of(dlam))
+                for u, (_, sub), r in zip(us, subs, r_elems)
+            )
             lam = lam + dlam
             # Trapezoidal carry update from the marched forms' dual DoFs.
-            dual = block_gemv(mass_blocks, u)
-            new_carry = dual[:, carry_cols]
-            new_carry_term = (
-                two_over_dt * (new_carry - old_carry) - carry_term
+            new_carries = tuple(
+                block_gemv(mb, u)[:, cc]
+                for mb, u, cc in zip(mass_blocks, us, carry_cols)
+            )
+            new_terms = tuple(
+                two_over_dt * (nc - oc) - ct
+                for nc, oc, ct in zip(new_carries, old_carries, carry_terms)
             )
             idx = jnp.maximum(slot, 0)
-            buf = buf.at[idx].set(jnp.where(slot >= 0, u, buf[idx]))
-            return (u, lam, new_carry, new_carry_term, buf), None
+            bufs = tuple(
+                bf.at[idx].set(jnp.where(slot >= 0, u, bf[idx]))
+                for bf, u in zip(bufs, us)
+            )
+            return (us, lam, new_carries, new_terms, bufs), None
 
-        buf0 = jnp.zeros((len(sample_steps),) + u0.shape)
-        (_, lam_f, _, _, buf), _ = jax.lax.scan(
+        buf0 = tuple(
+            jnp.zeros((len(sample_steps),) + u.shape) for u in u0
+        )
+        (_, lam_f, _, _, bufs), _ = jax.lax.scan(
             step, (u0, lam0, carry0, carry_term0, buf0), slots_dev
         )
-        return buf, lam_f
+        return bufs, lam_f
 
-    u0 = jnp.zeros_like(b_elem)
+    u0 = tuple(jnp.zeros_like(b) for b in b_elems)
     # Zero initial state: old carry starts at zero and the initial carry
     # TERM is the forcing restricted to the carry rows (trapezoidal f^0
     # contribution), matching the host march's setup.
-    carry_term0 = b_elem[:, carry_cols]
-    us, lam_f = march(
-        u0, jnp.zeros(n_lag), jnp.zeros_like(carry_term0), carry_term0
-    )
-    out = np.stack(
-        [np.asarray(us[i])[: sharded.e_real].reshape(-1) for i in range(len(sample_steps))]
-    )
+    carry_term0 = tuple(b[:, cc] for b, cc in zip(b_elems, carry_cols))
+    carry0 = tuple(jnp.zeros_like(ct) for ct in carry_term0)
+    bufs, lam_f = march(u0, jnp.zeros(n_lag), carry0, carry_term0)
+    out = _march_gather_samples(msys, bufs, sample_steps, disc.n_dofs)
     return out, sample_steps, np.asarray(lam_f)
 
 
@@ -1311,8 +1385,9 @@ def sharded_nonlinear_time_march(
     the frozen linear operator: the residual evaluates element-locally per
     device (nonlinear advection fields reconstruct from the device's own
     DoFs), the correction is the sharded Schur-complement saddle solve (one
-    psum per Krylov matvec), and the trapezoidal carry updates from the
-    sharded dual (mass) application.  Semantics match the host
+    psum per bucket per Krylov matvec), and the trapezoidal carry updates
+    from the sharded dual (mass) application.  hp meshes run one sharded
+    subsystem per order bucket.  Semantics match the host
     ``non_linear_solve_run``-per-step march and the single-device
     ``fused_nonlinear_time_march``.
 
@@ -1322,8 +1397,8 @@ def sharded_nonlinear_time_march(
     (
         compiled,
         form_spec,
-        sharded,
-        b_elem,
+        msys,
+        b_elems,
         c_vec,
         carry_cols,
         mass_blocks,
@@ -1334,35 +1409,46 @@ def sharded_nonlinear_time_march(
         system, disc, device_mesh, time_settings, boundary_conditions,
         constrained_forms,
     )
-    residual_fn = sharded.make_picard_residual(
-        form_spec, compiled.lhs_blocks, compiled.rhs_blocks
-    )
+    subs = msys.subsystems
+    residual_fns = [
+        sub.make_picard_residual(
+            form_spec, compiled.lhs_blocks, compiled.rhs_blocks
+        )
+        for _, sub in subs
+    ]
     if krylov_method == "gmres":
-        krylov = sharded.make_fused_gmres(cg_maximum_iterations)
+        krylov = msys.make_fused_gmres(cg_maximum_iterations)
     else:
-        krylov = sharded.make_fused_cg(cg_maximum_iterations)
+        krylov = msys.make_fused_cg(cg_maximum_iterations)
 
     two_over_dt = 2.0 / time_settings.dt
-    n_lag = sharded.n_lagrange
+    n_lag = msys.n_lagrange
     atol = jnp.asarray(absolute_tolerance)
     rtol = jnp.asarray(relative_tolerance)
     cg_tol = jnp.asarray(cg_tolerance)
     # Padding elements stay exactly zero through the march (zero forcing,
-    # identity blocks, no constraint entries); the mask keeps the residual
+    # identity blocks, no constraint entries); the masks keep the residual
     # norm insensitive to them even so.
-    mask = (jnp.arange(sharded.e_padded) < sharded.e_real)[:, None]
-    max_mag = jnp.maximum(
-        jnp.abs(b_elem).max(),
-        jnp.abs(c_vec).max() if n_lag else 0.0,
+    masks = tuple(
+        (jnp.arange(sub.e_padded) < sub.e_real)[:, None] for _, sub in subs
     )
+    max_mag = jnp.abs(c_vec).max() if n_lag else jnp.asarray(0.0)
+    for b in b_elems:
+        max_mag = jnp.maximum(max_mag, jnp.abs(b).max())
 
     @jax.jit
     def march(u0, lam0, carry0, carry_term0):
         def step(state, slot):
-            u, lam, old_carry, carry_term, buf = state
-            current_carry = two_over_dt * old_carry + carry_term
-            base = b_elem.at[:, carry_cols].add(current_carry)
-            step_mag = jnp.maximum(max_mag, jnp.abs(base).max())
+            us, lam, old_carries, carry_terms, bufs = state
+            bases = tuple(
+                b.at[:, cc].add(two_over_dt * oc + ct)
+                for b, cc, oc, ct in zip(
+                    b_elems, carry_cols, old_carries, carry_terms
+                )
+            )
+            step_mag = max_mag
+            for base in bases:
+                step_mag = jnp.maximum(step_mag, jnp.abs(base).max())
 
             def cond(s):
                 _, _, it, converged, _ = s
@@ -1371,57 +1457,79 @@ def sharded_nonlinear_time_march(
                 )
 
             def body(s):
-                ui, lami, it, _, _ = s
-                # Element-local Picard residual (one psum for the trace).
-                r_elem, g_u = residual_fn(ui, lami, base)
-                r_tr = c_vec - g_u
-                mres = jnp.abs(r_elem * mask).max()
+                us_i, lami, it, _, _ = s
+                # Element-local Picard residuals (one psum per bucket).
+                r_elems = []
+                r_tr = c_vec
+                mres = jnp.asarray(0.0)
+                for fn, u, base, mask in zip(residual_fns, us_i, bases, masks):
+                    r_elem, g_u = fn(u, lami, base)
+                    r_elems.append(r_elem)
+                    r_tr = r_tr - g_u
+                    mres = jnp.maximum(mres, jnp.abs(r_elem * mask).max())
                 if n_lag:
                     mres = jnp.maximum(mres, jnp.abs(r_tr).max())
                 conv = jnp.logical_not(
                     jnp.logical_and(mres > atol, mres > step_mag * rtol)
                 )
                 # Frozen-operator correction via the sharded Schur solve.
-                ainv_r = sharded.block_solve_sharded(r_elem)
-                trace_rhs = sharded.trace_of(ainv_r) - r_tr
+                trace_rhs = -r_tr
+                for (_, sub), r in zip(subs, r_elems):
+                    trace_rhs = trace_rhs + sub.trace_of(
+                        sub.block_solve_sharded(r)
+                    )
                 dlam, _, _ = krylov(trace_rhs, cg_tol)
-                du = sharded.block_solve_sharded(
-                    r_elem - sharded.trace_t_of(dlam)
+                us_new = tuple(
+                    jnp.where(
+                        conv,
+                        u,
+                        u
+                        + relax
+                        * sub.block_solve_sharded(r - sub.trace_t_of(dlam)),
+                    )
+                    for u, (_, sub), r in zip(us_i, subs, r_elems)
                 )
-                u_new = jnp.where(conv, ui, ui + relax * du)
                 lam_new = jnp.where(conv, lami, lami + relax * dlam)
-                return (u_new, lam_new, jnp.where(conv, it, it + 1), conv, mres)
+                return (us_new, lam_new, jnp.where(conv, it, it + 1), conv, mres)
 
-            u_new, lam_new, iters, _, mres = jax.lax.while_loop(
-                cond, body, (u, lam, jnp.int32(0), jnp.bool_(False), jnp.inf)
+            us_new, lam_new, iters, _, mres = jax.lax.while_loop(
+                cond,
+                body,
+                (us, lam, jnp.int32(0), jnp.bool_(False), jnp.inf),
             )
-            dual = block_gemv(mass_blocks, u_new)
-            new_carry = dual[:, carry_cols]
-            new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
+            new_carries = tuple(
+                block_gemv(mb, u)[:, cc]
+                for mb, u, cc in zip(mass_blocks, us_new, carry_cols)
+            )
+            new_terms = tuple(
+                two_over_dt * (nc - oc) - ct
+                for nc, oc, ct in zip(new_carries, old_carries, carry_terms)
+            )
             idx = jnp.maximum(slot, 0)
-            buf = buf.at[idx].set(jnp.where(slot >= 0, u_new, buf[idx]))
-            return (u_new, lam_new, new_carry, new_carry_term, buf), (
+            bufs = tuple(
+                bf.at[idx].set(jnp.where(slot >= 0, u, bf[idx]))
+                for bf, u in zip(bufs, us_new)
+            )
+            return (us_new, lam_new, new_carries, new_terms, bufs), (
                 iters,
                 mres,
             )
 
-        buf0 = jnp.zeros((len(sample_steps),) + u0.shape)
-        (_, lam_f, _, _, buf), (iters, residuals) = jax.lax.scan(
+        buf0 = tuple(
+            jnp.zeros((len(sample_steps),) + u.shape) for u in u0
+        )
+        (_, lam_f, _, _, bufs), (iters, residuals) = jax.lax.scan(
             step, (u0, lam0, carry0, carry_term0, buf0), slots_dev
         )
-        return buf, lam_f, iters, residuals
+        return bufs, lam_f, iters, residuals
 
-    u0 = jnp.zeros_like(b_elem)
-    carry_term0 = b_elem[:, carry_cols]
-    us, lam_f, iters, residuals = march(
-        u0, jnp.zeros(n_lag), jnp.zeros_like(carry_term0), carry_term0
+    u0 = tuple(jnp.zeros_like(b) for b in b_elems)
+    carry_term0 = tuple(b[:, cc] for b, cc in zip(b_elems, carry_cols))
+    carry0 = tuple(jnp.zeros_like(ct) for ct in carry_term0)
+    bufs, lam_f, iters, residuals = march(
+        u0, jnp.zeros(n_lag), carry0, carry_term0
     )
-    out = np.stack(
-        [
-            np.asarray(us[i])[: sharded.e_real].reshape(-1)
-            for i in range(len(sample_steps))
-        ]
-    )
+    out = _march_gather_samples(msys, bufs, sample_steps, disc.n_dofs)
     return (
         out,
         sample_steps,

@@ -582,3 +582,46 @@ def test_solve_system_2d_device_mesh(device_mesh):
             mf.SystemSettings(system),
             mf.SolverSettings(device_mesh=device_mesh, method="newton"),
         )
+
+
+def test_sharded_hp_march_matches_host(device_mesh):
+    """The sharded march on an hp (2-bucket) mesh matches the host march."""
+    from mfv2d_tpu.parallel.sharding import sharded_time_march
+
+    def final_u(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    from mfv2d_tpu.models import transport
+
+    model = transport.reaction_mixed(1.5, final_u)
+    nt, dt = 4, 0.05
+    settings = mf.TimeSettings(
+        dt=dt, nt=nt, time_march_relations=model.time_march_relations,
+    )
+    orders = np.array(
+        [[3 + ((i + j) % 2)] * 2 for j in range(3) for i in range(3)]
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, orders)
+    sols_host, _, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system),
+        mf.SolverSettings(mf.ConvergenceSettings(20, 1e-12, 0)),
+        time_settings=settings,
+        recon_order=3,
+    )
+
+    mesh2 = mf.examples.unit_square_mesh(3, 3, orders)
+    disc = discretize_mesh(mesh2, model.system.unknown_forms, FemCache(3))
+    assert len(disc.buckets) == 2
+    us, sample_steps, lam = sharded_time_march(
+        model.system, disc, device_mesh, settings, cg_tolerance=1e-13
+    )
+
+    from mfv2d_tpu.solver.solve import reconstruct_mesh_from_solution
+
+    grid = reconstruct_mesh_from_solution(disc, 3, us[-1])
+    host_final = sols_host[-1]
+    err = np.abs(
+        grid.point_data[model.u.label] - host_final.point_data[model.u.label]
+    ).max()
+    assert err < 1e-8, err
