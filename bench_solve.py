@@ -151,6 +151,31 @@ def _time_cg(sharded, n_lag, iters_a=50, iters_b=400, repeats=3):
         iters_b *= 4
 
 
+def _time_mixed_solve(sharded, n_lag, repeats=3):
+    """Wall time for the mixed-precision (f32-inner) solve to 1e-10 |r|.
+
+    This is the path ``_trace_krylov`` picks on TPU backends; reported as
+    time-to-solution because its per-iteration cost differs from the f64
+    loop (inner f32 iterations are ~50x cheaper than refined-f64 ones).
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(rng.normal(size=n_lag))
+    tol = 1e-10 * float(jnp.linalg.norm(rhs))
+    solve = sharded.make_fused_cg_mixed(3000)
+    out = solve(rhs, tol)  # compile + warm
+    res = float(np.sqrt(float(out[1])))
+    iters = int(out[2])
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = solve(rhs, tol)
+        float(out[1])
+        ts.append(time.perf_counter() - t0)
+    return min(ts), res, iters, tol
+
+
 def bench_krylov() -> list[dict]:
     device_mesh = _mesh_1dev()
     configs = [
@@ -179,6 +204,18 @@ def bench_krylov() -> list[dict]:
             "unit": "iters/s",
             "n_trace": n_lag,
             "build_s": round(build, 2),
+        }
+        print(json.dumps(row))
+        rows.append(row)
+        t_mixed, res, inner_iters, tol = _time_mixed_solve(sharded, n_lag)
+        row = {
+            "metric": "schur_mixed_solve_seconds",
+            "config": name,
+            "value": round(t_mixed, 4),
+            "unit": "s",
+            "residual": res,
+            "tolerance": tol,
+            "inner_iters": inner_iters,
         }
         print(json.dumps(row))
         rows.append(row)

@@ -62,6 +62,11 @@ class _Config:
         # the stack-machine path on v5e at p=4; disable with
         # MFV2D_TPU_FUSED_ASSEMBLY=0 to force the fallback everywhere.
         self.fused_assembly = os.environ.get("MFV2D_TPU_FUSED_ASSEMBLY", "1") != "0"
+        # Mixed-precision sharded trace Krylov (f32 inner sweeps + f64
+        # defect correction): "auto" enables it on TPU backends, where f64
+        # GEMVs are software-emulated; "1" forces it (CPU parity tests),
+        # "0" disables it.
+        self.sharded_mixed = os.environ.get("MFV2D_TPU_SHARDED_MIXED", "auto")
 
 
 config = _Config()

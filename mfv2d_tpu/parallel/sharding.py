@@ -40,6 +40,60 @@ def _pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarra
 
 
 
+def _sum_matvec(schurs, tables, n_tab):
+    """Summed per-bucket Schur matvec over a flat table concatenation."""
+
+    def matvec(x):
+        out = None
+        for i, schur in enumerate(schurs):
+            v = schur(x, *tables[n_tab * i : n_tab * (i + 1)])
+            out = v if out is None else out + v
+        return out
+
+    return matvec
+
+
+def _cg_loop(matvec, b, tol, max_iter, stall_window=None):
+    """Traceable CG while_loop from a zero start; stops at ``|r| <= tol``.
+
+    ``stall_window`` (mixed-precision inner loops) additionally stops when
+    the residual has not improved 4x within that many iterations — an f32
+    iteration that has hit its precision floor makes no further progress,
+    and the outer f64 defect correction recovers more per sweep than the
+    stalled tail would.
+
+    Returns ``(x, |r|^2, iterations)``.
+    """
+    rs0 = jnp.vdot(b, b)
+
+    def cond(carry):
+        _, _, _, rs, k, _, since = carry
+        going = (k < max_iter) & (rs > tol * tol)
+        if stall_window is not None:
+            going = going & (since < stall_window)
+        return going
+
+    def body(carry):
+        x, r, p, rs, k, best, since = carry
+        ap = matvec(p)
+        alpha = rs / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / rs) * p
+        improved = rs_new < 0.0625 * best
+        best = jnp.where(improved, rs_new, best)
+        since = jnp.where(improved, 0, since + 1)
+        return x, r, p, rs_new, k + 1, best, since
+
+    x, _, _, rs, k, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.zeros_like(b), b, b, rs0, 0, rs0, jnp.asarray(0, jnp.int32)),
+    )
+    return x, rs, k
+
+
 def _fused_cg_factory(schurs, all_tables, maximum_iterations: int):
     """Jitted while_loop CG over summed per-bucket Schur matvecs.
 
@@ -47,38 +101,10 @@ def _fused_cg_factory(schurs, all_tables, maximum_iterations: int):
     tables; each matvec issues the bucket kernels back-to-back (one psum
     per bucket) and sums the replicated results.
     """
-    n_tab = 8
 
     @partial(jax.jit, static_argnames=("max_iter",))
     def cg(trace_rhs, tol, max_iter, *tables):
-        def matvec(lam):
-            out = None
-            for i, schur in enumerate(schurs):
-                v = schur(lam, *tables[n_tab * i : n_tab * (i + 1)])
-                out = v if out is None else out + v
-            return out
-
-        r0 = trace_rhs  # lambda starts at zero
-        rs0 = jnp.vdot(r0, r0)
-
-        def cond(carry):
-            _, _, _, rs, k = carry
-            return (k < max_iter) & (rs > tol * tol)
-
-        def body(carry):
-            lam, r, p, rs, k = carry
-            ap = matvec(p)
-            alpha = rs / jnp.vdot(p, ap)
-            lam = lam + alpha * p
-            r = r - alpha * ap
-            rs_new = jnp.vdot(r, r)
-            p = r + (rs_new / rs) * p
-            return lam, r, p, rs_new, k + 1
-
-        lam, _, _, rs, k = jax.lax.while_loop(
-            cond, body, (jnp.zeros_like(r0), r0, r0, rs0, 0)
-        )
-        return lam, rs, k
+        return _cg_loop(_sum_matvec(schurs, tables, 8), trace_rhs, tol, max_iter)
 
     def run(trace_rhs, tolerance: float):
         return cg(
@@ -91,113 +117,122 @@ def _fused_cg_factory(schurs, all_tables, maximum_iterations: int):
     return run
 
 
+def _gmres_loop(matvec, b, tol, max_iter, m, stall=False):
+    """Traceable restarted GMRES(m) from a zero start; stops at ``|r| <= tol``.
+
+    ``stall=True`` (mixed-precision inner loops) also stops when a full
+    restart cycle fails to halve the residual — the f32 precision floor.
+
+    Returns ``(x, |r|^2, iterations)`` (the residual is the rotated-Hessenberg
+    estimate from the last cycle).
+    """
+    n = b.shape[0]
+
+    def cycle(x0):
+        r0 = b - matvec(x0)
+        beta = jnp.linalg.norm(r0)
+        v0 = r0 / jnp.where(beta > 0, beta, 1.0)
+        big_v = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
+        big_h = jnp.zeros((m + 1, m), b.dtype)
+        cs = jnp.zeros(m, b.dtype)
+        sn = jnp.zeros(m, b.dtype)
+        g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+
+        def cond(c):
+            j, _, _, _, _, g_ = c
+            return (j < m) & (jnp.abs(g_[j]) > tol)
+
+        def body(c):
+            j, big_v, big_h, cs, sn, g_ = c
+            w = matvec(big_v[j])
+
+            # Modified Gram-Schmidt over the active basis rows.
+            def mgs(i, carry):
+                w_, hcol = carry
+                active = (i <= j).astype(b.dtype)
+                hij = jnp.vdot(big_v[i], w_) * active
+                return w_ - hij * big_v[i], hcol.at[i].set(hij)
+
+            w, hcol = jax.lax.fori_loop(
+                0, m + 1, mgs, (w, jnp.zeros(m + 1, b.dtype))
+            )
+            h_next = jnp.linalg.norm(w)
+            hcol = hcol.at[j + 1].set(h_next)
+            big_v = big_v.at[j + 1].set(
+                w / jnp.where(h_next > 0, h_next, 1.0)
+            )
+
+            # Apply the previous Givens rotations to the new column.
+            def rot(i, col):
+                active = (i < j).astype(b.dtype)
+                t0 = cs[i] * col[i] + sn[i] * col[i + 1]
+                t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
+                col = col.at[i].set(active * t0 + (1 - active) * col[i])
+                return col.at[i + 1].set(
+                    active * t1 + (1 - active) * col[i + 1]
+                )
+
+            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            denom = jnp.where(denom > 0, denom, 1.0)
+            c_new = hcol[j] / denom
+            s_new = hcol[j + 1] / denom
+            hcol = hcol.at[j].set(
+                c_new * hcol[j] + s_new * hcol[j + 1]
+            ).at[j + 1].set(0.0)
+            g_ = g_.at[j + 1].set(-s_new * g_[j]).at[j].set(
+                c_new * g_[j]
+            )
+            big_h = big_h.at[:, j].set(hcol)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            return j + 1, big_v, big_h, cs, sn, g_
+
+        j, big_v, big_h, cs, sn, g = jax.lax.while_loop(
+            cond, body, (0, big_v, big_h, cs, sn, g)
+        )
+        # Triangular solve on the rotated H; inactive columns get a
+        # unit diagonal and zero RHS so their y entries vanish.
+        idx = jnp.arange(m)
+        active = idx < j
+        r_mat = big_h[:m, :]
+        r_mat = jnp.where(
+            (idx[:, None] == idx[None, :]) & ~active[:, None],
+            1.0,
+            r_mat,
+        )
+        rhs = jnp.where(active, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
+        return x0 + y @ big_v[:m], jnp.abs(g[j]), j
+
+    def outer_cond(c):
+        x, res, total, prev = c
+        going = (total < max_iter) & (res > tol)
+        if stall:
+            going = going & (res < 0.5 * prev)
+        return going
+
+    def outer_body(c):
+        x, res_prev, total, _ = c
+        x, res, j = cycle(x)
+        return x, res, total + jnp.maximum(j, 1), res_prev
+
+    r_init = jnp.linalg.norm(b)
+    x, res, total, _ = jax.lax.while_loop(
+        outer_cond,
+        outer_body,
+        (jnp.zeros_like(b), r_init, 0, jnp.asarray(jnp.inf, b.dtype)),
+    )
+    return x, res * res, total
+
+
 def _fused_gmres_factory(schurs, all_tables, maximum_iterations: int, restart: int = 100):
     """Jitted restarted GMRES over summed per-bucket Schur matvecs."""
-    n_tab = 8
     m = min(restart, maximum_iterations)
 
-    @partial(jax.jit, static_argnames=("max_iter", "m"))
-    def gmres(b, tol, max_iter, m, *tables):
-        def matvec(x):
-            out = None
-            for i, schur in enumerate(schurs):
-                v = schur(x, *tables[n_tab * i : n_tab * (i + 1)])
-                out = v if out is None else out + v
-            return out
-
-        n = b.shape[0]
-
-        def cycle(x0):
-            r0 = b - matvec(x0)
-            beta = jnp.linalg.norm(r0)
-            v0 = r0 / jnp.where(beta > 0, beta, 1.0)
-            big_v = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
-            big_h = jnp.zeros((m + 1, m), b.dtype)
-            cs = jnp.zeros(m, b.dtype)
-            sn = jnp.zeros(m, b.dtype)
-            g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
-
-            def cond(c):
-                j, _, _, _, _, g_ = c
-                return (j < m) & (jnp.abs(g_[j]) > tol)
-
-            def body(c):
-                j, big_v, big_h, cs, sn, g_ = c
-                w = matvec(big_v[j])
-
-                # Modified Gram-Schmidt over the active basis rows.
-                def mgs(i, carry):
-                    w_, hcol = carry
-                    active = (i <= j).astype(b.dtype)
-                    hij = jnp.vdot(big_v[i], w_) * active
-                    return w_ - hij * big_v[i], hcol.at[i].set(hij)
-
-                w, hcol = jax.lax.fori_loop(
-                    0, m + 1, mgs, (w, jnp.zeros(m + 1, b.dtype))
-                )
-                h_next = jnp.linalg.norm(w)
-                hcol = hcol.at[j + 1].set(h_next)
-                big_v = big_v.at[j + 1].set(
-                    w / jnp.where(h_next > 0, h_next, 1.0)
-                )
-
-                # Apply the previous Givens rotations to the new column.
-                def rot(i, col):
-                    active = (i < j).astype(b.dtype)
-                    t0 = cs[i] * col[i] + sn[i] * col[i + 1]
-                    t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
-                    col = col.at[i].set(active * t0 + (1 - active) * col[i])
-                    return col.at[i + 1].set(
-                        active * t1 + (1 - active) * col[i + 1]
-                    )
-
-                hcol = jax.lax.fori_loop(0, m, rot, hcol)
-                denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-                denom = jnp.where(denom > 0, denom, 1.0)
-                c_new = hcol[j] / denom
-                s_new = hcol[j + 1] / denom
-                hcol = hcol.at[j].set(
-                    c_new * hcol[j] + s_new * hcol[j + 1]
-                ).at[j + 1].set(0.0)
-                g_ = g_.at[j + 1].set(-s_new * g_[j]).at[j].set(
-                    c_new * g_[j]
-                )
-                big_h = big_h.at[:, j].set(hcol)
-                cs = cs.at[j].set(c_new)
-                sn = sn.at[j].set(s_new)
-                return j + 1, big_v, big_h, cs, sn, g_
-
-            j, big_v, big_h, cs, sn, g = jax.lax.while_loop(
-                cond, body, (0, big_v, big_h, cs, sn, g)
-            )
-            # Triangular solve on the rotated H; inactive columns get a
-            # unit diagonal and zero RHS so their y entries vanish.
-            idx = jnp.arange(m)
-            active = idx < j
-            r_mat = big_h[:m, :]
-            r_mat = jnp.where(
-                (idx[:, None] == idx[None, :]) & ~active[:, None],
-                1.0,
-                r_mat,
-            )
-            rhs = jnp.where(active, g[:m], 0.0)
-            y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
-            return x0 + y @ big_v[:m], jnp.abs(g[j]), j
-
-        def outer_cond(c):
-            x, res, total = c
-            return (total < max_iter) & (res > tol)
-
-        def outer_body(c):
-            x, _, total = c
-            x, res, j = cycle(x)
-            return x, res, total + jnp.maximum(j, 1)
-
-        r_init = jnp.linalg.norm(b)
-        x, res, total = jax.lax.while_loop(
-            outer_cond, outer_body, (jnp.zeros_like(b), r_init, 0)
-        )
-        return x, res * res, total
+    @partial(jax.jit, static_argnames=("max_iter", "m_"))
+    def gmres(b, tol, max_iter, m_, *tables):
+        return _gmres_loop(_sum_matvec(schurs, tables, 8), b, tol, max_iter, m_)
 
     def run(trace_rhs, tolerance: float):
         return gmres(
@@ -209,6 +244,117 @@ def _fused_gmres_factory(schurs, all_tables, maximum_iterations: int, restart: i
         )
 
     return run
+
+
+def _fused_mixed_factory(
+    schurs,
+    schurs32,
+    tables64,
+    tables32,
+    maximum_iterations: int,
+    method: str = "cg",
+    restart: int = 100,
+    inner_tolerance: float = 1e-6,
+    max_outer: int = 60,
+):
+    """f64 defect correction around an all-f32 inner Krylov trace solve.
+
+    On TPU, f64 matmuls are software-emulated: the accurate Schur matvec
+    (refined f32-inverse block solve, 3 f64 residual GEMVs) costs roughly
+    50 f32-GEMV-equivalents per iteration, so a plain f64 Krylov loop runs
+    at CPU speeds.  Here each outer sweep computes ONE accurate f64
+    residual ``r = b - S lam`` and corrects with a fast all-f32 inner
+    CG/GMRES solve on the f32 Schur operator (one f32 GEMV per iteration,
+    one psum per bucket per matvec, everything inside a single jitted
+    while_loop).  ``cond(S) * eps_f32 < 1`` gives geometric convergence to
+    full f64 accuracy in a handful of sweeps — the same scheme as the
+    single-chip ``_solve_schur_mixed_tpu`` (solver/iterative.py), lifted to
+    the sharded operator.
+
+    Returns a ``run(trace_rhs, tolerance)`` with the same
+    ``(lam, |r|^2, iterations)`` contract as the f64 factories, where
+    ``iterations`` counts inner Krylov iterations.
+    """
+    n64, n32 = 8, 6
+    m = min(restart, maximum_iterations)
+
+    @partial(jax.jit, static_argnames=("max_iter", "m_"))
+    def solve(trace_rhs, tol, max_iter, m_, *tabs):
+        k64 = n64 * len(schurs)
+        matvec64 = _sum_matvec(schurs, tabs[:k64], n64)
+        matvec32 = _sum_matvec(schurs32, tabs[k64:], n32)
+
+        def inner(r32):
+            t32 = jnp.asarray(inner_tolerance, jnp.float32) * jnp.linalg.norm(r32)
+            if method == "gmres":
+                return _gmres_loop(matvec32, r32, t32, max_iter, m_, stall=True)
+            return _cg_loop(matvec32, r32, t32, max_iter, stall_window=100)
+
+        def cond(st):
+            _, rr, _, k = st
+            return (k < max_outer) & (rr > tol * tol)
+
+        def body(st):
+            lam, _, tot, k = st
+            r = trace_rhs - matvec64(lam)
+            rr = jnp.vdot(r, r)
+            fix = rr > tol * tol
+            d32, _, it = inner(r.astype(jnp.float32))
+            lam = jnp.where(fix, lam + d32.astype(lam.dtype), lam)
+            tot = tot + jnp.where(fix, it, 0)
+            return lam, rr, tot, k + 1
+
+        lam, _, tot, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                jnp.zeros_like(trace_rhs),
+                jnp.asarray(jnp.inf, trace_rhs.dtype),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+            ),
+        )
+        r = trace_rhs - matvec64(lam)
+        return lam, jnp.vdot(r, r), jnp.maximum(tot, 1)
+
+    def run(trace_rhs, tolerance: float):
+        trace_rhs = jnp.asarray(trace_rhs)
+        return solve(
+            trace_rhs,
+            jnp.asarray(tolerance, trace_rhs.dtype),
+            maximum_iterations,
+            m,
+            *tables64,
+            *tables32,
+        )
+
+    return run
+
+
+def _mixed_trace_enabled() -> bool:
+    """Whether sharded trace Krylov solves run the f32-inner mixed path.
+
+    ``MFV2D_TPU_SHARDED_MIXED=auto`` (default) enables it exactly where it
+    pays: on TPU backends, where f64 GEMVs are emulated.  ``1`` forces it
+    everywhere (used by the CPU parity tests), ``0`` disables it.
+    """
+    from mfv2d_tpu.config import config
+
+    mode = config.sharded_mixed
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return mode not in ("0", "never", "off")
+
+
+def _trace_krylov(system, method: str, maximum_iterations: int):
+    """The fused trace-Schur Krylov for ``system``; mixed-precision where it pays."""
+    if _mixed_trace_enabled():
+        if method == "gmres":
+            return system.make_fused_gmres_mixed(maximum_iterations)
+        return system.make_fused_cg_mixed(maximum_iterations)
+    if method == "gmres":
+        return system.make_fused_gmres(maximum_iterations)
+    return system.make_fused_cg(maximum_iterations)
 
 
 class ShardedBlockSystem:
@@ -349,18 +495,30 @@ class ShardedBlockSystem:
         # The trace/Schur formulation requires invertible element blocks
         # (the hybridized A must be eliminable).  Direct-form systems with
         # pure-stiffness diagonal blocks are singular per element — probe
-        # cheaply and fail loudly instead of diverging.
+        # cheaply and fail loudly instead of diverging.  On the refined-f32
+        # path the per-round error contraction is ~cond(A) * eps_f32, so
+        # ill-conditioned (large-p) blocks need more rounds than the
+        # default: grow the round count until the probe reaches f64
+        # accuracy, and only then declare the blocks singular.
+        self._refine_rounds = 3
         probe = jnp.ones((self.e_padded, n))
         applied = jnp.einsum("eij,ej->ei", self.blocks, probe)
-        back = self._block_solve(self.lu, self.piv, self.blocks, applied)
-        probe_err = float(jnp.abs(back - 1.0).max())
-        if not np.isfinite(probe_err) or probe_err > 1e-6:
-            raise ValueError(
-                "Element blocks are numerically singular (solve probe error"
-                f" {probe_err:.2e}); the sharded trace/Schur path needs"
-                " invertible element operators — use a mixed formulation or"
-                " the full saddle solvers in mfv2d_tpu.solver."
-            )
+        while True:
+            back = self._block_solve(self.lu, self.piv, self.blocks, applied)
+            probe_err = float(jnp.abs(back - 1.0).max())
+            if np.isfinite(probe_err) and probe_err <= 1e-10:
+                break
+            if not self._refine or self._refine_rounds >= 24:
+                if not np.isfinite(probe_err) or probe_err > 1e-6:
+                    raise ValueError(
+                        "Element blocks are numerically singular (solve probe"
+                        f" error {probe_err:.2e}); the sharded trace/Schur"
+                        " path needs invertible element operators — use a"
+                        " mixed formulation or the full saddle solvers in"
+                        " mfv2d_tpu.solver."
+                    )
+                break
+            self._refine_rounds += 3
         self.tr_elem = jax.device_put(tr_elem, shard_e)
         self.tr_dof = jax.device_put(tr_dof, shard_e)
         self.tr_val = jax.device_put(tr_val, shard_e)
@@ -537,7 +695,7 @@ class ShardedBlockSystem:
         x = jnp.einsum("eij,ej->ei", lu, rhs.astype(jnp.float32)).astype(
             rhs.dtype
         )
-        for _ in range(3):
+        for _ in range(getattr(self, "_refine_rounds", 3)):
             r = rhs - jnp.einsum("eij,ej->ei", blocks, x)
             x = x + jnp.einsum(
                 "eij,ej->ei", lu, r.astype(jnp.float32)
@@ -566,6 +724,86 @@ class ShardedBlockSystem:
             self.tr_val,
             self.tt_rows,
             self.tt_val,
+        )
+
+    @property
+    def _tables32(self):
+        """f32 operator tables for the mixed-precision inner Krylov.
+
+        ``inv32`` is the explicit f32 block inverse: on TPU it is exactly
+        ``self.lu`` (already stored as the f32 inverse); elsewhere it is
+        computed once and cached.  Values follow the same element-axis
+        shardings as their f64 counterparts (``astype`` preserves
+        sharding).
+        """
+        cached = getattr(self, "_tables32_cache", None)
+        if cached is None:
+            inv32 = (
+                self.lu
+                if self._refine
+                else jnp.linalg.inv(self.blocks.astype(jnp.float32))
+            )
+            cached = (
+                inv32,
+                self.tr_elem,
+                self.tr_dof,
+                self.tr_val.astype(jnp.float32),
+                self.tt_rows,
+                self.tt_val.astype(jnp.float32),
+            )
+            self._tables32_cache = cached
+        return cached
+
+    def _schur32_shardmap(self):
+        """All-f32 S~ = G A~^{-1} G^T kernel (one f32 GEMV + one psum).
+
+        ``A~^{-1}`` is the unrefined f32 explicit inverse — accurate to
+        ~1e-7 relative, which is all the mixed-precision inner iteration
+        needs (the outer f64 defect correction restores full accuracy).
+        """
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+            ),
+            out_specs=P(None),
+        )
+        def schur32(lam32, inv32, tr_elem, tr_dof, tr_val32, tt_rows, tt_val32):
+            gt = self._trace_t_local(lam32, tt_rows, tt_val32)
+            x = jnp.einsum("eij,ej->ei", inv32, gt)
+            return self._trace_local(x, tr_elem, tr_dof, tr_val32)
+
+        return schur32
+
+    def make_fused_cg_mixed(self, maximum_iterations: int):
+        """Mixed-precision device CG: f32 inner sweeps, f64 defect correction."""
+        return _fused_mixed_factory(
+            [self._schur_shardmap()],
+            [self._schur32_shardmap()],
+            self._tables,
+            self._tables32,
+            maximum_iterations,
+            method="cg",
+        )
+
+    def make_fused_gmres_mixed(self, maximum_iterations: int, restart: int = 100):
+        """Mixed-precision device GMRES: f32 inner cycles, f64 defect correction."""
+        return _fused_mixed_factory(
+            [self._schur_shardmap()],
+            [self._schur32_shardmap()],
+            self._tables,
+            self._tables32,
+            maximum_iterations,
+            method="gmres",
+            restart=restart,
         )
 
     def _schur_shardmap(self):
@@ -756,10 +994,7 @@ def _sharded_saddle_solve(
     """
     ainv_b = system.block_solve_sharded(b_sharded)
     trace_rhs = system.trace_of(ainv_b) - jnp.asarray(constraints)
-    if method == "gmres":
-        krylov = system.make_fused_gmres(maximum_iterations)
-    else:
-        krylov = system.make_fused_cg(maximum_iterations)
+    krylov = _trace_krylov(system, method, maximum_iterations)
     lam, rs, iters = krylov(trace_rhs, tolerance)
     u = system.block_solve_sharded(b_sharded - system.trace_t_of(lam))
     return u, lam, float(np.sqrt(float(rs))), int(iters)
@@ -847,10 +1082,7 @@ def sharded_steady_solve(
         )
         for _, sub in subs
     ]
-    if krylov_method == "gmres":
-        krylov = msys.make_fused_gmres(cg_maximum_iterations)
-    else:
-        krylov = msys.make_fused_cg(cg_maximum_iterations)
+    krylov = _trace_krylov(msys, krylov_method, cg_maximum_iterations)
 
     bs = [
         sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))
@@ -1034,6 +1266,29 @@ class MultiBucketShardedSystem:
             restart,
         )
 
+    def make_fused_cg_mixed(self, maximum_iterations: int):
+        """Mixed-precision multi-bucket CG (f32 inner, f64 defect correction)."""
+        return _fused_mixed_factory(
+            [sub._schur_shardmap() for _, sub in self.subsystems],
+            [sub._schur32_shardmap() for _, sub in self.subsystems],
+            tuple(t for _, sub in self.subsystems for t in sub._tables),
+            tuple(t for _, sub in self.subsystems for t in sub._tables32),
+            maximum_iterations,
+            method="cg",
+        )
+
+    def make_fused_gmres_mixed(self, maximum_iterations: int, restart: int = 100):
+        """Mixed-precision multi-bucket GMRES (f32 inner, f64 defect correction)."""
+        return _fused_mixed_factory(
+            [sub._schur_shardmap() for _, sub in self.subsystems],
+            [sub._schur32_shardmap() for _, sub in self.subsystems],
+            tuple(t for _, sub in self.subsystems for t in sub._tables),
+            tuple(t for _, sub in self.subsystems for t in sub._tables32),
+            maximum_iterations,
+            method="gmres",
+            restart=restart,
+        )
+
     def schur_rhs(self, rhs_flat: np.ndarray, constraints: np.ndarray):
         """G A^{-1} b - c across buckets."""
         total = -jnp.asarray(constraints)
@@ -1065,7 +1320,7 @@ class MultiBucketShardedSystem:
     def solve_schur(self, rhs_flat, constraints, maximum_iterations, tolerance):
         """CG on the multi-bucket Schur complement (fused device loop)."""
         trace_rhs = self.schur_rhs(rhs_flat, constraints)
-        lam, rs, iters = self.make_fused_cg(maximum_iterations)(
+        lam, rs, iters = _trace_krylov(self, "cg", maximum_iterations)(
             trace_rhs, tolerance
         )
         mag2 = float(rs)
@@ -1293,7 +1548,7 @@ def sharded_time_march(
         )
 
     subs = msys.subsystems
-    krylov = msys.make_fused_cg(cg_maximum_iterations)
+    krylov = _trace_krylov(msys, "cg", cg_maximum_iterations)
     two_over_dt = 2.0 / time_settings.dt
     n_lag = msys.n_lagrange
     cg_tol = jnp.asarray(cg_tolerance)
@@ -1416,10 +1671,7 @@ def sharded_nonlinear_time_march(
         )
         for _, sub in subs
     ]
-    if krylov_method == "gmres":
-        krylov = msys.make_fused_gmres(cg_maximum_iterations)
-    else:
-        krylov = msys.make_fused_cg(cg_maximum_iterations)
+    krylov = _trace_krylov(msys, krylov_method, cg_maximum_iterations)
 
     two_over_dt = 2.0 / time_settings.dt
     n_lag = msys.n_lagrange

@@ -625,3 +625,62 @@ def test_sharded_hp_march_matches_host(device_mesh):
         grid.point_data[model.u.label] - host_final.point_data[model.u.label]
     ).max()
     assert err < 1e-8, err
+
+
+def test_mixed_trace_krylov_matches_f64(device_mesh):
+    """f32-inner/f64-defect-correction Krylov equals the f64 fused loops.
+
+    The mixed path is what runs on TPU backends (where f64 GEMVs are
+    emulated); here it is exercised directly on the virtual CPU mesh.
+    """
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+
+    rng = np.random.default_rng(5)
+    rhs = rng.normal(size=lagrange_mat.shape[0])
+    lam64, rs64, _ = sharded.make_fused_cg(3000)(rhs, 1e-12)
+    lam_cg, rs_cg, it_cg = sharded.make_fused_cg_mixed(3000)(rhs, 1e-12)
+    assert float(np.sqrt(float(rs_cg))) <= 1e-11
+    assert int(it_cg) >= 1
+    assert np.allclose(np.asarray(lam_cg), np.asarray(lam64), atol=1e-9)
+
+    lam_gm, rs_gm, _ = sharded.make_fused_gmres_mixed(3000)(rhs, 1e-12)
+    assert float(np.sqrt(float(rs_gm))) <= 1e-11
+    assert np.allclose(np.asarray(lam_gm), np.asarray(lam64), atol=1e-9)
+
+
+def test_mixed_trace_krylov_multibucket(device_mesh, monkeypatch):
+    """hp (two-bucket) sharded solve through the forced mixed path."""
+    from mfv2d_tpu.config import config
+    from mfv2d_tpu.parallel.sharding import MultiBucketShardedSystem
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    orders = np.array([[2, 2], [3, 3]] * 4 + [[2, 2]])
+    mesh = mf.examples.unit_square_mesh(3, 3, orders)
+    disc = discretize_mesh(mesh, system.unknown_forms, FemCache(3))
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    conv = ConvergenceSettings(3000, 1e-11, 0.0)
+    u_ref, _, _, _ = solve_schur_iterative(
+        single, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+
+    sharded = MultiBucketShardedSystem(disc, matrices, lagrange_mat, device_mesh)
+    monkeypatch.setattr(config, "sharded_mixed", "1")
+    u_sh, _, res, iters = sharded.solve_schur(forcing, lagrange_vec, 3000, 1e-11)
+    assert iters >= 1
+    assert res <= 1e-10
+    assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-8), np.abs(
+        u_sh - np.asarray(u_ref)
+    ).max()
