@@ -53,78 +53,101 @@ def _sum_matvec(schurs, tables, n_tab):
     return matvec
 
 
-def _cg_loop(matvec, b, tol, max_iter, stall_window=None):
-    """Traceable CG while_loop from a zero start; stops at ``|r| <= tol``.
+def _cg_chunk(matvec, carry, tol, max_iter):
+    """Up to ``max_iter`` traceable CG iterations from ``carry``.
 
-    ``stall_window`` (mixed-precision inner loops) additionally stops when
-    the residual has not improved 4x within that many iterations — an f32
-    iteration that has hit its precision floor makes no further progress,
-    and the outer f64 defect correction recovers more per sweep than the
-    stalled tail would.
+    ``carry = (x, r, p, rs, x_best, rs_best)``; the best (minimum-residual)
+    iterate is tracked because on indefinite operators (Stokes-type trace
+    Schur complements) the CG recurrence is only semiconvergent and the
+    final iterate can be far worse than the best.
 
-    Returns ``(x, |r|^2, iterations)``.
+    Returns ``(carry, iterations_done)``.
     """
-    rs0 = jnp.vdot(b, b)
 
-    def cond(carry):
-        _, _, _, rs, k, _, since = carry
-        going = (k < max_iter) & (rs > tol * tol)
-        if stall_window is not None:
-            going = going & (since < stall_window)
-        return going
+    def cond(c):
+        (_, _, _, rs, _, rs_best), k = c
+        return (k < max_iter) & (rs > tol * tol)
 
-    def body(carry):
-        x, r, p, rs, k, best, since = carry
+    def body(c):
+        (x, r, p, rs, x_best, rs_best), k = c
         ap = matvec(p)
         alpha = rs / jnp.vdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
         rs_new = jnp.vdot(r, r)
         p = r + (rs_new / rs) * p
-        improved = rs_new < 0.0625 * best
-        best = jnp.where(improved, rs_new, best)
-        since = jnp.where(improved, 0, since + 1)
-        return x, r, p, rs_new, k + 1, best, since
+        better = rs_new < rs_best
+        x_best = jnp.where(better, x, x_best)
+        rs_best = jnp.where(better, rs_new, rs_best)
+        return (x, r, p, rs_new, x_best, rs_best), k + 1
 
-    x, _, _, rs, k, _, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (jnp.zeros_like(b), b, b, rs0, 0, rs0, jnp.asarray(0, jnp.int32)),
+    return jax.lax.while_loop(cond, body, (carry, jnp.asarray(0, jnp.int32)))
+
+
+def _cg_loop(matvec, b, tol, max_iter):
+    """Traceable CG from a zero start; stops at ``|r| <= tol``.
+
+    Returns ``(x_best, |r_best|^2, iterations)``.
+    """
+    rs0 = jnp.vdot(b, b)
+    zeros = jnp.zeros_like(b)
+    (_, _, _, _, x_best, rs_best), k = _cg_chunk(
+        matvec, (zeros, b, b, rs0, zeros, rs0), tol, max_iter
     )
-    return x, rs, k
+    return x_best, rs_best, k
 
 
-def _fused_cg_factory(schurs, all_tables, maximum_iterations: int):
-    """Jitted while_loop CG over summed per-bucket Schur matvecs.
+def _fused_cg_factory(
+    schurs, all_tables, maximum_iterations: int, chunk: int = 512
+):
+    """Device CG over summed per-bucket Schur matvecs, in chunked dispatches.
 
     ``all_tables`` is the flat concatenation of each bucket's 8 operator
     tables; each matvec issues the bucket kernels back-to-back (one psum
-    per bucket) and sums the replicated results.
+    per bucket) and sums the replicated results.  The iteration runs as a
+    host loop over jitted ``chunk``-iteration segments: small systems
+    finish inside the first dispatch (one relay round trip total), while
+    huge emulated-f64 systems never exceed the TPU runtime's single-program
+    watchdog (observed: a 20-minute fused dispatch kills the worker).
     """
 
     @partial(jax.jit, static_argnames=("max_iter",))
-    def cg(trace_rhs, tol, max_iter, *tables):
-        return _cg_loop(_sum_matvec(schurs, tables, 8), trace_rhs, tol, max_iter)
+    def cg_chunk(carry, tol, max_iter, *tables):
+        return _cg_chunk(_sum_matvec(schurs, tables, 8), carry, tol, max_iter)
 
     def run(trace_rhs, tolerance: float):
-        return cg(
-            jnp.asarray(trace_rhs),
-            jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
-            maximum_iterations,
-            *all_tables,
-        )
+        if isinstance(trace_rhs, jax.core.Tracer):
+            # Inside an enclosing trace (fused time marches call the solver
+            # from a scanned step): run the whole iteration as one traced
+            # while_loop — host chunking is impossible there.
+            return _cg_loop(
+                _sum_matvec(schurs, all_tables, 8),
+                trace_rhs,
+                jnp.asarray(tolerance, trace_rhs.dtype),
+                maximum_iterations,
+            )
+        b = jnp.asarray(trace_rhs)
+        tol = jnp.asarray(tolerance, b.dtype)
+        rs0 = jnp.vdot(b, b)
+        zeros = jnp.zeros_like(b)
+        carry = (zeros, b, b, rs0, zeros, rs0)
+        total = 0
+        tol2 = float(tolerance) ** 2
+        while total < maximum_iterations:
+            step = min(chunk, maximum_iterations - total)
+            carry, did = cg_chunk(carry, tol, step, *all_tables)
+            total += int(did)
+            if int(did) < step or float(carry[3]) <= tol2:
+                break
+        return carry[4], carry[5], total
 
     return run
 
 
-def _gmres_loop(matvec, b, tol, max_iter, m, stall=False):
-    """Traceable restarted GMRES(m) from a zero start; stops at ``|r| <= tol``.
+def _gmres_cycle(matvec, b, tol, x0, m):
+    """One traceable GMRES(m) cycle from ``x0``: Arnoldi + Givens + update.
 
-    ``stall=True`` (mixed-precision inner loops) also stops when a full
-    restart cycle fails to halve the residual — the f32 precision floor.
-
-    Returns ``(x, |r|^2, iterations)`` (the residual is the rotated-Hessenberg
-    estimate from the last cycle).
+    Returns ``(x_new, |r|_estimate, iterations)``.
     """
     n = b.shape[0]
 
@@ -205,43 +228,64 @@ def _gmres_loop(matvec, b, tol, max_iter, m, stall=False):
         y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
         return x0 + y @ big_v[:m], jnp.abs(g[j]), j
 
+    return cycle(x0)
+
+
+def _gmres_loop(matvec, b, tol, max_iter, m):
+    """Traceable restarted GMRES(m) from a zero start; stops at ``|r| <= tol``.
+
+    Returns ``(x, |r|^2, iterations)`` (the residual is the rotated-Hessenberg
+    estimate from the last cycle).
+    """
+
     def outer_cond(c):
-        x, res, total, prev = c
-        going = (total < max_iter) & (res > tol)
-        if stall:
-            going = going & (res < 0.5 * prev)
-        return going
+        x, res, total = c
+        return (total < max_iter) & (res > tol)
 
     def outer_body(c):
-        x, res_prev, total, _ = c
-        x, res, j = cycle(x)
-        return x, res, total + jnp.maximum(j, 1), res_prev
+        x, _, total = c
+        x, res, j = _gmres_cycle(matvec, b, tol, x, m)
+        return x, res, total + jnp.maximum(j, 1)
 
     r_init = jnp.linalg.norm(b)
-    x, res, total, _ = jax.lax.while_loop(
-        outer_cond,
-        outer_body,
-        (jnp.zeros_like(b), r_init, 0, jnp.asarray(jnp.inf, b.dtype)),
+    x, res, total = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.zeros_like(b), r_init, 0)
     )
     return x, res * res, total
 
 
 def _fused_gmres_factory(schurs, all_tables, maximum_iterations: int, restart: int = 100):
-    """Jitted restarted GMRES over summed per-bucket Schur matvecs."""
+    """Device restarted GMRES over summed per-bucket Schur matvecs.
+
+    One jitted dispatch per restart cycle, restarts driven from the host —
+    the same bounded-dispatch rationale as ``_fused_cg_factory``.
+    """
     m = min(restart, maximum_iterations)
 
-    @partial(jax.jit, static_argnames=("max_iter", "m_"))
-    def gmres(b, tol, max_iter, m_, *tables):
-        return _gmres_loop(_sum_matvec(schurs, tables, 8), b, tol, max_iter, m_)
+    @partial(jax.jit, static_argnames=("m_",))
+    def gmres_cycle(x, b, tol, m_, *tables):
+        return _gmres_cycle(_sum_matvec(schurs, tables, 8), b, tol, x, m_)
 
     def run(trace_rhs, tolerance: float):
-        return gmres(
-            jnp.asarray(trace_rhs),
-            jnp.asarray(tolerance, jnp.asarray(trace_rhs).dtype),
-            maximum_iterations,
-            m,
-            *all_tables,
-        )
+        if isinstance(trace_rhs, jax.core.Tracer):
+            return _gmres_loop(
+                _sum_matvec(schurs, all_tables, 8),
+                trace_rhs,
+                jnp.asarray(tolerance, trace_rhs.dtype),
+                maximum_iterations,
+                m,
+            )
+        b = jnp.asarray(trace_rhs)
+        tol = jnp.asarray(tolerance, b.dtype)
+        x = jnp.zeros_like(b)
+        total = 0
+        res = float(jnp.linalg.norm(b))
+        tol_f = float(tolerance)
+        while total < maximum_iterations and res > tol_f:
+            x, res_a, j = gmres_cycle(x, b, tol, m, *all_tables)
+            res = float(res_a)
+            total += max(int(j), 1)
+        return x, jnp.asarray(res * res), total
 
     return run
 
@@ -265,11 +309,19 @@ def _fused_mixed_factory(
     at CPU speeds.  Here each outer sweep computes ONE accurate f64
     residual ``r = b - S lam`` and corrects with a fast all-f32 inner
     CG/GMRES solve on the f32 Schur operator (one f32 GEMV per iteration,
-    one psum per bucket per matvec, everything inside a single jitted
-    while_loop).  ``cond(S) * eps_f32 < 1`` gives geometric convergence to
+    one psum per bucket per matvec); the inner returns its best-residual
+    iterate, which keeps the correction safe on semiconvergent (indefinite)
+    systems.  ``cond(S) * eps_f32 < 1`` gives geometric convergence to
     full f64 accuracy in a handful of sweeps — the same scheme as the
     single-chip ``_solve_schur_mixed_tpu`` (solver/iterative.py), lifted to
     the sharded operator.
+
+    The outer sweeps are driven from the host (one jitted dispatch each, so
+    a sweep never exceeds the TPU runtime's single-program watchdog), with
+    best-λ tracking and a stagnation exit: if three consecutive sweeps fail
+    to improve the best residual, the best iterate is returned — the mixed
+    path can stall when ``cond * eps_f32`` approaches 1, and a safe partial
+    result lets the caller's convergence check decide.
 
     Returns a ``run(trace_rhs, tolerance)`` with the same
     ``(lam, |r|^2, iterations)`` contract as the f64 factories, where
@@ -279,16 +331,33 @@ def _fused_mixed_factory(
     m = min(restart, maximum_iterations)
 
     @partial(jax.jit, static_argnames=("max_iter", "m_"))
-    def solve(trace_rhs, tol, max_iter, m_, *tabs):
+    def sweep(lam, trace_rhs, max_iter, m_, *tabs):
         k64 = n64 * len(schurs)
+        matvec64 = _sum_matvec(schurs, tabs[:k64], n64)
+        matvec32 = _sum_matvec(schurs32, tabs[k64:], n32)
+        r = trace_rhs - matvec64(lam)
+        rr = jnp.vdot(r, r)
+        r32 = r.astype(jnp.float32)
+        t32 = jnp.asarray(inner_tolerance, jnp.float32) * jnp.linalg.norm(r32)
+        if method == "gmres":
+            d32, _, it = _gmres_loop(matvec32, r32, t32, max_iter, m_)
+        else:
+            d32, _, it = _cg_loop(matvec32, r32, t32, max_iter)
+        return lam + d32.astype(lam.dtype), rr, it
+
+    def _traced_outer(trace_rhs, tol):
+        """Whole defect-correction loop as one traced while_loop (for
+        callers tracing the solve into a larger program, e.g. marches)."""
+        k64 = n64 * len(schurs)
+        tabs = tuple(tables64) + tuple(tables32)
         matvec64 = _sum_matvec(schurs, tabs[:k64], n64)
         matvec32 = _sum_matvec(schurs32, tabs[k64:], n32)
 
         def inner(r32):
             t32 = jnp.asarray(inner_tolerance, jnp.float32) * jnp.linalg.norm(r32)
             if method == "gmres":
-                return _gmres_loop(matvec32, r32, t32, max_iter, m_, stall=True)
-            return _cg_loop(matvec32, r32, t32, max_iter, stall_window=100)
+                return _gmres_loop(matvec32, r32, t32, maximum_iterations, m)
+            return _cg_loop(matvec32, r32, t32, maximum_iterations)
 
         def cond(st):
             _, rr, _, k = st
@@ -318,15 +387,33 @@ def _fused_mixed_factory(
         return lam, jnp.vdot(r, r), jnp.maximum(tot, 1)
 
     def run(trace_rhs, tolerance: float):
+        if isinstance(trace_rhs, jax.core.Tracer):
+            return _traced_outer(
+                trace_rhs, jnp.asarray(tolerance, trace_rhs.dtype)
+            )
         trace_rhs = jnp.asarray(trace_rhs)
-        return solve(
-            trace_rhs,
-            jnp.asarray(tolerance, trace_rhs.dtype),
-            maximum_iterations,
-            m,
-            *tables64,
-            *tables32,
-        )
+        tol2 = float(tolerance) ** 2
+        lam = jnp.zeros_like(trace_rhs)
+        best_lam, best_rr = lam, float("inf")
+        total = 0
+        stagnant = 0
+        for k in range(max_outer + 1):
+            lam_new, rr_a, it = sweep(
+                lam, trace_rhs, maximum_iterations, m, *tables64, *tables32
+            )
+            rr = float(rr_a)
+            if np.isfinite(rr) and rr < best_rr:
+                best_lam, best_rr = lam, rr
+                stagnant = 0
+            else:
+                stagnant += 1
+            if rr <= tol2 or stagnant >= 3 or k == max_outer:
+                break
+            total += int(it)
+            lam = lam_new
+        if best_rr == float("inf"):
+            best_rr = float(rr_a)
+        return best_lam, jnp.asarray(best_rr), max(total, 1)
 
     return run
 
@@ -347,8 +434,13 @@ def _mixed_trace_enabled() -> bool:
 
 
 def _trace_krylov(system, method: str, maximum_iterations: int):
-    """The fused trace-Schur Krylov for ``system``; mixed-precision where it pays."""
-    if _mixed_trace_enabled():
+    """The fused trace-Schur Krylov for ``system``; mixed-precision where it pays.
+
+    Systems whose element blocks are too ill-conditioned for f32 sweeps to
+    contract (``_inner32_ok`` False, a cond(A)*eps_f32 probe at build time)
+    stay on the f64 loop.
+    """
+    if _mixed_trace_enabled() and getattr(system, "_inner32_ok", True):
         if method == "gmres":
             return system.make_fused_gmres_mixed(maximum_iterations)
         return system.make_fused_cg_mixed(maximum_iterations)
@@ -475,15 +567,24 @@ class ShardedBlockSystem:
             blocks if _prepadded_device else jax.device_put(blocks, shard_blocks)
         )
         # TPU XLA only implements LuDecomposition in f32 and runs batched
-        # triangular solves ~23x slower than a GEMV, so on TPU "lu" holds a
-        # precomputed f32 explicit inverse (applied as a GEMV + f64
-        # refinement); elsewhere it is the f64 LU factorization.  Both are
-        # batched over the sharded element axis so the factorization itself
-        # runs element-parallel.
+        # triangular solves ~23x slower than a GEMV, so on TPU "lu" holds an
+        # explicit f64 block inverse, built once on device: a Jacobi-
+        # equilibrated f32 inversion seeds Newton-Schulz iterations in f64
+        # (quadratic convergence; each iteration is two batched MXU GEMMs).
+        # Every subsequent Krylov matvec then costs ONE f64 GEMV instead of
+        # the 4 f32 + 3 emulated-f64 GEMVs of a refined-f32 scheme.
+        # Elsewhere "lu" is the f64 LU factorization.  Both are batched over
+        # the sharded element axis, so the factorization runs element-parallel.
         self._refine = jax.default_backend() == "tpu"
+        self._refine_rounds = 0
+        self._inner32_ok = True
         if self._refine:
-            inv = jnp.linalg.inv(self.blocks.astype(jnp.float32))
-            self.lu = jax.device_put(inv, shard_blocks)
+            self.lu, seed_err = self._build_f64_inverse(shard_blocks, n)
+            # The all-f32 inner Krylov operates on the raw f32 inverse; its
+            # achievable contraction per outer sweep degrades with
+            # cond(A) * eps_f32 (~ the seed probe error).  Past ~5% the f32
+            # sweeps gain nothing and the mixed path falls back to f64.
+            self._inner32_ok = seed_err <= 0.05
             self.piv = jax.device_put(
                 jnp.zeros((self.e_padded, n), jnp.int32),
                 NamedSharding(mesh, P("e", None)),
@@ -495,12 +596,9 @@ class ShardedBlockSystem:
         # The trace/Schur formulation requires invertible element blocks
         # (the hybridized A must be eliminable).  Direct-form systems with
         # pure-stiffness diagonal blocks are singular per element — probe
-        # cheaply and fail loudly instead of diverging.  On the refined-f32
-        # path the per-round error contraction is ~cond(A) * eps_f32, so
-        # ill-conditioned (large-p) blocks need more rounds than the
-        # default: grow the round count until the probe reaches f64
-        # accuracy, and only then declare the blocks singular.
-        self._refine_rounds = 3
+        # cheaply and fail loudly instead of diverging.  The probe also
+        # picks the refinement-round count for `_block_solve` (normally 0:
+        # the f64 inverse applies to ~cond(A) * eps_f64 already).
         probe = jnp.ones((self.e_padded, n))
         applied = jnp.einsum("eij,ej->ei", self.blocks, probe)
         while True:
@@ -508,7 +606,7 @@ class ShardedBlockSystem:
             probe_err = float(jnp.abs(back - 1.0).max())
             if np.isfinite(probe_err) and probe_err <= 1e-10:
                 break
-            if not self._refine or self._refine_rounds >= 24:
+            if not self._refine or self._refine_rounds >= 6:
                 if not np.isfinite(probe_err) or probe_err > 1e-6:
                     raise ValueError(
                         "Element blocks are numerically singular (solve probe"
@@ -518,7 +616,8 @@ class ShardedBlockSystem:
                         " mfv2d_tpu.solver."
                     )
                 break
-            self._refine_rounds += 3
+            self._refine_rounds += 1
+
         self.tr_elem = jax.device_put(tr_elem, shard_e)
         self.tr_dof = jax.device_put(tr_dof, shard_e)
         self.tr_val = jax.device_put(tr_val, shard_e)
@@ -526,6 +625,64 @@ class ShardedBlockSystem:
         self.tt_rows = jax.device_put(tt_rows, shard_e3)
         self.tt_val = jax.device_put(tt_val, shard_e3)
         self.dof_sharding = NamedSharding(mesh, P("e", None))
+
+    def _build_f64_inverse(self, shard_blocks, n):
+        """Device-resident f64 explicit block inverse (TPU path).
+
+        Jacobi equilibration (symmetric diagonal scaling) drops the f32
+        inversion's effective condition number ~25x on heterogeneous-scale
+        blocks (measured on Navier-Stokes p=8 elements), and Newton-Schulz
+        ``X <- X (2I - A X)`` squares the residual each iteration, so a
+        handful of batched f64 GEMMs reach ``|I - X A| ~ cond(A) * eps_f64``
+        even where a plain f32 inverse has O(1) error.  Falls back to a
+        host LAPACK inversion if the seed is too inaccurate to contract.
+
+        Returns ``(X, seed_err)`` where ``seed_err`` is the equilibrated
+        f32 seed's probe error (a cheap cond(A)*eps_f32 estimate).
+        """
+        blocks = self.blocks
+        # Saddle-structured element blocks have zero diagonal entries, so
+        # equilibrate with row maxima (never zero for an invertible block)
+        # rather than the diagonal.
+        d = jnp.sqrt(jnp.maximum(jnp.abs(blocks).max(axis=2), 1e-30))
+        scaled = blocks / d[:, :, None] / d[:, None, :]
+        inv_s = jnp.linalg.inv(scaled.astype(jnp.float32)).astype(jnp.float64)
+        x = inv_s / d[:, :, None] / d[:, None, :]
+
+        probe = jnp.ones((self.e_padded, n))
+        applied = jnp.einsum("eij,ej->ei", blocks, probe)
+
+        # Large arrays MUST be jit arguments, not closure captures: captured
+        # constants are baked into the HLO, which the remote TPU compiler
+        # rejects past ~100 MB (HTTP 413) and compiles glacially below that.
+        @jax.jit
+        def probe_err_of(x, applied):
+            back = jnp.einsum("eij,ej->ei", x, applied)
+            return jnp.abs(back - 1.0).max()
+
+        @jax.jit
+        def ns_step(x, blocks):
+            ax = jnp.einsum("eij,ejk->eik", blocks, x)
+            return 2.0 * x - jnp.einsum("eij,ejk->eik", x, ax)
+
+        seed_err = float(probe_err_of(x, applied))
+        err = seed_err
+        for _ in range(8):
+            if np.isfinite(err) and err <= 1e-11:
+                break
+            x_next = ns_step(x, blocks)
+            err_next = float(probe_err_of(x_next, applied))
+            if not np.isfinite(err_next) or err_next >= err:
+                break
+            x, err = x_next, err_next
+        if not np.isfinite(err) or err > 1e-6:
+            # Seed too inaccurate for Newton-Schulz to contract (or the
+            # blocks are singular): last resort is a host f64 inversion.
+            try:
+                x = jnp.asarray(np.linalg.inv(np.asarray(blocks)))
+            except np.linalg.LinAlgError:
+                pass  # leave x; the probe loop below raises on singularity
+        return jax.device_put(x, shard_blocks), seed_err
 
     @classmethod
     def from_assembly(
@@ -688,18 +845,15 @@ class ShardedBlockSystem:
     # -- shard_map kernels ---------------------------------------------
 
     def _block_solve(self, lu, piv, blocks, rhs):
-        """Batched A^{-1} rhs; refined f32-inverse GEMV on TPU, f64 LU
-        elsewhere (piv is a dummy on TPU)."""
+        """Batched A^{-1} rhs; one f64 inverse-GEMV on TPU (plus probe-chosen
+        refinement rounds, normally zero), f64 LU elsewhere (piv is a dummy
+        on TPU)."""
         if not self._refine:
             return jax.scipy.linalg.lu_solve((lu, piv), rhs[..., None])[..., 0]
-        x = jnp.einsum("eij,ej->ei", lu, rhs.astype(jnp.float32)).astype(
-            rhs.dtype
-        )
-        for _ in range(getattr(self, "_refine_rounds", 3)):
+        x = jnp.einsum("eij,ej->ei", lu, rhs)
+        for _ in range(getattr(self, "_refine_rounds", 0)):
             r = rhs - jnp.einsum("eij,ej->ei", blocks, x)
-            x = x + jnp.einsum(
-                "eij,ej->ei", lu, r.astype(jnp.float32)
-            ).astype(rhs.dtype)
+            x = x + jnp.einsum("eij,ej->ei", lu, r)
         return x
 
     def _trace_local(self, dofs_local, tr_elem, tr_dof, tr_val):
@@ -739,7 +893,7 @@ class ShardedBlockSystem:
         cached = getattr(self, "_tables32_cache", None)
         if cached is None:
             inv32 = (
-                self.lu
+                self.lu.astype(jnp.float32)
                 if self._refine
                 else jnp.linalg.inv(self.blocks.astype(jnp.float32))
             )
@@ -833,13 +987,19 @@ class ShardedBlockSystem:
         return schur
 
     def make_schur_matvec(self):
-        """Jitted sharded S = G A^{-1} G^T matvec."""
+        """Jitted sharded S = G A^{-1} G^T matvec.
+
+        Operator tables are jit ARGUMENTS, not closure captures — captured
+        arrays are serialized with the computation, which the remote TPU
+        compiler rejects for large systems.
+        """
         schur = self._schur_shardmap()
+        jitted = jax.jit(lambda lam, *tables: schur(lam, *tables))
 
         def matvec(lam):
-            return schur(lam, *self._tables)
+            return jitted(lam, *self._tables)
 
-        return jax.jit(matvec)
+        return matvec
 
     def make_fused_cg(self, maximum_iterations: int):
         """Device-resident CG on the Schur complement: one jitted while_loop.
@@ -949,8 +1109,11 @@ class ShardedBlockSystem:
             trace = self._trace_local(dofs, tr_elem, tr_dof, tr_val)
             return au + gt, trace
 
+        jitted = jax.jit(step)
+
         def apply_saddle(dofs, lam):
-            return step(
+            # Tables as jit arguments (see make_schur_matvec).
+            return jitted(
                 dofs,
                 lam,
                 self.blocks,
@@ -961,7 +1124,7 @@ class ShardedBlockSystem:
                 self.tt_val,
             )
 
-        return jax.jit(apply_saddle)
+        return apply_saddle
 
     # -- data movement --------------------------------------------------
 
@@ -1265,6 +1428,10 @@ class MultiBucketShardedSystem:
             maximum_iterations,
             restart,
         )
+
+    @property
+    def _inner32_ok(self):
+        return all(getattr(sub, "_inner32_ok", True) for _, sub in self.subsystems)
 
     def make_fused_cg_mixed(self, maximum_iterations: int):
         """Mixed-precision multi-bucket CG (f32 inner, f64 defect correction)."""

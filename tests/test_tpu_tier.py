@@ -120,3 +120,61 @@ def test_end_to_end_solve_on_accelerator():
         np.abs(grid.point_data["u"] - poisson.u_exact(pts[:, 0], pts[:, 1]))
     )
     assert err < 2e-2, err
+
+
+@skip_unless_tpu
+def test_sharded_schur_matvec_accuracy_on_device():
+    """The TPU f64-inverse Schur matvec matches the host f64 operator.
+
+    Guards the Newton-Schulz block-inverse build (equilibrated f32 seed +
+    f64 iterations) and the probe-chosen refinement-round count: a
+    regression there shows up as a loss of matvec accuracy long before a
+    solve diverges.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.parallel.sharding import ShardedBlockSystem
+    from mfv2d_tpu.solver.discretization import discretize_mesh
+    from mfv2d_tpu.solver.solve import SystemEvaluator, compute_linear_system
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == 0,
+        v @ q.derivative == 0,
+    )
+    mesh = mf.examples.unit_square_mesh(4, 4, 4)
+    disc = discretize_mesh(mesh, system.unknown_forms, FemCache(3))
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    _, matrices, lagrange_mat, _ = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+    device_mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("e",))
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    assert sharded._refine  # on-accelerator branch
+
+    # Host reference: dense per-element solve in f64.
+    blocks = np.asarray(sharded.blocks)
+    rng = np.random.default_rng(11)
+    lam = rng.normal(size=sharded.n_lagrange)
+
+    tt_rows = np.asarray(sharded.tt_rows)
+    tt_val = np.asarray(sharded.tt_val)
+    gt = np.sum(tt_val * lam[tt_rows], axis=-1)
+    x_ref = np.linalg.solve(blocks, gt[..., None])[..., 0]
+    tr_elem = np.asarray(sharded.tr_elem)
+    tr_dof = np.asarray(sharded.tr_dof)
+    tr_val = np.asarray(sharded.tr_val)
+    s_ref = np.sum(tr_val[0] * x_ref[tr_elem[0], tr_dof[0]], axis=-1)
+
+    s_dev = np.asarray(sharded.make_schur_matvec()(jnp.asarray(lam)))
+    scale = np.abs(s_ref).max()
+    assert np.abs(s_dev - s_ref[: sharded.n_lagrange]).max() <= 1e-11 * scale
