@@ -152,18 +152,25 @@ def _time_cg(sharded, n_lag, iters_a=50, iters_b=400, repeats=3):
 
 
 def _time_mixed_solve(sharded, n_lag, repeats=3):
-    """Wall time for the mixed-precision (f32-inner) solve to 1e-10 |r|.
+    """Wall time for the production trace solve to 1e-10 |r|.
 
-    This is the path ``_trace_krylov`` picks on TPU backends; reported as
-    time-to-solution because its per-iteration cost differs from the f64
-    loop (inner f32 iterations are ~50x cheaper than refined-f64 ones).
+    Uses whatever ``_trace_krylov`` picks for this system on this backend
+    (the mixed f32-inner path on TPU, the f64 loop for systems whose
+    blocks fail the cond*eps_f32 probe); reported as time-to-solution
+    because per-iteration costs differ across the paths.
     """
     import jax.numpy as jnp
+
+    from mfv2d_tpu.parallel.sharding import _trace_krylov
 
     rng = np.random.default_rng(3)
     rhs = jnp.asarray(rng.normal(size=n_lag))
     tol = 1e-10 * float(jnp.linalg.norm(rhs))
-    solve = sharded.make_fused_cg_mixed(3000)
+    # Systems on the f64 fallback (failed cond*eps_f32 probe) iterate at
+    # seconds-per-iteration under f64 emulation; bound the bench run and
+    # report the (non-converged) residual honestly.
+    cap = 3000 if getattr(sharded, "_inner32_ok", True) else 400
+    solve = _trace_krylov(sharded, "cg", cap)
     out = solve(rhs, tol)  # compile + warm
     res = float(np.sqrt(float(out[1])))
     iters = int(out[2])
@@ -173,7 +180,7 @@ def _time_mixed_solve(sharded, n_lag, repeats=3):
         out = solve(rhs, tol)
         float(out[1])
         ts.append(time.perf_counter() - t0)
-    return min(ts), res, iters, tol
+    return min(ts), res, iters, tol, tol
 
 
 def bench_krylov() -> list[dict]:
@@ -209,7 +216,7 @@ def bench_krylov() -> list[dict]:
         rows.append(row)
         t_mixed, res, inner_iters, tol = _time_mixed_solve(sharded, n_lag)
         row = {
-            "metric": "schur_mixed_solve_seconds",
+            "metric": "schur_trace_solve_seconds",
             "config": name,
             "value": round(t_mixed, 4),
             "unit": "s",

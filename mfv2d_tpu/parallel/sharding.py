@@ -98,17 +98,20 @@ def _cg_loop(matvec, b, tol, max_iter):
 
 
 def _fused_cg_factory(
-    schurs, all_tables, maximum_iterations: int, chunk: int = 512
+    schurs, all_tables, maximum_iterations: int, chunk: int = 32
 ):
     """Device CG over summed per-bucket Schur matvecs, in chunked dispatches.
 
     ``all_tables`` is the flat concatenation of each bucket's 8 operator
     tables; each matvec issues the bucket kernels back-to-back (one psum
     per bucket) and sums the replicated results.  The iteration runs as a
-    host loop over jitted ``chunk``-iteration segments: small systems
-    finish inside the first dispatch (one relay round trip total), while
-    huge emulated-f64 systems never exceed the TPU runtime's single-program
-    watchdog (observed: a 20-minute fused dispatch kills the worker).
+    host loop over jitted bounded-iteration segments, starting from a small
+    probe chunk and adapting toward ~5 s of device work per dispatch.
+    Emulated-f64 heavyweights can spend ~0.4 s per iteration, so even a
+    512-iteration first chunk is a multi-minute dispatch — past the TPU
+    runtime's single-program watchdog (observed: it kills the worker).
+    Fast systems converge within the first few dispatches, and the chunk
+    ladder caps the relay round-trip overhead at a few percent.
     """
 
     @partial(jax.jit, static_argnames=("max_iter",))
@@ -126,6 +129,8 @@ def _fused_cg_factory(
                 jnp.asarray(tolerance, trace_rhs.dtype),
                 maximum_iterations,
             )
+        import time as _time
+
         b = jnp.asarray(trace_rhs)
         tol = jnp.asarray(tolerance, b.dtype)
         rs0 = jnp.vdot(b, b)
@@ -133,12 +138,29 @@ def _fused_cg_factory(
         carry = (zeros, b, b, rs0, zeros, rs0)
         total = 0
         tol2 = float(tolerance) ** 2
+        step = chunk
         while total < maximum_iterations:
-            step = min(chunk, maximum_iterations - total)
+            step = min(step, maximum_iterations - total)
+            t0 = _time.perf_counter()
             carry, did = cg_chunk(carry, tol, step, *all_tables)
-            total += int(did)
-            if int(did) < step or float(carry[3]) <= tol2:
+            done = int(did)
+            dt = _time.perf_counter() - t0
+            total += done
+            if done < step or float(carry[3]) <= tol2:
                 break
+            # Adapt the chunk toward ~5 s of device work per dispatch: on
+            # emulated-f64 heavyweights a fixed chunk either trips the TPU
+            # watchdog or, on fast systems, wastes a relay round trip every
+            # few milliseconds.  Chunk sizes are quantized to a short
+            # ladder because each distinct size is a separate compile.
+            # (First-dispatch compile time inflates dt once; the next
+            # adaptation corrects it.)
+            per_iter = dt / max(done, 1)
+            desired = 5.0 / max(per_iter, 1e-7)
+            step = 128
+            for candidate in (512, 2048, 8192, 16384):
+                if candidate <= desired:
+                    step = candidate
         return carry[4], carry[5], total
 
     return run
@@ -584,6 +606,7 @@ class ShardedBlockSystem:
             # achievable contraction per outer sweep degrades with
             # cond(A) * eps_f32 (~ the seed probe error).  Past ~5% the f32
             # sweeps gain nothing and the mixed path falls back to f64.
+            self._seed_err32 = seed_err
             self._inner32_ok = seed_err <= 0.05
             self.piv = jax.device_put(
                 jnp.zeros((self.e_padded, n), jnp.int32),

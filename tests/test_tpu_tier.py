@@ -178,3 +178,46 @@ def test_sharded_schur_matvec_accuracy_on_device():
     s_dev = np.asarray(sharded.make_schur_matvec()(jnp.asarray(lam)))
     scale = np.abs(s_ref).max()
     assert np.abs(s_dev - s_ref[: sharded.n_lagrange]).max() <= 1e-11 * scale
+
+
+@skip_unless_tpu
+def test_mixed_trace_solve_converges_on_device():
+    """The production trace solve (mixed f32-inner on TPU) hits 1e-10."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.parallel.sharding import ShardedBlockSystem, _trace_krylov
+    from mfv2d_tpu.solver.discretization import discretize_mesh
+    from mfv2d_tpu.solver.solve import SystemEvaluator, compute_linear_system
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == 0,
+        v @ q.derivative == 0,
+    )
+    mesh = mf.examples.unit_square_mesh(6, 6, 4)
+    disc = discretize_mesh(mesh, system.unknown_forms, FemCache(3))
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    _, matrices, lagrange_mat, _ = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+    device_mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("e",))
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    assert sharded._inner32_ok  # mixed Poisson blocks are well-conditioned
+
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.normal(size=sharded.n_lagrange))
+    tol = 1e-10 * float(jnp.linalg.norm(rhs))
+    lam, rs, iters = _trace_krylov(sharded, "cg", 3000)(rhs, tol)
+    # True residual, not the solver's own estimate.
+    r = rhs - sharded.make_schur_matvec()(jnp.asarray(lam))
+    assert float(jnp.linalg.norm(r)) <= 5 * tol
+    assert int(iters) >= 1
