@@ -684,3 +684,37 @@ def test_mixed_trace_krylov_multibucket(device_mesh, monkeypatch):
     assert np.allclose(u_sh, np.asarray(u_ref), atol=1e-8), np.abs(
         u_sh - np.asarray(u_ref)
     ).max()
+
+
+def test_chunked_cg_matches_traced_loop(device_mesh):
+    """Host-chunked CG dispatches continue the recurrence exactly.
+
+    The same solve through the traced single-while_loop variant (what the
+    fused marches inline) and the host-driven chunked variant must agree:
+    the chunk boundary carries (x, r, p, rs) so the Krylov sequence is
+    identical.
+    """
+    import jax
+
+    from mfv2d_tpu.parallel.sharding import _cg_loop, _sum_matvec
+
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(4, 3)
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+
+    rng = np.random.default_rng(9)
+    rhs = rng.normal(size=lagrange_mat.shape[0])
+    # Chunked host path (public factory).
+    lam_c, rs_c, it_c = sharded.make_fused_cg(3000)(rhs, 1e-12)
+    assert it_c > 32  # must have crossed at least one chunk boundary
+    # Traced path (as the marches see it).
+    schur = sharded._schur_shardmap()
+
+    @jax.jit
+    def traced(rhs_dev, *tables):
+        return _cg_loop(
+            _sum_matvec([schur], tables, 8), rhs_dev, 1e-12, 3000
+        )
+
+    lam_t, rs_t, it_t = traced(jnp.asarray(rhs), *sharded._tables)
+    assert int(it_t) == it_c
+    assert np.allclose(np.asarray(lam_c), np.asarray(lam_t), atol=1e-13)
