@@ -1,0 +1,99 @@
+"""Mixed-precision building blocks for TPU solvers.
+
+TPU XLA has no f64 LU decomposition, executes batched triangular solves
+~23x slower than a GEMV, and software-emulates f64 matmuls at ~3 GFLOP/s
+(measured, BACKLOG.md) — so the solvers represent element-block inverses
+EXPLICITLY and apply them as single GEMVs.  This module builds those
+inverses to f64 accuracy on device (reference counterpart: the per-block
+f64 LU of src/algebra/matrix.c, which has no TPU-native equivalent).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
+    """Batched ``[..., n, n]`` f64 explicit inverse, built on device.
+
+    A row-max-equilibrated f32 inversion seeds Newton-Schulz iterations
+    ``X <- X (2I - A X)`` in f64: the residual squares each iteration (two
+    batched MXU GEMMs), so a handful of steps reach
+    ``|I - X A| ~ cond(A) * eps_f64`` even where the raw f32 inverse has
+    O(1) error.  Row maxima are used for the equilibration because
+    saddle-structured element blocks have zero diagonal entries (measured
+    on Navier-Stokes p=8 elements: ~25x condition-number reduction).
+    Falls back to a host LAPACK inversion if the seed is too inaccurate
+    for Newton-Schulz to contract (the caller's solve probe decides what
+    to do about genuinely singular blocks).
+
+    Returns ``(inverse, seed_err)`` where ``seed_err`` is the equilibrated
+    f32 seed's probe error — a cheap ``cond(A) * eps_f32`` estimate that
+    callers use to decide whether all-f32 inner iterations can contract.
+    """
+    blocks = jnp.asarray(blocks)
+    d = jnp.sqrt(jnp.maximum(jnp.abs(blocks).max(axis=-1), 1e-30))
+    scaled = blocks / d[..., :, None] / d[..., None, :]
+    inv_s = jnp.linalg.inv(scaled.astype(jnp.float32)).astype(jnp.float64)
+    x = inv_s / d[..., :, None] / d[..., None, :]
+
+    probe = jnp.ones(blocks.shape[:-1])
+    applied = jnp.einsum("...ij,...j->...i", blocks, probe)
+
+    # Large arrays are jit ARGUMENTS, not closure captures: captured
+    # constants ship with the computation to the remote TPU compiler,
+    # which rejects them past ~100 MB (HTTP 413).
+    @jax.jit
+    def probe_err_of(x_, applied_):
+        back = jnp.einsum("...ij,...j->...i", x_, applied_)
+        return jnp.abs(back - 1.0).max()
+
+    @jax.jit
+    def ns_step(x_, blocks_):
+        ax = jnp.einsum("...ij,...jk->...ik", blocks_, x_)
+        return 2.0 * x_ - jnp.einsum("...ij,...jk->...ik", x_, ax)
+
+    seed_err = float(probe_err_of(x, applied))
+    err = seed_err
+    for _ in range(8):
+        if np.isfinite(err) and err <= 1e-11:
+            break
+        x_next = ns_step(x, blocks)
+        err_next = float(probe_err_of(x_next, applied))
+        if not np.isfinite(err_next) or err_next >= err:
+            break
+        x, err = x_next, err_next
+    if not np.isfinite(err) or err > 1e-6:
+        try:
+            x = jnp.asarray(np.linalg.inv(np.asarray(blocks)))
+        except np.linalg.LinAlgError:
+            pass
+    return x, seed_err
+
+
+def choose_refine_rounds(
+    blocks, inverse, *, target: float = 1e-10, max_rounds: int = 6
+) -> tuple[int, float]:
+    """Residual-refinement rounds needed for ``inverse`` to solve to ``target``.
+
+    The explicit inverse applies to ``~cond(A) * eps_f64`` relative error;
+    each refinement round (one residual + one correction GEMV) contracts
+    by that factor again.  Probes with the ones vector and returns the
+    smallest round count whose probe error meets ``target`` (normally 0),
+    plus the achieved error — the caller decides whether a shortfall means
+    the blocks are singular.
+    """
+    probe = jnp.ones(blocks.shape[:-1])
+    applied = jnp.einsum("...ij,...j->...i", blocks, probe)
+    err = float("inf")
+    for rounds in range(max_rounds + 1):
+        x = jnp.einsum("...ij,...j->...i", inverse, applied)
+        for _ in range(rounds):
+            r = applied - jnp.einsum("...ij,...j->...i", blocks, x)
+            x = x + jnp.einsum("...ij,...j->...i", inverse, r)
+        err = float(jnp.abs(x - 1.0).max())
+        if np.isfinite(err) and err <= target:
+            return rounds, err
+    return max_rounds, err

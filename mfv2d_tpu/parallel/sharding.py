@@ -18,6 +18,7 @@ communication exists.  The same layout scales the Picard residual evaluation
 
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -129,8 +130,6 @@ def _fused_cg_factory(
                 jnp.asarray(tolerance, trace_rhs.dtype),
                 maximum_iterations,
             )
-        import time as _time
-
         b = jnp.asarray(trace_rhs)
         tol = jnp.asarray(tolerance, b.dtype)
         rs0 = jnp.vdot(b, b)
@@ -141,10 +140,10 @@ def _fused_cg_factory(
         step = chunk
         while total < maximum_iterations:
             step = min(step, maximum_iterations - total)
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             carry, did = cg_chunk(carry, tol, step, *all_tables)
             done = int(did)
-            dt = _time.perf_counter() - t0
+            dt = time.perf_counter() - t0
             total += done
             if done < step or float(carry[3]) <= tol2:
                 break
@@ -652,59 +651,13 @@ class ShardedBlockSystem:
     def _build_f64_inverse(self, shard_blocks, n):
         """Device-resident f64 explicit block inverse (TPU path).
 
-        Jacobi equilibration (symmetric diagonal scaling) drops the f32
-        inversion's effective condition number ~25x on heterogeneous-scale
-        blocks (measured on Navier-Stokes p=8 elements), and Newton-Schulz
-        ``X <- X (2I - A X)`` squares the residual each iteration, so a
-        handful of batched f64 GEMMs reach ``|I - X A| ~ cond(A) * eps_f64``
-        even where a plain f32 inverse has O(1) error.  Falls back to a
-        host LAPACK inversion if the seed is too inaccurate to contract.
-
-        Returns ``(X, seed_err)`` where ``seed_err`` is the equilibrated
-        f32 seed's probe error (a cheap cond(A)*eps_f32 estimate).
+        See :func:`mfv2d_tpu.ops.precision.newton_schulz_inverse` for the
+        scheme (equilibrated f32 seed + Newton-Schulz f64 iterations).
+        Returns ``(X, seed_err)``.
         """
-        blocks = self.blocks
-        # Saddle-structured element blocks have zero diagonal entries, so
-        # equilibrate with row maxima (never zero for an invertible block)
-        # rather than the diagonal.
-        d = jnp.sqrt(jnp.maximum(jnp.abs(blocks).max(axis=2), 1e-30))
-        scaled = blocks / d[:, :, None] / d[:, None, :]
-        inv_s = jnp.linalg.inv(scaled.astype(jnp.float32)).astype(jnp.float64)
-        x = inv_s / d[:, :, None] / d[:, None, :]
+        from mfv2d_tpu.ops.precision import newton_schulz_inverse
 
-        probe = jnp.ones((self.e_padded, n))
-        applied = jnp.einsum("eij,ej->ei", blocks, probe)
-
-        # Large arrays MUST be jit arguments, not closure captures: captured
-        # constants are baked into the HLO, which the remote TPU compiler
-        # rejects past ~100 MB (HTTP 413) and compiles glacially below that.
-        @jax.jit
-        def probe_err_of(x, applied):
-            back = jnp.einsum("eij,ej->ei", x, applied)
-            return jnp.abs(back - 1.0).max()
-
-        @jax.jit
-        def ns_step(x, blocks):
-            ax = jnp.einsum("eij,ejk->eik", blocks, x)
-            return 2.0 * x - jnp.einsum("eij,ejk->eik", x, ax)
-
-        seed_err = float(probe_err_of(x, applied))
-        err = seed_err
-        for _ in range(8):
-            if np.isfinite(err) and err <= 1e-11:
-                break
-            x_next = ns_step(x, blocks)
-            err_next = float(probe_err_of(x_next, applied))
-            if not np.isfinite(err_next) or err_next >= err:
-                break
-            x, err = x_next, err_next
-        if not np.isfinite(err) or err > 1e-6:
-            # Seed too inaccurate for Newton-Schulz to contract (or the
-            # blocks are singular): last resort is a host f64 inversion.
-            try:
-                x = jnp.asarray(np.linalg.inv(np.asarray(blocks)))
-            except np.linalg.LinAlgError:
-                pass  # leave x; the probe loop below raises on singularity
+        x, seed_err = newton_schulz_inverse(self.blocks)
         return jax.device_put(x, shard_blocks), seed_err
 
     @classmethod

@@ -143,14 +143,26 @@ class BlockSaddleSystem:
         self.blocks = [jnp.asarray(m) for m in element_matrices]
         # TPU XLA only implements LuDecomposition in f32 AND executes
         # batched triangular solves ~23x slower than a batched GEMV, so on
-        # TPU the diagonal inverse is a precomputed f32 explicit inverse
-        # applied as a GEMV, refined to f64 accuracy with residual sweeps.
+        # TPU the diagonal inverse is a precomputed f64 explicit inverse
+        # applied as one GEMV (built once by Newton-Schulz from an
+        # equilibrated f32 seed; probe-chosen refinement rounds, normally
+        # zero — see ops/precision.py).
         self._refine_inverse = jax.default_backend() == "tpu"
         if self._refine_inverse:
-            self.lu_factors = [
-                jnp.linalg.inv(b.astype(jnp.float32)) for b in self.blocks
-            ]
-            self._blocks32 = [b.astype(jnp.float32) for b in self.blocks]
+            from mfv2d_tpu.ops.precision import (
+                choose_refine_rounds,
+                newton_schulz_inverse,
+            )
+
+            self.lu_factors = []
+            self._inv32 = []
+            self._refine_rounds = []
+            for b in self.blocks:
+                inv, _ = newton_schulz_inverse(b)
+                rounds, _ = choose_refine_rounds(b, inv)
+                self.lu_factors.append(inv)
+                self._inv32.append(inv.astype(jnp.float32))
+                self._refine_rounds.append(rounds)
         else:
             self.lu_factors = [
                 jax.scipy.linalg.lu_factor(b) for b in self.blocks
@@ -227,24 +239,22 @@ class BlockSaddleSystem:
         return self._assemble(parts)
 
     def apply_diagonal_inverse(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A^{-1} x: batched f64 LU solve, or on TPU a batched GEMV
-        against the precomputed f32 inverse with three f64 refinement
-        sweeps (measured 23x faster than batched triangular solves there).
-        """
+        """y = A^{-1} x: batched f64 LU solve, or on TPU one batched GEMV
+        against the precomputed f64 explicit inverse (plus probe-chosen
+        refinement rounds, normally zero; measured 23x faster than batched
+        triangular solves there)."""
         parts = []
-        for fac, blocks, gather in zip(self.lu_factors, self.blocks, self.gathers):
+        for i, (fac, blocks, gather) in enumerate(
+            zip(self.lu_factors, self.blocks, self.gathers)
+        ):
             xe = x[gather]
             if not self._refine_inverse:
                 ye = jax.scipy.linalg.lu_solve(fac, xe[..., None])[..., 0]
             else:
-                ye = jnp.einsum(
-                    "eij,ej->ei", fac, xe.astype(jnp.float32)
-                ).astype(x.dtype)
-                for _ in range(3):
+                ye = jnp.einsum("eij,ej->ei", fac, xe)
+                for _ in range(self._refine_rounds[i]):
                     r = xe - jnp.einsum("eij,ej->ei", blocks, ye)
-                    ye = ye + jnp.einsum(
-                        "eij,ej->ei", fac, r.astype(jnp.float32)
-                    ).astype(x.dtype)
+                    ye = ye + jnp.einsum("eij,ej->ei", fac, r)
             parts.append(ye)
         return self._assemble(parts)
 
@@ -259,7 +269,7 @@ class BlockSaddleSystem:
         y = self._assemble(
             [
                 jnp.einsum("eij,ej->ei", inv, x[gather])
-                for inv, gather in zip(self.lu_factors, self.gathers)
+                for inv, gather in zip(self._inv32, self.gathers)
             ]
         )
         return jnp.sum(

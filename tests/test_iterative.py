@@ -249,3 +249,71 @@ def test_device_schur_factor_matches_host(monkeypatch):
     assert np.allclose(np.asarray(u_dev), np.asarray(u_host), atol=1e-9), np.abs(
         np.asarray(u_dev) - np.asarray(u_host)
     ).max()
+
+
+def test_block_saddle_tpu_branch_matches_f64(monkeypatch):
+    """The TPU branch (f64 Newton-Schulz explicit inverses) matches LU.
+
+    Forced on CPU via the backend monkeypatch — the same construction runs
+    on the accelerator in the TPU tier.
+    """
+    import jax
+
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.solver.discretization import discretize_mesh
+    from mfv2d_tpu.solver.iterative import BlockSaddleSystem, solve_schur_iterative
+    from mfv2d_tpu.solver.solve import (
+        ConvergenceSettings,
+        SystemEvaluator,
+        compute_linear_system,
+    )
+
+    def u_exact(x, y):
+        return 2 * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y) + 5
+
+    def source_exact(x, y):
+        return -(np.pi**2) * np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    disc = discretize_mesh(mesh, system.unknown_forms, FemCache(3))
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    assert not single._refine_inverse
+    conv = ConvergenceSettings(3000, 1e-11, 0.0)
+    u_ref, _, _, _ = solve_schur_iterative(
+        single, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    forced = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    monkeypatch.undo()
+    assert forced._refine_inverse
+    assert all(r <= 1 for r in forced._refine_rounds)
+    # Diagonal-inverse parity.
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=disc.n_dofs))
+    a = np.asarray(single.apply_diagonal_inverse(x))
+    b = np.asarray(forced.apply_diagonal_inverse(x))
+    assert np.allclose(a, b, atol=1e-10), np.abs(a - b).max()
+    # Full mixed-precision Schur solve through the forced branch.
+    u_f, _, _, _ = solve_schur_iterative(
+        forced, jnp.asarray(forcing), jnp.asarray(lagrange_vec), conv
+    )
+    assert np.allclose(np.asarray(u_f), np.asarray(u_ref), atol=1e-8), np.abs(
+        np.asarray(u_f) - np.asarray(u_ref)
+    ).max()
