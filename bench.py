@@ -184,7 +184,39 @@ def bench_cpu_baseline(n_elem: int = 512, reps: int = 3) -> float:
     return n_elem / min(times)
 
 
+def _await_device(attempts: int = 8, probe_timeout: int = 120) -> None:
+    """Block until the accelerator answers a trivial dispatch.
+
+    The axon relay's remote worker can wedge for minutes after a crashed or
+    killed client (device ops then HANG rather than error).  Each probe
+    runs in a subprocess so a hung dispatch can be killed; the bench only
+    proceeds once a probe round-trips.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((256, 256));"
+        "print(float((x @ x).sum()))"
+    )
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=probe_timeout,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(60)
+    # Fall through and let the real run report whatever happens.
+
+
 def main() -> None:
+    _await_device()
     tpu_rate = bench_tpu()
     base_rate = bench_cpu_baseline()
     print(
