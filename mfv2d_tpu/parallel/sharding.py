@@ -978,12 +978,13 @@ class ShardedBlockSystem:
         return matvec
 
     def make_fused_cg(self, maximum_iterations: int):
-        """Device-resident CG on the Schur complement: one jitted while_loop.
+        """Device-resident CG on the Schur complement, chunked dispatches.
 
-        The host-driven loop paid one dispatch + host sync per matvec
-        (~relay RTT each); this runs the entire iteration on device, with
-        one psum per matvec riding the ICI, and returns
-        ``(lambda, |r|^2, iterations)`` in a single dispatch.
+        Each dispatch runs a bounded while_loop segment on device (one
+        psum per matvec riding the ICI; see ``_fused_cg_factory`` for the
+        chunk adaptation); inside an enclosing trace the whole iteration
+        becomes a single while_loop.  Returns ``(lambda, |r|^2,
+        iterations)``.
         """
         return _fused_cg_factory(
             [self._schur_shardmap()], self._tables, maximum_iterations
@@ -1149,9 +1150,11 @@ def sharded_schur_solve(
 ):
     """Krylov solve on the sharded Schur complement; element work sharded.
 
-    The iteration is one jitted ``while_loop`` on device (one psum per
-    matvec) — no host round-trip per iteration.  Use ``method="gmres"``
-    for direct-form systems (nonsymmetric trace Schur complement).
+    The iteration runs on device in bounded chunks (one psum per matvec,
+    no host round-trip per iteration); on TPU backends the mixed
+    f32-inner path is used where the blocks' conditioning allows.  Use
+    ``method="gmres"`` for direct-form systems (nonsymmetric trace Schur
+    complement).
     """
     b = system.shard_dofs(rhs_flat)
     u, lam, res, iters = _sharded_saddle_solve(
