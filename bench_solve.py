@@ -180,7 +180,7 @@ def _time_mixed_solve(sharded, n_lag, repeats=3):
         out = solve(rhs, tol)
         float(out[1])
         ts.append(time.perf_counter() - t0)
-    return min(ts), res, iters, tol, tol
+    return min(ts), res, iters, tol
 
 
 def bench_krylov() -> list[dict]:
