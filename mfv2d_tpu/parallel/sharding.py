@@ -98,6 +98,21 @@ def _cg_loop(matvec, b, tol, max_iter):
     return x_best, rs_best, k
 
 
+def _initial_chunk(block_bytes: int) -> int:
+    """First-dispatch iteration budget from the block-data footprint.
+
+    The watchdog risk scales with per-iteration GEMV cost (~ block bytes);
+    small systems start with a big chunk (often one dispatch total), while
+    emulated-f64 heavyweights probe with a small one and let the measured
+    rate adapt upward.
+    """
+    if block_bytes <= 16 * 2**20:
+        return 4096
+    if block_bytes <= 128 * 2**20:
+        return 512
+    return 32
+
+
 def _fused_cg_factory(
     schurs, all_tables, maximum_iterations: int, chunk: int = 32
 ):
@@ -987,7 +1002,10 @@ class ShardedBlockSystem:
         iterations)``.
         """
         return _fused_cg_factory(
-            [self._schur_shardmap()], self._tables, maximum_iterations
+            [self._schur_shardmap()],
+            self._tables,
+            maximum_iterations,
+            chunk=_initial_chunk(self.blocks.nbytes),
         )
 
     def make_fused_gmres(self, maximum_iterations: int, restart: int = 100):
@@ -1391,12 +1409,15 @@ class MultiBucketShardedSystem:
         return matvec
 
     def make_fused_cg(self, maximum_iterations: int):
-        """One jitted while_loop CG over all buckets (one psum per bucket
+        """Chunked device CG over all buckets (one psum per bucket
         per matvec)."""
         return _fused_cg_factory(
             [sub._schur_shardmap() for _, sub in self.subsystems],
             tuple(t for _, sub in self.subsystems for t in sub._tables),
             maximum_iterations,
+            chunk=_initial_chunk(
+                sum(sub.blocks.nbytes for _, sub in self.subsystems)
+            ),
         )
 
     def make_fused_gmres(self, maximum_iterations: int, restart: int = 100):

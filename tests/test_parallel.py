@@ -696,16 +696,24 @@ def test_chunked_cg_matches_traced_loop(device_mesh):
     """
     import jax
 
-    from mfv2d_tpu.parallel.sharding import _cg_loop, _sum_matvec
+    from mfv2d_tpu.parallel.sharding import (
+        _cg_loop,
+        _fused_cg_factory,
+        _sum_matvec,
+    )
 
     disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(4, 3)
     sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
 
     rng = np.random.default_rng(9)
     rhs = rng.normal(size=lagrange_mat.shape[0])
-    # Chunked host path (public factory).
-    lam_c, rs_c, it_c = sharded.make_fused_cg(3000)(rhs, 1e-12)
-    assert it_c > 32  # must have crossed at least one chunk boundary
+    # Chunked host path, with a chunk small enough that the solve MUST
+    # cross several dispatch boundaries.
+    chunked = _fused_cg_factory(
+        [sharded._schur_shardmap()], sharded._tables, 3000, chunk=32
+    )
+    lam_c, rs_c, it_c = chunked(rhs, 1e-12)
+    assert it_c > 32  # crossed at least one chunk boundary
     # Traced path (as the marches see it).
     schur = sharded._schur_shardmap()
 
