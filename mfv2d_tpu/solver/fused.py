@@ -23,28 +23,35 @@ def _device_lu_solver(mat: np.ndarray, refinements: int = 12):
     TPU XLA implements LuDecomposition only in f32; iterative refinement
     with an f64 residual matvec recovers double accuracy (see
     solver.iterative.MixedPrecisionLU).
+
+    Returns ``(solve, tables)``; call ``solve(b, tables)``.  The
+    factorization arrays are passed as ARGUMENTS through the enclosing jit
+    rather than closure-captured: captured arrays ship with the
+    computation to the remote TPU compiler (measured 114.8 s vs 0.5 s
+    compile for a 200 MB matrix; >~100 MB is rejected outright).
     """
     if jax.default_backend() == "tpu":
         a64 = jnp.asarray(mat, jnp.float64)
         inv = jnp.linalg.inv(jnp.asarray(mat, jnp.float32))
 
-        def solve(b):
-            x = (inv @ b.astype(jnp.float32)).astype(jnp.float64)
+        def solve(b, tables):
+            a64_, inv_ = tables
 
             def body(_, x):
-                r = b - a64 @ x
-                return x + (inv @ r.astype(jnp.float32)).astype(jnp.float64)
+                r = b - a64_ @ x
+                return x + (inv_ @ r.astype(jnp.float32)).astype(jnp.float64)
 
+            x = (inv_ @ b.astype(jnp.float32)).astype(jnp.float64)
             return jax.lax.fori_loop(0, refinements, body, x)
 
-        return solve
+        return solve, (a64, inv)
 
-    lu_piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
+    lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(mat))
 
-    def solve(b):
-        return jax.scipy.linalg.lu_solve(lu_piv, b)
+    def solve(b, tables):
+        return jax.scipy.linalg.lu_solve((tables[0], tables[1]), b)
 
-    return solve
+    return solve, (lu, piv)
 
 
 
@@ -116,7 +123,7 @@ def fused_linear_time_march(
     """
     mat, n_lag = _dense_saddle(disc, element_matrices, lagrange_mat)
     n = disc.n_dofs
-    lu_solve_fn = _device_lu_solver(mat)
+    lu_solve_fn, lu_tables = _device_lu_solver(mat)
 
     gathers = [jnp.asarray(b.gather) for b in disc.buckets]
     blocks = [jnp.asarray(m) for m in element_matrices]
@@ -149,49 +156,65 @@ def fused_linear_time_march(
 
     inv_perm = _inverse_permutation(disc)
 
-    def block_apply(x):
-        return _assemble_parts(
-            [jnp.einsum("eij,ej->ei", b, x[g]) for b, g in zip(blocks, gathers)],
-            inv_perm,
-        )
-
-    def dual_apply(x):
-        return _assemble_parts(
-            [
-                jnp.einsum("eij,ej->ei", m, x[g])
-                for m, g in zip(mass_blocks, gathers)
-            ],
-            inv_perm,
-        )
-
-    def trace_apply(x):
-        contrib = g_vals * x[g_cols]
-        return jax.ops.segment_sum(contrib, g_rows, num_segments=max(n_lag, 1))[
-            :n_lag
-        ]
-
-    def trace_t_apply(lam):
-        out = jnp.zeros(n)
-        if n_lag == 0:
-            return out
-        return out.at[g_cols].add(g_vals * lam[g_rows])
-
     sample_steps, slots = _sample_slots(nt, sample_rate)
     slots_dev = jnp.asarray(slots)
 
+    # All large arrays ride a pytree ARGUMENT through the jit boundary
+    # (closure captures are serialized to the remote TPU compiler).
+    tables = dict(
+        blocks=blocks,
+        mass_blocks=mass_blocks,
+        explicit=explicit,
+        lu=lu_tables,
+        g_vals=g_vals,
+    )
+
     @jax.jit
-    def march(u0, lam0, carry0, carry_term0):
+    def march(u0, lam0, carry0, carry_term0, tabs):
+        blocks_, mass_blocks_ = tabs["blocks"], tabs["mass_blocks"]
+        explicit_, g_vals_ = tabs["explicit"], tabs["g_vals"]
+
+        def block_apply_(x):
+            return _assemble_parts(
+                [
+                    jnp.einsum("eij,ej->ei", b, x[g])
+                    for b, g in zip(blocks_, gathers)
+                ],
+                inv_perm,
+            )
+
+        def dual_apply_(x):
+            return _assemble_parts(
+                [
+                    jnp.einsum("eij,ej->ei", m, x[g])
+                    for m, g in zip(mass_blocks_, gathers)
+                ],
+                inv_perm,
+            )
+
+        def trace_apply_(x):
+            contrib = g_vals_ * x[g_cols]
+            return jax.ops.segment_sum(
+                contrib, g_rows, num_segments=max(n_lag, 1)
+            )[:n_lag]
+
+        def trace_t_apply_(lam):
+            out = jnp.zeros(n)
+            if n_lag == 0:
+                return out
+            return out.at[g_cols].add(g_vals_ * lam[g_rows])
+
         def step(state, slot):
             u, lam, old_carry, carry_term, buf = state
             current_carry = two_over_dt * old_carry + carry_term
-            base = explicit.at[carry_idx].add(current_carry)
-            value = block_apply(u) + trace_t_apply(lam)
-            value_full = jnp.concatenate([value, trace_apply(u)])
+            base = explicit_.at[carry_idx].add(current_carry)
+            value = block_apply_(u) + trace_t_apply_(lam)
+            value_full = jnp.concatenate([value, trace_apply_(u)])
             residual = base - value_full
-            d = lu_solve_fn(residual)
+            d = lu_solve_fn(residual, tabs["lu"])
             u_new = u + d[:n]
             lam_new = lam + d[n:]
-            dual = dual_apply(u_new)
+            dual = dual_apply_(u_new)
             new_carry = dual[carry_idx]
             new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
             idx = jnp.maximum(slot, 0)
@@ -209,6 +232,7 @@ def fused_linear_time_march(
         jnp.zeros(n_lag),
         jnp.asarray(initial_carry),
         jnp.asarray(initial_carry_term),
+        tables,
     )
     return np.asarray(us), sample_steps, np.asarray(lam_f)
 
@@ -238,7 +262,7 @@ def fused_picard_solve(
 
     mat, n_lag = _dense_saddle(disc, element_matrices, lagrange_mat)
     n = disc.n_dofs
-    lu_solve_fn = _device_lu_solver(mat)
+    lu_solve_fn, lu_tables = _device_lu_solver(mat)
 
     if lagrange_mat is not None:
         coo = lagrange_mat.tocoo()
@@ -287,7 +311,7 @@ def fused_picard_solve(
         return out.at[g_cols].add(g_vals * lam[g_rows])
 
     @jax.jit
-    def solve(u0, lam0):
+    def solve(u0, lam0, base_, lu_tabs):
         def cond(state):
             _, _, it, _, converged, _ = state
             return jnp.logical_and(it < max_iterations, jnp.logical_not(converged))
@@ -296,13 +320,13 @@ def fused_picard_solve(
             u, lam, it, residuals, _, _ = state
             value = residual_value(u) + trace_t_apply(lam)
             full = jnp.concatenate([value, trace_apply(u)])
-            res_vec = base - full
+            res_vec = base_ - full
             mres = jnp.max(jnp.abs(res_vec))
             residuals = residuals.at[it].set(mres)
             conv = jnp.logical_not(
                 jnp.logical_and(mres > atol, mres > max_mag * rtol)
             )
-            d = lu_solve_fn(res_vec)
+            d = lu_solve_fn(res_vec, lu_tabs)
             u_new = jnp.where(conv, u, u + relax * d[:n])
             lam_new = jnp.where(conv, lam, lam + relax * d[n:])
             it_new = jnp.where(conv, it, it + 1)
@@ -320,7 +344,7 @@ def fused_picard_solve(
         return u, lam, it, residuals, mres
 
     u, lam, it, residuals, mres = solve(
-        jnp.asarray(solution0), jnp.asarray(lagrange0)
+        jnp.asarray(solution0), jnp.asarray(lagrange0), base, lu_tables
     )
     return (
         np.asarray(u),
@@ -361,7 +385,7 @@ def fused_nonlinear_time_march(
 
     mat, n_lag = _dense_saddle(disc, element_matrices, lagrange_mat)
     n = disc.n_dofs
-    lu_solve_fn = _device_lu_solver(mat)
+    lu_solve_fn, lu_tables = _device_lu_solver(mat)
 
     gathers = [jnp.asarray(b.gather) for b in disc.buckets]
     statics = evaluator._static_fields
@@ -415,15 +439,6 @@ def fused_nonlinear_time_march(
 
     inv_perm_dual = _inverse_permutation(disc)
 
-    def dual_apply(x):
-        return _assemble_parts(
-            [
-                jnp.einsum("eij,ej->ei", m, x[g])
-                for m, g in zip(mass_blocks, gathers)
-            ],
-            inv_perm_dual,
-        )
-
     def trace_apply(x):
         contrib = g_vals * x[g_cols]
         return jax.ops.segment_sum(contrib, g_rows, num_segments=max(n_lag, 1))[
@@ -439,12 +454,27 @@ def fused_nonlinear_time_march(
     sample_steps, slots = _sample_slots(nt, sample_rate)
     slots_dev = jnp.asarray(slots)
 
+    # Large arrays ride the jit boundary as ARGUMENTS (see
+    # _device_lu_solver).
+    tables = dict(mass_blocks=mass_blocks, explicit=explicit, lu=lu_tables)
+
     @jax.jit
-    def march(u0, lam0, carry0, carry_term0):
+    def march(u0, lam0, carry0, carry_term0, tabs):
+        mass_blocks_, explicit_ = tabs["mass_blocks"], tabs["explicit"]
+
+        def dual_apply_(x):
+            return _assemble_parts(
+                [
+                    jnp.einsum("eij,ej->ei", m, x[g])
+                    for m, g in zip(mass_blocks_, gathers)
+                ],
+                inv_perm_dual,
+            )
+
         def step(state, slot):
             u, lam, old_carry, carry_term, buf = state
             current_carry = two_over_dt * old_carry + carry_term
-            base = explicit.at[carry_idx].add(current_carry)
+            base = explicit_.at[carry_idx].add(current_carry)
 
             def cond(s):
                 _, _, it, converged, _ = s
@@ -461,7 +491,7 @@ def fused_nonlinear_time_march(
                 conv = jnp.logical_not(
                     jnp.logical_and(mres > atol, mres > max_mag * rtol)
                 )
-                d = lu_solve_fn(res_vec)
+                d = lu_solve_fn(res_vec, tabs["lu"])
                 u_new = jnp.where(conv, ui, ui + relax * d[:n])
                 lam_new = jnp.where(conv, lami, lami + relax * d[n:])
                 it_new = jnp.where(conv, it, it + 1)
@@ -470,7 +500,7 @@ def fused_nonlinear_time_march(
             u_new, lam_new, iters, _, mres = jax.lax.while_loop(
                 cond, body, (u, lam, jnp.int32(0), jnp.bool_(False), jnp.inf)
             )
-            dual = dual_apply(u_new)
+            dual = dual_apply_(u_new)
             new_carry = dual[carry_idx]
             new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
             idx = jnp.maximum(slot, 0)
@@ -491,6 +521,7 @@ def fused_nonlinear_time_march(
         jnp.zeros(n_lag),
         jnp.asarray(initial_carry),
         jnp.asarray(initial_carry_term),
+        tables,
     )
     return (
         np.asarray(us),
@@ -672,7 +703,7 @@ def fused_newton_solve(
     base = jnp.asarray(explicit_vec)
 
     @jax.jit
-    def solve(u0, lam0):
+    def solve(u0, lam0, base_, mat0_):
         def cond(state):
             _, _, it, _, converged, _ = state
             return jnp.logical_and(it < max_iterations, jnp.logical_not(converged))
@@ -681,14 +712,14 @@ def fused_newton_solve(
             u, lam, it, residuals, _, _ = state
             value = m["residual_value"](u) + m["trace_t_apply"](lam)
             full = jnp.concatenate([value, m["trace_apply"](u)])
-            res_vec = base - full
+            res_vec = base_ - full
             mres = jnp.max(jnp.abs(res_vec))
             residuals = residuals.at[it].set(mres)
             conv = jnp.logical_not(
                 jnp.logical_and(mres > atol, mres > max_mag * rtol)
             )
             mat = jax.lax.cond(
-                it == 0, lambda u_: m["mat0"], m["assemble_jacobian"], u
+                it == 0, lambda u_: mat0_, m["assemble_jacobian"], u
             )
             d = m["dense_solve"](mat, res_vec)
             u_new = jnp.where(conv, u, u + relax * d[:n])
@@ -704,7 +735,7 @@ def fused_newton_solve(
         return u, lam, it, residuals, mres
 
     u, lam, it, residuals, mres = solve(
-        jnp.asarray(solution0), jnp.asarray(lagrange0)
+        jnp.asarray(solution0), jnp.asarray(lagrange0), base, m["mat0"]
     )
     return (
         np.asarray(u),
@@ -760,15 +791,6 @@ def fused_newton_time_march(
 
     inv_perm_dual = _inverse_permutation(disc)
 
-    def dual_apply(x):
-        return _assemble_parts(
-            [
-                jnp.einsum("eij,ej->ei", mb, x[g])
-                for mb, g in zip(mass_blocks, gathers)
-            ],
-            inv_perm_dual,
-        )
-
     carry_idx = jnp.asarray(carry_indices, jnp.int32)
     explicit = jnp.asarray(explicit_vec)
     two_over_dt = 2.0 / dt
@@ -776,12 +798,27 @@ def fused_newton_time_march(
     sample_steps, slots = _sample_slots(nt, sample_rate)
     slots_dev = jnp.asarray(slots)
 
+    # Large arrays ride the jit boundary as ARGUMENTS (see
+    # _device_lu_solver).
+    tables = dict(mass_blocks=mass_blocks, explicit=explicit, mat0=m["mat0"])
+
     @jax.jit
-    def march(u0, lam0, carry0, carry_term0):
+    def march(u0, lam0, carry0, carry_term0, tabs):
+        mass_blocks_, explicit_ = tabs["mass_blocks"], tabs["explicit"]
+
+        def dual_apply_(x):
+            return _assemble_parts(
+                [
+                    jnp.einsum("eij,ej->ei", mb, x[g])
+                    for mb, g in zip(mass_blocks_, gathers)
+                ],
+                inv_perm_dual,
+            )
+
         def step(state, slot):
             u, lam, old_carry, carry_term, buf = state
             current_carry = two_over_dt * old_carry + carry_term
-            base = explicit.at[carry_idx].add(current_carry)
+            base = explicit_.at[carry_idx].add(current_carry)
 
             def cond(s):
                 _, _, it, converged, _ = s
@@ -799,7 +836,7 @@ def fused_newton_time_march(
                     jnp.logical_and(mres > atol, mres > max_mag * rtol)
                 )
                 mat = jax.lax.cond(
-                    it == 0, lambda u_: m["mat0"], m["assemble_jacobian"], ui
+                    it == 0, lambda u_: tabs["mat0"], m["assemble_jacobian"], ui
                 )
                 d = m["dense_solve"](mat, res_vec)
                 u_new = jnp.where(conv, ui, ui + relax * d[:n])
@@ -810,7 +847,7 @@ def fused_newton_time_march(
             u_new, lam_new, iters, _, mres = jax.lax.while_loop(
                 cond, body, (u, lam, jnp.int32(0), jnp.bool_(False), jnp.inf)
             )
-            dual = dual_apply(u_new)
+            dual = dual_apply_(u_new)
             new_carry = dual[carry_idx]
             new_carry_term = two_over_dt * (new_carry - old_carry) - carry_term
             idx = jnp.maximum(slot, 0)
@@ -831,6 +868,7 @@ def fused_newton_time_march(
         jnp.zeros(n_lag),
         jnp.asarray(initial_carry),
         jnp.asarray(initial_carry_term),
+        tables,
     )
     return (
         np.asarray(us),
