@@ -591,7 +591,13 @@ def gmres_general(
 
 
 def _device_cg32(apply32, max_iterations: int):
-    """All-f32 CG as one jitted while_loop (for the TPU inner iteration)."""
+    """All-f32 CG as one jitted while_loop (for the TPU inner iteration).
+
+    Returns the BEST (minimum-residual) iterate, not the last: on
+    indefinite trace operators (Stokes-type saddle systems) the CG
+    recurrence is only semiconvergent, and a diverged final iterate would
+    poison the outer f64 defect correction.
+    """
     import functools
 
     @functools.partial(jax.jit, static_argnames=())
@@ -601,24 +607,27 @@ def _device_cg32(apply32, max_iterations: int):
         stop = tol32 * tol32 * rr0
 
         def cond(state):
-            _, _, _, rr, it = state
+            _, _, _, rr, it, _, _ = state
             return jnp.logical_and(it < max_iterations, rr > stop)
 
         def body(state):
-            x, r, p, rr, it = state
+            x, r, p, rr, it, x_best, rr_best = state
             ap = apply32(p)
             alpha = rr / jnp.vdot(p, ap)
             x = x + alpha * p
             r = r - alpha * ap
             rr_new = jnp.vdot(r, r)
             p = r + (rr_new / rr) * p
-            return (x, r, p, rr_new, it + 1)
+            better = rr_new < rr_best
+            x_best = jnp.where(better, x, x_best)
+            rr_best = jnp.where(better, rr_new, rr_best)
+            return (x, r, p, rr_new, it + 1, x_best, rr_best)
 
         x0 = jnp.zeros_like(rhs32)
-        x, r, p, rr, it = jax.lax.while_loop(
-            cond, body, (x0, rhs32, rhs32, rr0, jnp.int32(0))
+        x, r, p, rr, it, x_best, rr_best = jax.lax.while_loop(
+            cond, body, (x0, rhs32, rhs32, rr0, jnp.int32(0), x0, rr0)
         )
-        return x, it
+        return x_best, it
 
     return run
 
