@@ -198,6 +198,15 @@ def bench_krylov() -> list[dict]:
         ),
         ("navier_stokes_24x24_p8_frozen", _nonlinear_ns_system(), 24, 24, 8),
     ]
+    # Optional substring filter (e.g. MFV2D_TPU_BENCH_CONFIGS=stokes,hp):
+    # the heavy Navier-Stokes p=8 build can wedge a flaky relay, and a
+    # partial run beats a dead one.
+    import os
+
+    only = os.environ.get("MFV2D_TPU_BENCH_CONFIGS")
+    if only:
+        keys = [k.strip() for k in only.split(",") if k.strip()]
+        configs = [c for c in configs if any(k in c[0] for k in keys)]
     rows = []
     for name, system, nh, nv, p in configs:
         t0 = time.perf_counter()
