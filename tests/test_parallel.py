@@ -726,3 +726,22 @@ def test_chunked_cg_matches_traced_loop(device_mesh):
     lam_t, rs_t, it_t = traced(jnp.asarray(rhs), *sharded._tables)
     assert int(it_t) == it_c
     assert np.allclose(np.asarray(lam_c), np.asarray(lam_t), atol=1e-13)
+
+
+def test_fused_cg_edge_cases(device_mesh):
+    """Degenerate inputs: zero RHS and a cap smaller than the first chunk."""
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+
+    # Zero RHS: converged at iteration zero, returns zeros.
+    lam, rs, it = sharded.make_fused_cg(100)(
+        np.zeros(lagrange_mat.shape[0]), 1e-12
+    )
+    assert float(rs) == 0.0
+    assert np.allclose(np.asarray(lam), 0.0)
+
+    # Iteration cap below the first chunk size still respects the cap.
+    lam, rs, it = sharded.make_fused_cg(7)(
+        np.ones(lagrange_mat.shape[0]), 0.0
+    )
+    assert it == 7
