@@ -215,10 +215,41 @@ def _await_device(attempts: int = 8, probe_timeout: int = 120) -> None:
     # Fall through and let the real run report whatever happens.
 
 
+def _tpu_tier_result(timeout: int = 600) -> str:
+    """Run the opt-in TPU-tier tests on the real chip (VERDICT r2 item 6).
+
+    Returns "N/M" passed/total, or a short failure tag; never raises — the
+    bench headline must still print if the tier wedges.
+    """
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["MFV2D_TPU_TESTS"] = "1"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-m", "tpu", "-q"],
+            timeout=timeout,
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return "timeout"
+    import re
+
+    m = re.search(r"(\d+) passed", r.stdout)
+    passed = int(m.group(1)) if m else 0
+    m = re.search(r"(\d+) failed", r.stdout)
+    failed = int(m.group(1)) if m else 0
+    return f"{passed}/{passed + failed}"
+
+
 def main() -> None:
     _await_device()
     tpu_rate = bench_tpu()
     base_rate = bench_cpu_baseline()
+    tier = _tpu_tier_result()
     print(
         json.dumps(
             {
@@ -231,6 +262,9 @@ def main() -> None:
                 # precisions — disclose it.
                 "assembly_dtype": os.environ["MFV2D_TPU_ASSEMBLY_DTYPE"],
                 "baseline_dtype": "float64",
+                # Hardware-tier pytest run (f32 accuracy bounds asserted on
+                # the actual accelerator; gate.py --tpu runs the same).
+                "tpu_tier_tests": tier,
             }
         )
     )
