@@ -28,6 +28,14 @@ import scipy.sparse as sp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mfv2d_tpu.solver.discretization import Discretization
+from mfv2d_tpu.solver.krylov import (
+    auto_restart,
+    cg_chunk as _cg_chunk,
+    cg_loop as _cg_loop,
+    gmres_cycle as _gmres_cycle,
+    gmres_loop as _gmres_loop,
+    spd_probe,
+)
 
 
 def _pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
@@ -52,50 +60,6 @@ def _sum_matvec(schurs, tables, n_tab):
         return out
 
     return matvec
-
-
-def _cg_chunk(matvec, carry, tol, max_iter):
-    """Up to ``max_iter`` traceable CG iterations from ``carry``.
-
-    ``carry = (x, r, p, rs, x_best, rs_best)``; the best (minimum-residual)
-    iterate is tracked because on indefinite operators (Stokes-type trace
-    Schur complements) the CG recurrence is only semiconvergent and the
-    final iterate can be far worse than the best.
-
-    Returns ``(carry, iterations_done)``.
-    """
-
-    def cond(c):
-        (_, _, _, rs, _, rs_best), k = c
-        return (k < max_iter) & (rs > tol * tol)
-
-    def body(c):
-        (x, r, p, rs, x_best, rs_best), k = c
-        ap = matvec(p)
-        alpha = rs / jnp.vdot(p, ap)
-        x = x + alpha * p
-        r = r - alpha * ap
-        rs_new = jnp.vdot(r, r)
-        p = r + (rs_new / rs) * p
-        better = rs_new < rs_best
-        x_best = jnp.where(better, x, x_best)
-        rs_best = jnp.where(better, rs_new, rs_best)
-        return (x, r, p, rs_new, x_best, rs_best), k + 1
-
-    return jax.lax.while_loop(cond, body, (carry, jnp.asarray(0, jnp.int32)))
-
-
-def _cg_loop(matvec, b, tol, max_iter):
-    """Traceable CG from a zero start; stops at ``|r| <= tol``.
-
-    Returns ``(x_best, |r_best|^2, iterations)``.
-    """
-    rs0 = jnp.vdot(b, b)
-    zeros = jnp.zeros_like(b)
-    (_, _, _, _, x_best, rs_best), k = _cg_chunk(
-        matvec, (zeros, b, b, rs0, zeros, rs0), tol, max_iter
-    )
-    return x_best, rs_best, k
 
 
 def _initial_chunk(block_bytes: int) -> int:
@@ -180,123 +144,25 @@ def _fused_cg_factory(
     return run
 
 
-def _gmres_cycle(matvec, b, tol, x0, m):
-    """One traceable GMRES(m) cycle from ``x0``: Arnoldi + Givens + update.
-
-    Returns ``(x_new, |r|_estimate, iterations)``.
-    """
-    n = b.shape[0]
-
-    def cycle(x0):
-        r0 = b - matvec(x0)
-        beta = jnp.linalg.norm(r0)
-        v0 = r0 / jnp.where(beta > 0, beta, 1.0)
-        big_v = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
-        big_h = jnp.zeros((m + 1, m), b.dtype)
-        cs = jnp.zeros(m, b.dtype)
-        sn = jnp.zeros(m, b.dtype)
-        g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
-
-        def cond(c):
-            j, _, _, _, _, g_ = c
-            return (j < m) & (jnp.abs(g_[j]) > tol)
-
-        def body(c):
-            j, big_v, big_h, cs, sn, g_ = c
-            w = matvec(big_v[j])
-
-            # Modified Gram-Schmidt over the active basis rows.
-            def mgs(i, carry):
-                w_, hcol = carry
-                active = (i <= j).astype(b.dtype)
-                hij = jnp.vdot(big_v[i], w_) * active
-                return w_ - hij * big_v[i], hcol.at[i].set(hij)
-
-            w, hcol = jax.lax.fori_loop(
-                0, m + 1, mgs, (w, jnp.zeros(m + 1, b.dtype))
-            )
-            h_next = jnp.linalg.norm(w)
-            hcol = hcol.at[j + 1].set(h_next)
-            big_v = big_v.at[j + 1].set(
-                w / jnp.where(h_next > 0, h_next, 1.0)
-            )
-
-            # Apply the previous Givens rotations to the new column.
-            def rot(i, col):
-                active = (i < j).astype(b.dtype)
-                t0 = cs[i] * col[i] + sn[i] * col[i + 1]
-                t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
-                col = col.at[i].set(active * t0 + (1 - active) * col[i])
-                return col.at[i + 1].set(
-                    active * t1 + (1 - active) * col[i + 1]
-                )
-
-            hcol = jax.lax.fori_loop(0, m, rot, hcol)
-            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-            denom = jnp.where(denom > 0, denom, 1.0)
-            c_new = hcol[j] / denom
-            s_new = hcol[j + 1] / denom
-            hcol = hcol.at[j].set(
-                c_new * hcol[j] + s_new * hcol[j + 1]
-            ).at[j + 1].set(0.0)
-            g_ = g_.at[j + 1].set(-s_new * g_[j]).at[j].set(
-                c_new * g_[j]
-            )
-            big_h = big_h.at[:, j].set(hcol)
-            cs = cs.at[j].set(c_new)
-            sn = sn.at[j].set(s_new)
-            return j + 1, big_v, big_h, cs, sn, g_
-
-        j, big_v, big_h, cs, sn, g = jax.lax.while_loop(
-            cond, body, (0, big_v, big_h, cs, sn, g)
-        )
-        # Triangular solve on the rotated H; inactive columns get a
-        # unit diagonal and zero RHS so their y entries vanish.
-        idx = jnp.arange(m)
-        active = idx < j
-        r_mat = big_h[:m, :]
-        r_mat = jnp.where(
-            (idx[:, None] == idx[None, :]) & ~active[:, None],
-            1.0,
-            r_mat,
-        )
-        rhs = jnp.where(active, g[:m], 0.0)
-        y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
-        return x0 + y @ big_v[:m], jnp.abs(g[j]), j
-
-    return cycle(x0)
-
-
-def _gmres_loop(matvec, b, tol, max_iter, m):
-    """Traceable restarted GMRES(m) from a zero start; stops at ``|r| <= tol``.
-
-    Returns ``(x, |r|^2, iterations)`` (the residual is the rotated-Hessenberg
-    estimate from the last cycle).
-    """
-
-    def outer_cond(c):
-        x, res, total = c
-        return (total < max_iter) & (res > tol)
-
-    def outer_body(c):
-        x, _, total = c
-        x, res, j = _gmres_cycle(matvec, b, tol, x, m)
-        return x, res, total + jnp.maximum(j, 1)
-
-    r_init = jnp.linalg.norm(b)
-    x, res, total = jax.lax.while_loop(
-        outer_cond, outer_body, (jnp.zeros_like(b), r_init, 0)
-    )
-    return x, res * res, total
-
-
-def _fused_gmres_factory(schurs, all_tables, maximum_iterations: int, restart: int = 100):
+def _fused_gmres_factory(
+    schurs, all_tables, maximum_iterations: int, restart: int | None = None
+):
     """Device restarted GMRES over summed per-bucket Schur matvecs.
 
     One jitted dispatch per restart cycle, restarts driven from the host —
     the same bounded-dispatch rationale as ``_fused_cg_factory``.
+    ``restart=None`` sizes the Krylov space with :func:`auto_restart`
+    (effectively un-truncated, memory-bounded): indefinite trace systems
+    converge superlinearly only once the space spans both spectral
+    branches (Stokes 16x16 p=4: 593 matvecs un-truncated vs 12,611 at
+    restart 200 — see solver/krylov.py).
     """
-    m = min(restart, maximum_iterations)
+    n_first = all_tables[3].shape[1]  # tr_elem: [nd, n_lag, k]
+    m = (
+        auto_restart(n_first, maximum_iterations, dtype_bytes=8)
+        if restart is None
+        else min(restart, maximum_iterations)
+    )
 
     @partial(jax.jit, static_argnames=("m_",))
     def gmres_cycle(x, b, tol, m_, *tables):
@@ -333,7 +199,7 @@ def _fused_mixed_factory(
     tables32,
     maximum_iterations: int,
     method: str = "cg",
-    restart: int = 100,
+    restart: int | None = None,
     inner_tolerance: float = 1e-6,
     max_outer: int = 60,
 ):
@@ -364,7 +230,22 @@ def _fused_mixed_factory(
     ``iterations`` counts inner Krylov iterations.
     """
     n64, n32 = 8, 6
-    m = min(restart, maximum_iterations)
+    n_lag = tables64[3].shape[1]  # tr_elem: [n_devices, n_lag, k]
+    if restart is None:
+        # Effectively un-truncated f32 Krylov space (memory-bounded):
+        # restart truncation is what made indefinite trace systems take
+        # 18k+ inner iterations (see solver/krylov.py).
+        m = auto_restart(n_lag, maximum_iterations, dtype_bytes=4)
+    else:
+        m = min(restart, maximum_iterations)
+    # Bound one sweep's device work: a GMRES inner pass gets at most two
+    # cycles per dispatch (the outer host loop re-enters), which keeps a
+    # dispatch under the TPU runtime watchdog even at large m.
+    inner_cap = (
+        min(maximum_iterations, 2 * m)
+        if method == "gmres"
+        else maximum_iterations
+    )
 
     @partial(jax.jit, static_argnames=("max_iter", "m_"))
     def sweep(lam, trace_rhs, max_iter, m_, *tabs):
@@ -392,8 +273,8 @@ def _fused_mixed_factory(
         def inner(r32):
             t32 = jnp.asarray(inner_tolerance, jnp.float32) * jnp.linalg.norm(r32)
             if method == "gmres":
-                return _gmres_loop(matvec32, r32, t32, maximum_iterations, m)
-            return _cg_loop(matvec32, r32, t32, maximum_iterations)
+                return _gmres_loop(matvec32, r32, t32, inner_cap, m)
+            return _cg_loop(matvec32, r32, t32, inner_cap)
 
         def cond(st):
             _, rr, _, k = st
@@ -435,7 +316,7 @@ def _fused_mixed_factory(
         stagnant = 0
         for k in range(max_outer + 1):
             lam_new, rr_a, it = sweep(
-                lam, trace_rhs, maximum_iterations, m, *tables64, *tables32
+                lam, trace_rhs, inner_cap, m, *tables64, *tables32
             )
             rr = float(rr_a)
             if np.isfinite(rr) and rr < best_rr:
@@ -474,8 +355,18 @@ def _trace_krylov(system, method: str, maximum_iterations: int):
 
     Systems whose element blocks are too ill-conditioned for f32 sweeps to
     contract (``_inner32_ok`` False, a cond(A)*eps_f32 probe at build time)
-    stay on the f64 loop.
+    stay on the f64 loop.  ``method="cg"`` is upgraded to large-restart
+    GMRES when the curvature probe finds the trace operator indefinite
+    (saddle formulations): the CG recurrence is only semiconvergent there
+    — Stokes 16x16 p=4 measured 18,000 inner CG iterations vs ~600 for the
+    un-truncated GMRES space (solver/krylov.py).
     """
+    if (
+        method == "cg"
+        and getattr(system, "n_lagrange", 0)
+        and system.trace_indefinite()
+    ):
+        method = "gmres"
     if _mixed_trace_enabled() and getattr(system, "_inner32_ok", True):
         if method == "gmres":
             return system.make_fused_gmres_mixed(maximum_iterations)
@@ -928,6 +819,32 @@ class ShardedBlockSystem:
 
         return schur32
 
+    def trace_indefinite(self) -> bool:
+        """Whether the trace Schur complement shows negative curvature.
+
+        A short f32 CG probe on the inner operator (one jitted dispatch,
+        ~32 matvecs); cached.  Indefinite systems (saddle formulations such
+        as Stokes) are routed to large-restart GMRES — the CG recurrence is
+        only semiconvergent on them (measured 18k+ inner iterations where
+        the un-truncated GMRES space needs ~600; see solver/krylov.py).
+        """
+        cached = getattr(self, "_trace_indef", None)
+        if cached is None:
+            if self.n_lagrange == 0:
+                cached = False
+            else:
+                rhs = jnp.asarray(
+                    np.random.default_rng(0).normal(size=self.n_lagrange),
+                    jnp.float32,
+                )
+                schur32 = self._schur32_shardmap()
+                probe = jax.jit(
+                    lambda r, *t: spd_probe(lambda v: schur32(v, *t), r)
+                )
+                cached = bool(probe(rhs, *self._tables32) <= -1e-4)
+            self._trace_indef = cached
+        return cached
+
     def make_fused_cg_mixed(self, maximum_iterations: int):
         """Mixed-precision device CG: f32 inner sweeps, f64 defect correction."""
         return _fused_mixed_factory(
@@ -939,8 +856,14 @@ class ShardedBlockSystem:
             method="cg",
         )
 
-    def make_fused_gmres_mixed(self, maximum_iterations: int, restart: int = 100):
-        """Mixed-precision device GMRES: f32 inner cycles, f64 defect correction."""
+    def make_fused_gmres_mixed(
+        self, maximum_iterations: int, restart: int | None = None
+    ):
+        """Mixed-precision device GMRES: f32 inner cycles, f64 defect correction.
+
+        ``restart=None`` sizes the f32 Krylov space with ``auto_restart``
+        (effectively un-truncated, memory-bounded).
+        """
         return _fused_mixed_factory(
             [self._schur_shardmap()],
             [self._schur32_shardmap()],
@@ -1008,7 +931,9 @@ class ShardedBlockSystem:
             chunk=_initial_chunk(self.blocks.nbytes),
         )
 
-    def make_fused_gmres(self, maximum_iterations: int, restart: int = 100):
+    def make_fused_gmres(
+        self, maximum_iterations: int, restart: int | None = None
+    ):
         """Device-resident restarted GMRES on the Schur complement.
 
         The trace Schur complement ``S = G A^{-1} G^T`` inherits A's
@@ -1420,7 +1345,9 @@ class MultiBucketShardedSystem:
             ),
         )
 
-    def make_fused_gmres(self, maximum_iterations: int, restart: int = 100):
+    def make_fused_gmres(
+        self, maximum_iterations: int, restart: int | None = None
+    ):
         """One jitted restarted GMRES over all buckets (nonsymmetric S)."""
         return _fused_gmres_factory(
             [sub._schur_shardmap() for _, sub in self.subsystems],
@@ -1433,6 +1360,33 @@ class MultiBucketShardedSystem:
     def _inner32_ok(self):
         return all(getattr(sub, "_inner32_ok", True) for _, sub in self.subsystems)
 
+    def trace_indefinite(self) -> bool:
+        """Negative-curvature probe over the summed multi-bucket operator.
+
+        Same contract as :meth:`ShardedBlockSystem.trace_indefinite`.
+        """
+        cached = getattr(self, "_trace_indef", None)
+        if cached is None:
+            if self.n_lagrange == 0:
+                cached = False
+            else:
+                rhs = jnp.asarray(
+                    np.random.default_rng(0).normal(size=self.n_lagrange),
+                    jnp.float32,
+                )
+                schurs32 = [
+                    sub._schur32_shardmap() for _, sub in self.subsystems
+                ]
+                tabs = tuple(
+                    t for _, sub in self.subsystems for t in sub._tables32
+                )
+                probe = jax.jit(
+                    lambda r, *t: spd_probe(_sum_matvec(schurs32, t, 6), r)
+                )
+                cached = bool(probe(rhs, *tabs) <= -1e-4)
+            self._trace_indef = cached
+        return cached
+
     def make_fused_cg_mixed(self, maximum_iterations: int):
         """Mixed-precision multi-bucket CG (f32 inner, f64 defect correction)."""
         return _fused_mixed_factory(
@@ -1444,7 +1398,9 @@ class MultiBucketShardedSystem:
             method="cg",
         )
 
-    def make_fused_gmres_mixed(self, maximum_iterations: int, restart: int = 100):
+    def make_fused_gmres_mixed(
+        self, maximum_iterations: int, restart: int | None = None
+    ):
         """Mixed-precision multi-bucket GMRES (f32 inner, f64 defect correction)."""
         return _fused_mixed_factory(
             [sub._schur_shardmap() for _, sub in self.subsystems],

@@ -29,6 +29,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from mfv2d_tpu.solver.discretization import Discretization
+from mfv2d_tpu.solver.krylov import auto_restart, gmres_loop, spd_probe
 from mfv2d_tpu.solver.solve import ConvergenceSettings
 
 
@@ -260,21 +261,94 @@ class BlockSaddleSystem:
 
     # -- trace (constraint) operator -----------------------------------
 
+    @property
+    def _tables32(self):
+        """Flat f32 operator tables for the inner iteration (cached).
+
+        Passed through jit boundaries as ARGUMENTS — captured constants are
+        serialized with the computation, which the remote TPU compiler
+        rejects past ~100 MB.
+        """
+        cached = getattr(self, "_tables32_cache", None)
+        if cached is None:
+            if self._refine_inverse:
+                inv32 = self._inv32
+            else:
+                # CPU/GPU path stores LU factorizations; build the f32
+                # explicit inverses once for the inner iteration.
+                inv32 = [
+                    jnp.linalg.inv(b.astype(jnp.float32)) for b in self.blocks
+                ]
+            cached = (
+                self._col_rows,
+                self._col_vals.astype(jnp.float32),
+                self._row_cols,
+                self._row_vals.astype(jnp.float32),
+                self._inv_perm,
+            ) + tuple(t for pair in zip(inv32, self.gathers) for t in pair)
+            self._tables32_cache = cached
+        return cached
+
+    @staticmethod
+    def _schur32_apply(lam32, col_rows, col_vals32, row_cols, row_vals32,
+                       inv_perm, *inv_gather):
+        """All-f32 S lambda from flat tables: one inverse GEMV per bucket
+        (no refinement sweeps), f32 padded trace gathers."""
+        x = jnp.sum(col_vals32 * lam32[col_rows], axis=1)
+        parts = [
+            jnp.einsum("eij,ej->ei", inv_gather[i], x[inv_gather[i + 1]])
+            for i in range(0, len(inv_gather), 2)
+        ]
+        flat = (
+            parts[0].reshape(-1)
+            if len(parts) == 1
+            else jnp.concatenate([p.reshape(-1) for p in parts])
+        )
+        y = flat[inv_perm]
+        return jnp.sum(row_vals32 * y[row_cols], axis=1)
+
     def apply_schur32(self, lam32: jnp.ndarray) -> jnp.ndarray:
-        """All-f32 S lambda for the mixed-precision inner Krylov iteration:
-        single inverse GEMV (no refinement sweeps), f32 trace gathers."""
-        x = jnp.sum(
-            self._col_vals.astype(jnp.float32) * lam32[self._col_rows], axis=1
+        """All-f32 S lambda for the mixed-precision inner Krylov iteration."""
+        return self._schur32_apply(lam32, *self._tables32)
+
+    @property
+    def _tables64(self):
+        """Flat f64 operator tables (TPU explicit-inverse path), for passing
+        through jit boundaries as arguments."""
+        return (
+            self._col_rows,
+            self._col_vals,
+            self._row_cols,
+            self._row_vals,
+            self._inv_perm,
+        ) + tuple(
+            t
+            for triple in zip(self.lu_factors, self.blocks, self.gathers)
+            for t in triple
         )
-        y = self._assemble(
-            [
-                jnp.einsum("eij,ej->ei", inv, x[gather])
-                for inv, gather in zip(self._inv32, self.gathers)
-            ]
+
+    @staticmethod
+    def _schur64_apply(lam, rounds, col_rows, col_vals, row_cols, row_vals,
+                       inv_perm, *inv_blocks_gather):
+        """Accurate S lambda from flat tables: per-bucket explicit f64
+        inverse GEMV plus the probe-chosen refinement rounds (static)."""
+        x = jnp.sum(col_vals * lam[col_rows], axis=1)
+        parts = []
+        for i, rnd in enumerate(rounds):
+            inv, blocks, g = inv_blocks_gather[3 * i : 3 * i + 3]
+            xe = x[g]
+            ye = jnp.einsum("eij,ej->ei", inv, xe)
+            for _ in range(rnd):
+                r = xe - jnp.einsum("eij,ej->ei", blocks, ye)
+                ye = ye + jnp.einsum("eij,ej->ei", inv, r)
+            parts.append(ye)
+        flat = (
+            parts[0].reshape(-1)
+            if len(parts) == 1
+            else jnp.concatenate([p.reshape(-1) for p in parts])
         )
-        return jnp.sum(
-            self._row_vals.astype(jnp.float32) * y[self._row_cols], axis=1
-        )
+        y = flat[inv_perm]
+        return jnp.sum(row_vals * y[row_cols], axis=1)
 
     def apply_trace(self, x: jnp.ndarray) -> jnp.ndarray:
         """G x as a padded row-major gather (no scatter)."""
@@ -408,6 +482,35 @@ class BlockSaddleSystem:
                 decomp = sla.splu(sp.csc_matrix(s))
             self._schur_decomp = decomp
         return decomp
+
+    def trace_indefinite(self) -> bool:
+        """Whether the trace Schur complement shows negative curvature.
+
+        A short f32 CG probe on ``apply_schur32`` (cached).  Indefinite
+        systems (saddle formulations such as Stokes) are routed to
+        large-restart GMRES inner iterations: the CG recurrence is only
+        semiconvergent on them — measured 18,000 inner CG iterations where
+        the un-truncated GMRES space needs ~600 (see solver/krylov.py).
+        """
+        cached = getattr(self, "_trace_indef", None)
+        if cached is None:
+            if self.n_lagrange == 0:
+                cached = False
+            else:
+                rhs = jnp.asarray(
+                    np.random.default_rng(0).normal(size=self.n_lagrange),
+                    jnp.float32,
+                )
+
+                @jax.jit
+                def probe(r, *tabs):
+                    return spd_probe(
+                        lambda v: self._schur32_apply(v, *tabs), r
+                    )
+
+                cached = bool(probe(rhs, *self._tables32) <= -1e-4)
+            self._trace_indef = cached
+        return cached
 
     def schur_jacobi_diagonal(self) -> jnp.ndarray:
         """Cheap approximation of diag(S) for Jacobi preconditioning.
@@ -590,46 +693,42 @@ def gmres_general(
 # ---------------------------------------------------------------------------
 
 
-def _device_cg32(apply32, max_iterations: int):
-    """All-f32 CG as one jitted while_loop (for the TPU inner iteration).
+def _mixed_sweep_factory(rounds, method, m, inner_cap, inner_tolerance=1e-6):
+    """One jitted mixed-precision defect-correction sweep for the
+    single-chip trace system: an accurate f64 Schur residual followed by
+    an all-f32 inner CG/GMRES correction.
 
-    Returns the BEST (minimum-residual) iterate, not the last: on
-    indefinite trace operators (Stokes-type saddle systems) the CG
-    recurrence is only semiconvergent, and a diverged final iterate would
-    poison the outer f64 defect correction.
+    All operator tables flow through the jit boundary as ARGUMENTS (the
+    remote TPU compiler rejects closure captures past ~100 MB and compiles
+    glacially below that).  ``rounds`` (per-bucket refinement counts) is
+    static structure baked into the trace.
     """
-    import functools
+    n64 = 5 + 3 * len(rounds)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run(rhs32, tol32):
-        rr0 = jnp.vdot(rhs32, rhs32)
-        # tol32 is relative to the inner RHS norm.
-        stop = tol32 * tol32 * rr0
+    @jax.jit
+    def sweep(lam, trace_rhs, *tabs):
+        tabs64 = tabs[:n64]
+        tabs32 = tabs[n64:]
 
-        def cond(state):
-            _, _, _, rr, it, _, _ = state
-            return jnp.logical_and(it < max_iterations, rr > stop)
+        def matvec64(v):
+            return BlockSaddleSystem._schur64_apply(v, rounds, *tabs64)
 
-        def body(state):
-            x, r, p, rr, it, x_best, rr_best = state
-            ap = apply32(p)
-            alpha = rr / jnp.vdot(p, ap)
-            x = x + alpha * p
-            r = r - alpha * ap
-            rr_new = jnp.vdot(r, r)
-            p = r + (rr_new / rr) * p
-            better = rr_new < rr_best
-            x_best = jnp.where(better, x, x_best)
-            rr_best = jnp.where(better, rr_new, rr_best)
-            return (x, r, p, rr_new, it + 1, x_best, rr_best)
+        def matvec32(v):
+            return BlockSaddleSystem._schur32_apply(v, *tabs32)
 
-        x0 = jnp.zeros_like(rhs32)
-        x, r, p, rr, it, x_best, rr_best = jax.lax.while_loop(
-            cond, body, (x0, rhs32, rhs32, rr0, jnp.int32(0), x0, rr0)
-        )
-        return x_best, it
+        r = trace_rhs - matvec64(lam)
+        rr = jnp.vdot(r, r)
+        r32 = r.astype(jnp.float32)
+        t32 = jnp.asarray(inner_tolerance, jnp.float32) * jnp.linalg.norm(r32)
+        if method == "gmres":
+            d32, _, it = gmres_loop(matvec32, r32, t32, inner_cap, m)
+        else:
+            from mfv2d_tpu.solver.krylov import cg_loop
 
-    return run
+            d32, _, it = cg_loop(matvec32, r32, t32, inner_cap)
+        return lam + d32.astype(lam.dtype), rr, it
+
+    return sweep
 
 
 def _solve_schur_mixed_tpu(
@@ -639,62 +738,70 @@ def _solve_schur_mixed_tpu(
     convergence: ConvergenceSettings,
     initial_lagrange: jnp.ndarray | None,
 ):
-    """Iterative refinement around an all-f32 device CG on the trace system.
+    """Iterative refinement around an all-f32 inner Krylov trace solve.
 
     f64 matmuls are software-emulated on TPU (~3 GFLOP/s measured), so a
-    plain f64 CG is no faster than a CPU.  Instead each outer iteration
-    computes one f64 Schur residual (refined operators) and corrects with a
-    fast f32 CG solve; cond(S) * eps_f32 < 1 gives geometric convergence to
-    full f64 accuracy with a handful of outer sweeps.
+    plain f64 Krylov loop is no faster than a CPU.  Instead each outer
+    sweep computes one f64 Schur residual (refined operators) and corrects
+    with a fast f32 inner solve; cond(S) * eps_f32 < 1 gives geometric
+    convergence to full f64 accuracy in a handful of sweeps.
+
+    The inner method follows the curvature probe: definite trace operators
+    run CG; indefinite (saddle) ones run GMRES with an effectively
+    un-truncated, memory-bounded restart — CG is only semiconvergent there
+    and restart truncation was measured costing 20-30x in iterations
+    (solver/krylov.py).  The outer loop is host-driven (one jitted
+    dispatch per sweep, bounded device work per dispatch) with best-iterate
+    tracking and a stagnation exit.
     """
     inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
     trace_rhs = system.apply_trace(inv_a_b) - jnp.asarray(constraints)
-    lam0 = (
+    lam = (
         jnp.zeros(system.n_lagrange)
         if initial_lagrange is None
         else jnp.asarray(initial_lagrange)
     )
     tol = _stopping_tolerance(float(jnp.linalg.norm(trace_rhs)), convergence)
-    cache_key = ("mixed_refine", float(tol), convergence.maximum_iterations)
-    if cache_key in system._jit_cache:
-        refine = system._jit_cache[cache_key]
-        inv_dummy = None
+    indef = system.trace_indefinite()
+    method = "gmres" if indef else "cg"
+    max_iter = convergence.maximum_iterations
+    if indef:
+        m = auto_restart(system.n_lagrange, max_iter, dtype_bytes=4)
+        inner_cap = min(max_iter, 2 * m)
     else:
-        refine = None
-    inner = _device_cg32(system.apply_schur32, convergence.maximum_iterations)
-
-    @jax.jit
-    def _refine(trace_rhs, lam0):
-        # Whole outer refinement on device: one dispatch for the full solve
-        # (each host round trip through the relay costs ~33 ms).
-        def cond(st):
-            _, rr, _, k = st
-            return jnp.logical_and(k < 60, rr > tol * tol)
-
-        def body(st):
-            lam, _, tot, k = st
-            r = trace_rhs - system.apply_schur(lam)
-            rr = jnp.vdot(r, r)
-            fix = rr > tol * tol
-            d32, it = inner(r.astype(jnp.float32), jnp.float32(1e-6))
-            lam = jnp.where(fix, lam + d32.astype(lam.dtype), lam)
-            tot = tot + jnp.where(fix, it, 0)
-            return (lam, rr, tot, k + 1)
-
-        lam, rr, tot, _ = jax.lax.while_loop(
-            cond, body, (lam0, jnp.asarray(jnp.inf), jnp.int32(0), jnp.int32(0))
+        m = 0
+        inner_cap = max_iter
+    cache_key = ("mixed_sweep", method, m, inner_cap)
+    sweep = system._jit_cache.get(cache_key)
+    if sweep is None:
+        sweep = _mixed_sweep_factory(
+            tuple(system._refine_rounds), method, m, inner_cap
         )
-        # Final residual after the last correction.
-        r = trace_rhs - system.apply_schur(lam)
-        return lam, jnp.linalg.norm(r), tot
+        system._jit_cache[cache_key] = sweep
+    tabs = system._tables64 + system._tables32
 
-    if refine is None:
-        refine = _refine
-        system._jit_cache[cache_key] = refine
-    lam, r_mag, total_iters = jax.device_get(refine(trace_rhs, lam0))
-    lam = jnp.asarray(lam)
+    tol2 = tol * tol
+    best_lam, best_rr = lam, float("inf")
+    total = 0
+    stagnant = 0
+    rr = float("inf")
+    for k in range(61):
+        lam_new, rr_a, it = sweep(lam, trace_rhs, *tabs)
+        rr = float(rr_a)
+        if np.isfinite(rr) and rr < best_rr:
+            best_lam, best_rr = lam, rr
+            stagnant = 0
+        else:
+            stagnant += 1
+        if rr <= tol2 or stagnant >= 3 or k == 60:
+            break
+        total += int(it)
+        lam = lam_new
+    if best_rr == float("inf"):
+        best_rr = rr
+    lam = best_lam
     u = inv_a_b - system.apply_diagonal_inverse(system.apply_trace_transpose(lam))
-    return u, lam, float(r_mag), max(int(total_iters), 1)
+    return u, lam, float(np.sqrt(max(best_rr, 0.0))), max(total, 1)
 
 
 def solve_schur_iterative(
