@@ -166,10 +166,9 @@ def _time_mixed_solve(sharded, n_lag, repeats=3):
     rng = np.random.default_rng(3)
     rhs = jnp.asarray(rng.normal(size=n_lag))
     tol = 1e-10 * float(jnp.linalg.norm(rhs))
-    # Systems on the f64 fallback (failed cond*eps_f32 probe) iterate at
-    # seconds-per-iteration under f64 emulation; bound the bench run and
-    # report the (non-converged) residual honestly.
-    cap = 3000 if getattr(sharded, "_inner32_ok", True) else 400
+    # All systems run a fast inner path now: plain f32 where the seed
+    # probe passes, the f32x2 hi/lo operator where it fails (NS p=8).
+    cap = 3000
     solve = _trace_krylov(sharded, "cg", cap)
     out = solve(rhs, tol)  # compile + warm
     res = float(np.sqrt(float(out[1])))

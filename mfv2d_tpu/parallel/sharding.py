@@ -202,6 +202,7 @@ def _fused_mixed_factory(
     restart: int | None = None,
     inner_tolerance: float = 1e-6,
     max_outer: int = 60,
+    n32: int = 6,
 ):
     """f64 defect correction around an all-f32 inner Krylov trace solve.
 
@@ -229,7 +230,7 @@ def _fused_mixed_factory(
     ``(lam, |r|^2, iterations)`` contract as the f64 factories, where
     ``iterations`` counts inner Krylov iterations.
     """
-    n64, n32 = 8, 6
+    n64 = 8
     n_lag = tables64[3].shape[1]  # tr_elem: [n_devices, n_lag, k]
     if restart is None:
         # Effectively un-truncated f32 Krylov space (memory-bounded):
@@ -367,10 +368,17 @@ def _trace_krylov(system, method: str, maximum_iterations: int):
         and system.trace_indefinite()
     ):
         method = "gmres"
-    if _mixed_trace_enabled() and getattr(system, "_inner32_ok", True):
+    if _mixed_trace_enabled():
+        # Three-way inner gate: plain f32 where the equilibrated-f32 seed
+        # represents the block inverses (cheapest), the f32x2 hi/lo split
+        # where it cannot (unbiased operator at ~2x the GEMV cost — e.g.
+        # Navier-Stokes p=8 elements), f64 only as the last resort.
+        accurate = not getattr(system, "_inner32_ok", True)
         if method == "gmres":
-            return system.make_fused_gmres_mixed(maximum_iterations)
-        return system.make_fused_cg_mixed(maximum_iterations)
+            return system.make_fused_gmres_mixed(
+                maximum_iterations, accurate=accurate
+            )
+        return system.make_fused_cg_mixed(maximum_iterations, accurate=accurate)
     if method == "gmres":
         return system.make_fused_gmres(maximum_iterations)
     return system.make_fused_cg(maximum_iterations)
@@ -790,6 +798,40 @@ class ShardedBlockSystem:
             self._tables32_cache = cached
         return cached
 
+    @property
+    def _tables32x2(self):
+        """Double-f32 ("f32x2") operator tables for the accurate inner path.
+
+        The f64 explicit block inverse splits into a hi/lo f32 pair
+        (``lo = f32(inv - f64(hi))``), representing the OPERATOR to
+        ~eps_f32^2 relative instead of the plain f32 tables' cond*eps_f32.
+        Blocks whose f32 seed cannot even approximate the inverse
+        (``_inner32_ok`` False, e.g. Navier-Stokes p=8 elements) get an
+        unbiased operator this way; the remaining per-matvec error is
+        ~sqrt(n)*eps_f32 random GEMV rounding, which inexact-Krylov inner
+        iterations tolerate down to ~1e-5 relative residuals.
+        """
+        cached = getattr(self, "_tables32x2_cache", None)
+        if cached is None:
+            inv64 = (
+                self.lu
+                if self._refine
+                else jnp.linalg.inv(self.blocks)
+            )
+            hi = inv64.astype(jnp.float32)
+            lo = (inv64 - hi.astype(jnp.float64)).astype(jnp.float32)
+            cached = (
+                hi,
+                lo,
+                self.tr_elem,
+                self.tr_dof,
+                self.tr_val.astype(jnp.float32),
+                self.tt_rows,
+                self.tt_val.astype(jnp.float32),
+            )
+            self._tables32x2_cache = cached
+        return cached
+
     def _schur32_shardmap(self):
         """All-f32 S~ = G A~^{-1} G^T kernel (one f32 GEMV + one psum).
 
@@ -819,6 +861,38 @@ class ShardedBlockSystem:
 
         return schur32
 
+    def _schur32x2_shardmap(self):
+        """f32x2 S~ kernel: hi/lo inverse GEMV pair (two f32 GEMVs, one
+        psum).  The hi product's systematic cond*eps_f32 bias cancels
+        against the lo product, leaving only random GEMV rounding — the
+        operator the inner Krylov sees is unbiased to ~eps_f32^2."""
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+            ),
+            out_specs=P(None),
+        )
+        def schur32x2(
+            lam32, hi, lo, tr_elem, tr_dof, tr_val32, tt_rows, tt_val32
+        ):
+            gt = self._trace_t_local(lam32, tt_rows, tt_val32)
+            x = jnp.einsum("eij,ej->ei", hi, gt) + jnp.einsum(
+                "eij,ej->ei", lo, gt
+            )
+            return self._trace_local(x, tr_elem, tr_dof, tr_val32)
+
+        return schur32x2
+
     def trace_indefinite(self) -> bool:
         """Whether the trace Schur complement shows negative curvature.
 
@@ -837,41 +911,67 @@ class ShardedBlockSystem:
                     np.random.default_rng(0).normal(size=self.n_lagrange),
                     jnp.float32,
                 )
-                schur32 = self._schur32_shardmap()
-                probe = jax.jit(
-                    lambda r, *t: spd_probe(lambda v: schur32(v, *t), r)
+                # Probe through the f32x2 operator when the plain f32
+                # inverse fails the cond*eps_f32 gate — its sign structure
+                # is meaningless there.
+                kern, tabs, _ = self._inner32_kernel(
+                    not getattr(self, "_inner32_ok", True)
                 )
-                cached = bool(probe(rhs, *self._tables32) <= -1e-4)
+                probe = jax.jit(
+                    lambda r, *t: spd_probe(lambda v: kern(v, *t), r)
+                )
+                cached = bool(probe(rhs, *tabs) <= -1e-4)
             self._trace_indef = cached
         return cached
 
-    def make_fused_cg_mixed(self, maximum_iterations: int):
-        """Mixed-precision device CG: f32 inner sweeps, f64 defect correction."""
+    def _inner32_kernel(self, accurate: bool):
+        """(kernel, tables, n_tables) for the f32 or f32x2 inner operator."""
+        if accurate:
+            return self._schur32x2_shardmap(), self._tables32x2, 7
+        return self._schur32_shardmap(), self._tables32, 6
+
+    def make_fused_cg_mixed(
+        self, maximum_iterations: int, accurate: bool = False
+    ):
+        """Mixed-precision device CG: f32 inner sweeps, f64 defect correction.
+
+        ``accurate=True`` runs the inner sweeps on the f32x2 (hi/lo split)
+        operator — for systems whose plain f32 inverse fails the
+        cond*eps_f32 probe.
+        """
+        kern, tabs, n32 = self._inner32_kernel(accurate)
         return _fused_mixed_factory(
             [self._schur_shardmap()],
-            [self._schur32_shardmap()],
+            [kern],
             self._tables,
-            self._tables32,
+            tabs,
             maximum_iterations,
             method="cg",
+            n32=n32,
         )
 
     def make_fused_gmres_mixed(
-        self, maximum_iterations: int, restart: int | None = None
+        self,
+        maximum_iterations: int,
+        restart: int | None = None,
+        accurate: bool = False,
     ):
         """Mixed-precision device GMRES: f32 inner cycles, f64 defect correction.
 
         ``restart=None`` sizes the f32 Krylov space with ``auto_restart``
-        (effectively un-truncated, memory-bounded).
+        (effectively un-truncated, memory-bounded); ``accurate=True`` uses
+        the f32x2 inner operator (see ``make_fused_cg_mixed``).
         """
+        kern, tabs, n32 = self._inner32_kernel(accurate)
         return _fused_mixed_factory(
             [self._schur_shardmap()],
-            [self._schur32_shardmap()],
+            [kern],
             self._tables,
-            self._tables32,
+            tabs,
             maximum_iterations,
             method="gmres",
             restart=restart,
+            n32=n32,
         )
 
     def _schur_shardmap(self):
@@ -1374,42 +1474,61 @@ class MultiBucketShardedSystem:
                     np.random.default_rng(0).normal(size=self.n_lagrange),
                     jnp.float32,
                 )
-                schurs32 = [
-                    sub._schur32_shardmap() for _, sub in self.subsystems
-                ]
-                tabs = tuple(
-                    t for _, sub in self.subsystems for t in sub._tables32
+                kerns, tabs, n32 = self._inner32_parts(
+                    not self._inner32_ok
                 )
                 probe = jax.jit(
-                    lambda r, *t: spd_probe(_sum_matvec(schurs32, t, 6), r)
+                    lambda r, *t: spd_probe(_sum_matvec(kerns, t, n32), r)
                 )
                 cached = bool(probe(rhs, *tabs) <= -1e-4)
             self._trace_indef = cached
         return cached
 
-    def make_fused_cg_mixed(self, maximum_iterations: int):
+    def _inner32_parts(self, accurate: bool):
+        if accurate:
+            return (
+                [sub._schur32x2_shardmap() for _, sub in self.subsystems],
+                tuple(t for _, sub in self.subsystems for t in sub._tables32x2),
+                7,
+            )
+        return (
+            [sub._schur32_shardmap() for _, sub in self.subsystems],
+            tuple(t for _, sub in self.subsystems for t in sub._tables32),
+            6,
+        )
+
+    def make_fused_cg_mixed(
+        self, maximum_iterations: int, accurate: bool = False
+    ):
         """Mixed-precision multi-bucket CG (f32 inner, f64 defect correction)."""
+        kerns, tabs, n32 = self._inner32_parts(accurate)
         return _fused_mixed_factory(
             [sub._schur_shardmap() for _, sub in self.subsystems],
-            [sub._schur32_shardmap() for _, sub in self.subsystems],
+            kerns,
             tuple(t for _, sub in self.subsystems for t in sub._tables),
-            tuple(t for _, sub in self.subsystems for t in sub._tables32),
+            tabs,
             maximum_iterations,
             method="cg",
+            n32=n32,
         )
 
     def make_fused_gmres_mixed(
-        self, maximum_iterations: int, restart: int | None = None
+        self,
+        maximum_iterations: int,
+        restart: int | None = None,
+        accurate: bool = False,
     ):
         """Mixed-precision multi-bucket GMRES (f32 inner, f64 defect correction)."""
+        kerns, tabs, n32 = self._inner32_parts(accurate)
         return _fused_mixed_factory(
             [sub._schur_shardmap() for _, sub in self.subsystems],
-            [sub._schur32_shardmap() for _, sub in self.subsystems],
+            kerns,
             tuple(t for _, sub in self.subsystems for t in sub._tables),
-            tuple(t for _, sub in self.subsystems for t in sub._tables32),
+            tabs,
             maximum_iterations,
             method="gmres",
             restart=restart,
+            n32=n32,
         )
 
     def schur_rhs(self, rhs_flat: np.ndarray, constraints: np.ndarray):

@@ -158,12 +158,19 @@ class BlockSaddleSystem:
             self.lu_factors = []
             self._inv32 = []
             self._refine_rounds = []
+            seed_errs = []
             for b in self.blocks:
-                inv, _ = newton_schulz_inverse(b)
+                inv, seed_err = newton_schulz_inverse(b)
                 rounds, _ = choose_refine_rounds(b, inv)
                 self.lu_factors.append(inv)
                 self._inv32.append(inv.astype(jnp.float32))
                 self._refine_rounds.append(rounds)
+                seed_errs.append(seed_err)
+            # Same gate as the sharded path: past ~5% seed probe error the
+            # plain f32 inner operator is too biased to contract, and the
+            # mixed path switches to the f32x2 (hi/lo) inner tables.
+            self._seed_err32 = max(seed_errs) if seed_errs else 0.0
+            self._inner32_ok = self._seed_err32 <= 0.05
         else:
             self.lu_factors = [
                 jax.scipy.linalg.lu_factor(b) for b in self.blocks
@@ -310,6 +317,57 @@ class BlockSaddleSystem:
     def apply_schur32(self, lam32: jnp.ndarray) -> jnp.ndarray:
         """All-f32 S lambda for the mixed-precision inner Krylov iteration."""
         return self._schur32_apply(lam32, *self._tables32)
+
+    @property
+    def _tables32x2(self):
+        """Flat f32x2 (hi/lo split) operator tables for the accurate inner
+        path — unbiased to ~eps_f32^2 where the plain f32 inverse fails the
+        cond*eps_f32 gate (see parallel/sharding.py _tables32x2)."""
+        cached = getattr(self, "_tables32x2_cache", None)
+        if cached is None:
+            if self._refine_inverse:
+                inv64 = self.lu_factors
+            else:
+                inv64 = [jnp.linalg.inv(b) for b in self.blocks]
+            his = [i.astype(jnp.float32) for i in inv64]
+            los = [
+                (i - h.astype(jnp.float64)).astype(jnp.float32)
+                for i, h in zip(inv64, his)
+            ]
+            cached = (
+                self._col_rows,
+                self._col_vals.astype(jnp.float32),
+                self._row_cols,
+                self._row_vals.astype(jnp.float32),
+                self._inv_perm,
+            ) + tuple(
+                t
+                for triple in zip(his, los, self.gathers)
+                for t in triple
+            )
+            self._tables32x2_cache = cached
+        return cached
+
+    @staticmethod
+    def _schur32x2_apply(lam32, col_rows, col_vals32, row_cols, row_vals32,
+                         inv_perm, *hi_lo_gather):
+        """f32x2 S lambda: hi/lo inverse GEMV pair per bucket."""
+        x = jnp.sum(col_vals32 * lam32[col_rows], axis=1)
+        parts = []
+        for i in range(0, len(hi_lo_gather), 3):
+            hi, lo, g = hi_lo_gather[i : i + 3]
+            xe = x[g]
+            parts.append(
+                jnp.einsum("eij,ej->ei", hi, xe)
+                + jnp.einsum("eij,ej->ei", lo, xe)
+            )
+        flat = (
+            parts[0].reshape(-1)
+            if len(parts) == 1
+            else jnp.concatenate([p.reshape(-1) for p in parts])
+        )
+        y = flat[inv_perm]
+        return jnp.sum(row_vals32 * y[row_cols], axis=1)
 
     @property
     def _tables64(self):
@@ -502,13 +560,17 @@ class BlockSaddleSystem:
                     jnp.float32,
                 )
 
+                accurate = not getattr(self, "_inner32_ok", True)
+                apply32 = (
+                    self._schur32x2_apply if accurate else self._schur32_apply
+                )
+                tabs32 = self._tables32x2 if accurate else self._tables32
+
                 @jax.jit
                 def probe(r, *tabs):
-                    return spd_probe(
-                        lambda v: self._schur32_apply(v, *tabs), r
-                    )
+                    return spd_probe(lambda v: apply32(v, *tabs), r)
 
-                cached = bool(probe(rhs, *self._tables32) <= -1e-4)
+                cached = bool(probe(rhs, *tabs32) <= -1e-4)
             self._trace_indef = cached
         return cached
 
@@ -693,7 +755,8 @@ def gmres_general(
 # ---------------------------------------------------------------------------
 
 
-def _mixed_sweep_factory(rounds, method, m, inner_cap, inner_tolerance=1e-6):
+def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
+                         inner_tolerance=1e-6):
     """One jitted mixed-precision defect-correction sweep for the
     single-chip trace system: an accurate f64 Schur residual followed by
     an all-f32 inner CG/GMRES correction.
@@ -704,6 +767,11 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, inner_tolerance=1e-6):
     static structure baked into the trace.
     """
     n64 = 5 + 3 * len(rounds)
+    apply32 = (
+        BlockSaddleSystem._schur32x2_apply
+        if accurate
+        else BlockSaddleSystem._schur32_apply
+    )
 
     @jax.jit
     def sweep(lam, trace_rhs, *tabs):
@@ -714,7 +782,7 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, inner_tolerance=1e-6):
             return BlockSaddleSystem._schur64_apply(v, rounds, *tabs64)
 
         def matvec32(v):
-            return BlockSaddleSystem._schur32_apply(v, *tabs32)
+            return apply32(v, *tabs32)
 
         r = trace_rhs - matvec64(lam)
         rr = jnp.vdot(r, r)
@@ -771,14 +839,17 @@ def _solve_schur_mixed_tpu(
     else:
         m = 0
         inner_cap = max_iter
-    cache_key = ("mixed_sweep", method, m, inner_cap)
+    accurate = not getattr(system, "_inner32_ok", True)
+    cache_key = ("mixed_sweep", method, m, inner_cap, accurate)
     sweep = system._jit_cache.get(cache_key)
     if sweep is None:
         sweep = _mixed_sweep_factory(
-            tuple(system._refine_rounds), method, m, inner_cap
+            tuple(system._refine_rounds), method, m, inner_cap, accurate
         )
         system._jit_cache[cache_key] = sweep
-    tabs = system._tables64 + system._tables32
+    tabs = system._tables64 + (
+        system._tables32x2 if accurate else system._tables32
+    )
 
     tol2 = tol * tol
     best_lam, best_rr = lam, float("inf")

@@ -195,3 +195,75 @@ def test_single_chip_mixed_gmres_on_stokes(stokes_system, monkeypatch):
     scale = float(np.linalg.norm(rhs))
     assert float(jnp.linalg.norm(ru)) / scale < 1e-8
     assert float(jnp.linalg.norm(rl)) / scale < 1e-8
+
+
+def test_sharded_f32x2_inner_path(stokes_system):
+    """Forcing the accurate (f32x2) inner operator on a healthy system must
+    still converge to the same answer — the hi/lo split is a superset in
+    accuracy of the plain f32 tables."""
+    from jax.sharding import Mesh
+
+    from mfv2d_tpu.config import config
+    from mfv2d_tpu.parallel.sharding import ShardedBlockSystem, _trace_krylov
+
+    disc, mats, lagrange_mat = stokes_system
+    device_mesh = Mesh(np.array(jax.devices("cpu")[:2]), axis_names=("e",))
+    sharded = ShardedBlockSystem(
+        disc, np.asarray(mats[0]), lagrange_mat, device_mesh
+    )
+    sharded._inner32_ok = False  # force the f32x2 gate
+
+    rng = np.random.default_rng(5)
+    rhs = rng.normal(size=lagrange_mat.shape[0])
+    old = config.sharded_mixed
+    config.sharded_mixed = "1"
+    try:
+        solve = _trace_krylov(sharded, "cg", 4000)
+        lam, rs, iters = solve(jnp.asarray(rhs), 1e-10)
+    finally:
+        config.sharded_mixed = old
+    matvec = sharded.make_schur_matvec()
+    res = float(
+        jnp.linalg.norm(jnp.asarray(rhs) - matvec(jnp.asarray(lam)))
+    ) / float(np.linalg.norm(rhs))
+    assert res < 1e-9, res
+
+
+def test_single_chip_f32x2_on_ill_conditioned_blocks(stokes_system, monkeypatch):
+    """Blocks conditioned past the f32 seed gate route to the f32x2 inner
+    tables and still solve to tolerance.
+
+    A symmetric congruence ``C A C`` with cond(C) ~ 1e3 (random orthogonal
+    directions, so row equilibration cannot undo it) pushes the element
+    blocks past cond*eps_f32 ~ 5%, which is exactly the Navier-Stokes p=8
+    failure mode the f32x2 split exists for.
+    """
+    disc, mats, lagrange_mat = stokes_system
+    rng = np.random.default_rng(12)
+    scaled = []
+    for m_ in mats:
+        n = m_.shape[1]
+        q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        c = (q * 10.0 ** rng.uniform(-1.5, 1.5, size=n)) @ q.T
+        scaled.append(np.einsum("ij,ejk,kl->eil", c, np.asarray(m_), c))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    system = BlockSaddleSystem(disc, scaled, lagrange_mat)
+    monkeypatch.undo()
+    assert system._refine_inverse
+    assert not system._inner32_ok, system._seed_err32
+
+    from mfv2d_tpu.solver.iterative import solve_schur_iterative
+    from mfv2d_tpu.solver.solve import ConvergenceSettings
+
+    rng2 = np.random.default_rng(9)
+    rhs = rng2.normal(size=system.n_dofs)
+    cons = np.zeros(system.n_lagrange)
+    conv = ConvergenceSettings(4000, 1e-10, 0.0)
+    u, lam, res, iters = solve_schur_iterative(
+        system, jnp.asarray(rhs), jnp.asarray(cons), conv
+    )
+    ru = system.apply_diagonal(u) + system.apply_trace_transpose(lam) - rhs
+    rl = system.apply_trace(u) - cons
+    scale = float(np.linalg.norm(rhs))
+    assert float(jnp.linalg.norm(ru)) / scale < 1e-7
+    assert float(jnp.linalg.norm(rl)) / scale < 1e-7
