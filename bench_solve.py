@@ -310,31 +310,66 @@ REFERENCE_TIMES = {
 }
 
 
-def bench_gallery() -> list[dict]:
-    import subprocess
+def bench_gallery(warm: bool = False) -> list[dict]:
+    """Example-gallery wall times.
+
+    Cold mode (default) measures one fresh process per script — what a
+    user pays typing ``python examples/...`` — and carries the ~2.5 s
+    Python/JAX interpreter start the sandbox's sitecustomize forces on
+    every process (the reference is a C extension with negligible import
+    cost, so its sub-5 s scripts win cold starts on startup alone).
+
+    Warm mode (``gallery warm``) runs every script's ``main()`` in ONE
+    process via runpy with mfv2d_tpu already imported — the amortized cost
+    of the actual solves, i.e. what any long-lived session (REPL, test
+    runner, service) pays per example.
+    """
     from pathlib import Path
 
     here = Path(__file__).resolve().parent / "examples"
     rows = []
+    if warm:
+        import contextlib
+        import io
+        import runpy
+
+        import mfv2d_tpu  # noqa: F401  (pay the import once, outside timers)
     for script in sorted(here.glob("*/*.py")):
         rel = str(script.relative_to(here))
-        t0 = time.perf_counter()
-        result = subprocess.run([sys.executable, str(script)], capture_output=True)
-        dt = time.perf_counter() - t0
+        if warm:
+            t0 = time.perf_counter()
+            ok = True
+            try:
+                with contextlib.redirect_stdout(io.StringIO()):
+                    runpy.run_path(str(script), run_name="__main__")
+            except Exception:
+                ok = False
+            dt = time.perf_counter() - t0
+        else:
+            import subprocess
+
+            t0 = time.perf_counter()
+            result = subprocess.run(
+                [sys.executable, str(script)], capture_output=True
+            )
+            dt = time.perf_counter() - t0
+            ok = result.returncode == 0
         ref = REFERENCE_TIMES.get(rel)
         row = {
-            "metric": "example_wall_time",
+            "metric": "example_wall_time_warm" if warm else "example_wall_time",
             "config": rel,
             "value": round(dt, 1),
             "unit": "s",
             "reference_s": ref,
-            "ok": result.returncode == 0,
+            "ok": ok,
         }
         print(json.dumps(row))
         rows.append(row)
     total = sum(r["value"] for r in rows)
-    print(json.dumps({"metric": "gallery_total", "value": round(total, 1), "unit": "s",
-                      "reference_s": 477.5}))
+    print(json.dumps({
+        "metric": "gallery_total_warm" if warm else "gallery_total",
+        "value": round(total, 1), "unit": "s", "reference_s": 477.5,
+    }))
     return rows
 
 
@@ -345,6 +380,6 @@ if __name__ == "__main__":
     elif mode == "peak":
         bench_peak()
     elif mode == "gallery":
-        bench_gallery()
+        bench_gallery(warm="warm" in sys.argv[2:])
     else:
         raise SystemExit(f"unknown mode {mode}")

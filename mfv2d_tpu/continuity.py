@@ -19,7 +19,9 @@ from collections.abc import Sequence
 
 import numpy as np
 import numpy.typing as npt
-import scipy.sparse as sp
+from mfv2d_tpu.utils.lazy import lazy_module
+
+sp = lazy_module("scipy.sparse")
 
 from mfv2d_tpu.boundary import BoundaryCondition2DSteady, mesh_boundary_conditions
 from mfv2d_tpu.kform import KFormUnknown, UnknownFormOrder

@@ -24,7 +24,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import scipy.sparse as sp
+from mfv2d_tpu.utils.lazy import lazy_module
+
+sp = lazy_module("scipy.sparse")
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mfv2d_tpu.solver.discretization import Discretization

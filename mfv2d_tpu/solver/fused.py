@@ -12,7 +12,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-import scipy.sparse as sp
+from mfv2d_tpu.utils.lazy import lazy_module
+
+sp = lazy_module("scipy.sparse")
 
 from mfv2d_tpu.solver.discretization import Discretization
 

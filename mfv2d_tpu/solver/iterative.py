@@ -26,7 +26,9 @@ from collections.abc import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-import scipy.sparse as sp
+from mfv2d_tpu.utils.lazy import lazy_module
+
+sp = lazy_module("scipy.sparse")
 
 from mfv2d_tpu.solver.discretization import Discretization
 from mfv2d_tpu.solver.krylov import auto_restart, gmres_loop, spd_probe

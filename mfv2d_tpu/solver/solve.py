@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import numpy.typing as npt
-import scipy.sparse as sp
-from scipy.sparse import linalg as sla
+from mfv2d_tpu.utils.lazy import lazy_module
+
+sp = lazy_module("scipy.sparse")
+sla = lazy_module("scipy.sparse.linalg")
 
 from mfv2d_tpu.boundary import BoundaryCondition2DSteady
 from mfv2d_tpu.compiler import CompiledSystem, SystemBlocks

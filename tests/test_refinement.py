@@ -282,3 +282,86 @@ def test_fine_solve_estimator_drives_refinement():
     # Error must decay monotonically over projection-driven rounds.
     assert errs[0] > errs[1] > errs[2]
     assert errs[2] < 0.25 * errs[0]
+
+
+def test_fine_solve_estimator_hp_buckets_match_exact_error():
+    """The bucket-batched fine-solve estimator on an hp (two-bucket) mesh.
+
+    Pins the fine-DoF offset mapping: every element's fine-vs-coarse error
+    measure must track the TRUE per-element L2 error of the coarse
+    solution (correlation + same dominant element), which breaks loudly if
+    fine slices are gathered from the wrong leaves or offsets.
+    """
+    from mfv2d_tpu.models import poisson
+    from mfv2d_tpu.refinement import error_estimate_with_fine_solve
+    from mfv2d_tpu.solver.discretization import discretize_mesh
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.projection import reconstruct_batched
+    from mfv2d_tpu.refinement import ErrorEstimateFineSolve, _jacobian_np
+
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.solver.solve import (
+        FrozenSaddleSolver,
+        SystemEvaluator,
+        compute_linear_system,
+        non_linear_solve_run,
+    )
+
+    model = poisson.mixed_poisson()
+    orders = np.array([[2, 2], [3, 3]] * 4 + [[2, 2]])
+    mesh = mf.examples.unit_square_mesh(3, 3, orders)
+    disc = discretize_mesh(mesh, model.system.unknown_forms, FemCache(2))
+    compiled = CompiledSystem(model.system)
+    evaluator = SystemEvaluator(disc.form_spec, compiled, disc)
+    forcing, matrices, lagrange_mat, lagrange_vec = compute_linear_system(
+        disc, model.system, evaluator, [], [], None
+    )
+    solver = FrozenSaddleSolver(
+        evaluator.matrices_per_leaf(matrices), lagrange_mat
+    )
+    explicit_vec = np.concatenate((forcing, lagrange_vec))
+    solution, _, _, _, _ = non_linear_solve_run(
+        20, 1.0, 1e-10, 0.0, False, evaluator, explicit_vec, None, None,
+        np.zeros(disc.n_dofs), np.zeros(lagrange_mat.shape[0]),
+        float(np.abs(explicit_vec).max()), solver, lagrange_mat,
+    )
+    est = ErrorEstimateFineSolve(model.u, order_increase=1)
+    err, hc, dc = error_estimate_with_fine_solve(
+        disc, solution, model.system, [], [], est
+    )
+    assert err.shape == (disc.n_leaves,)
+    assert np.all(np.isfinite(err)) and np.all(err >= 0)
+
+    # True per-element squared L2 errors of the coarse solution.
+    truth = np.empty(disc.n_leaves)
+    form_specs = disc.form_spec
+    idx = form_specs.index(model.u)
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        basis = disc.basis_cache.get_basis2d(p1, p2)
+        rule = disc.basis_cache.get_integration_rule(p1 + 3)
+        xi = rule.nodes[None, :]
+        eta = rule.nodes[:, None]
+        corners = np.asarray(bucket.batch.corners)
+        off = form_specs.form_offset(idx, p1, p2)
+        size = form_specs.form_size(idx, p1, p2)
+        recon = np.asarray(
+            reconstruct_batched(
+                corners, basis, model.u.order,
+                solution[bucket.gather][:, off : off + size], xi, eta,
+            )
+        )
+        from mfv2d_tpu.refinement import _physical_coordinates_np
+
+        x, y = _physical_coordinates_np(corners, xi, eta)
+        exact = poisson.u_exact(x, y)
+        det = _jacobian_np(corners, xi, eta)[4]
+        w2d = rule.weights[None, :] * rule.weights[:, None]
+        truth[np.asarray(bucket.leaf_ranks)] = np.sum(
+            (recon - exact) ** 2 * w2d[None] * det, axis=(1, 2)
+        )
+
+    # Estimated and true element errors must rank the elements coherently.
+    corr = np.corrcoef(np.log(err + 1e-30), np.log(truth + 1e-30))[0, 1]
+    assert corr > 0.9, corr
+    assert np.argmax(err) == np.argmax(truth)
