@@ -107,3 +107,26 @@ def reaction_mixed(alpha: float, final_u) -> TransportModel:
         p.derivative @ u - p @ q == p ^ final_u,
     )
     return TransportModel(system, u, q, time_march_relations={v: u})
+
+
+def nonlinear_flow(nu: float, u_bc, source) -> TransportModel:
+    """Nonlinear steady flow: ``nu lap(u) - q . grad(u) = -f`` with ``q``
+    the unknown flux itself (a potential-flow Burgers equation).
+
+    The advecting field is the solution's own gradient, so the advection
+    term is quadratic in the unknowns and the solve is a Picard iteration
+    — the scalar analogue of the Navier-Stokes momentum nonlinearity
+    (reference nonlinear machinery: test_vms.py + plot_navier_stokes.py).
+    For a manufactured ``u`` the source is
+    ``|grad u|^2 - nu lap(u)`` (mirror linear_advection_diffusion with
+    ``wind = grad u``).
+    """
+    u = KFormUnknown("u", UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = KFormUnknown("q", UnknownFormOrder.FORM_ORDER_1)
+    p = q.weight
+    system = KFormSystem(
+        p.derivative @ u - p @ q == p ^ u_bc,
+        nu * (v @ q.derivative) == (q * v @ q) - (v @ source),
+    )
+    return TransportModel(system, u, q)

@@ -34,6 +34,23 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
     callers use to decide whether all-f32 inner iterations can contract.
     """
     blocks = jnp.asarray(blocks)
+    n = blocks.shape[-1]
+    batch = int(np.prod(blocks.shape[:-2])) if blocks.ndim > 2 else 1
+    if jax.default_backend() == "tpu" and batch * n**3 > 2e9:
+        # Emulated-f64 GEMMs run at ~3 GFLOP/s on TPU, so one Newton-
+        # Schulz sweep on a batch this size is a multi-minute single
+        # dispatch — past the TPU runtime's watchdog (which kills the
+        # worker).  Host LAPACK inverts batches like the VMS fine space
+        # ([4096, 320, 320]) in tens of seconds instead of hours.
+        host = np.asarray(blocks)
+        x_np = np.linalg.inv(host)
+        # cond * eps_f32 estimate from infinity norms (the seed_err
+        # contract): gates whether all-f32 inner iterations can contract.
+        cond = (
+            np.abs(host).sum(axis=-1).max(axis=-1)
+            * np.abs(x_np).sum(axis=-1).max(axis=-1)
+        ).max()
+        return jnp.asarray(x_np), float(cond) * 6e-8
     d = jnp.sqrt(jnp.maximum(jnp.abs(blocks).max(axis=-1), 1e-30))
     scaled = blocks / d[..., :, None] / d[..., None, :]
     inv_s = jnp.linalg.inv(scaled.astype(jnp.float32)).astype(jnp.float64)

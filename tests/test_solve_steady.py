@@ -143,3 +143,42 @@ def test_anisotropic_orders_mixed_poisson():
     err = _l2_error_from_grid(grid, "u", u_exact, mesh)
     assert err < 0.05
     assert len(stats.element_orders) == 4  # four distinct order pairs
+
+
+def test_nonlinear_flow_spectral_convergence():
+    """Burgers-type nonlinear steady flow (models.transport.nonlinear_flow):
+    the advecting field is the unknown flux itself, solved by Picard
+    defect-correction; manufactured-solution errors fall spectrally."""
+    from mfv2d_tpu.models import transport
+
+    nu = -1.0
+
+    def nl_u(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def nl_q(x, y):
+        return np.stack(
+            (
+                -np.pi / 2 * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y),
+                -np.pi / 2 * np.cos(np.pi / 2 * x) * np.sin(np.pi / 2 * y),
+            ),
+            axis=-1,
+        )
+
+    def nl_source(x, y):
+        return np.sum(nl_q(x, y) ** 2, axis=-1) - nu * np.pi**2 * nl_u(x, y) / 2
+
+    model = transport.nonlinear_flow(nu, nl_u, nl_source)
+    errs = []
+    for p in (3, 5):
+        mesh = mf.examples.unit_square_mesh(4, 4, p)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system),
+            mf.SolverSettings(mf.ConvergenceSettings(40, 1e-10, 0)),
+            recon_order=10,
+        )
+        grid = sols[-1]
+        x, y = grid.points[:, 0], grid.points[:, 1]
+        errs.append(float(np.sqrt(np.mean((grid.point_data["u"] - nl_u(x, y)) ** 2))))
+    assert errs[0] < 5e-3 and errs[1] < 1e-5, errs
