@@ -15,7 +15,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import curved_square_deformation, l2_point_error, report
+from common import curved_square_deformation, l2_point_error, report, save_field_figure
 
 import jax
 from jax.sharding import Mesh
@@ -49,6 +49,7 @@ def main():
             l2_u=l2_point_error(grid, "u", poisson.u_exact),
             h1_q=l2_point_error(grid, "q", poisson.grad_u_exact),
         )
+    save_field_figure(grid, "u", __file__, title="Multi-chip Poisson: u")
 
 
 if __name__ == "__main__":

@@ -11,7 +11,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import report
+from common import report, save_convergence_figure, save_field_figure
 
 import mfv2d_tpu as mf
 from mfv2d_tpu.models import transport
@@ -46,6 +46,7 @@ def source_exact(x, y):
 def main():
     model = transport.linear_advection_diffusion(NU, a_field, u_exact, source_exact)
     mesh = mf.examples.unit_square_mesh(3, 3, 2)
+    history = []
     for round_idx in range(4):
         settings = mf.RefinementSettings(
             error_estimate=mf.ErrorEstimateL2OrderReduction(model.u, 1),
@@ -74,6 +75,11 @@ def main():
             dofs=stats.n_leaf_dofs,
             leaves=stats.n_leaves,
         )
+        history.append((stats.n_leaf_dofs, err))
+    save_convergence_figure([d for d, _ in history], [e for _, e in history],
+                            __file__, xlabel="leaf DoFs", logx=True,
+                            title="Advection-diffusion hp refinement")
+    save_field_figure(grid, "u", __file__, title="Advection-diffusion: u (refined)")
 
 
 if __name__ == "__main__":

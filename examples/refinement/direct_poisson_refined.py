@@ -11,7 +11,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import report
+from common import report, save_strategies_figure
 
 import mfv2d_tpu as mf
 
@@ -45,6 +45,7 @@ def make_system():
 
 
 def run(estimator_name: str, make_estimator):
+    history = []
     system, u = make_system()
     mesh = mf.examples.unit_square_mesh(4, 4, 2)
     for round_idx in range(4):
@@ -76,12 +77,22 @@ def run(estimator_name: str, make_estimator):
             dofs=stats.n_leaf_dofs,
             leaves=stats.n_leaves,
         )
+        history.append((stats.n_leaf_dofs, err))
+    return history
 
 
 def main():
-    run("explicit", lambda u: mf.ErrorEstimateExplicit(u, u_exact))
-    run("order_reduction", lambda u: mf.ErrorEstimateL2OrderReduction(u, 1))
-    run("local_inverse", lambda u: mf.ErrorEstimateLocalInverse(u, 1))
+    histories = {
+        "explicit": run("explicit", lambda u: mf.ErrorEstimateExplicit(u, u_exact)),
+        "order_reduction": run(
+            "order_reduction", lambda u: mf.ErrorEstimateL2OrderReduction(u, 1)
+        ),
+        "local_inverse": run(
+            "local_inverse", lambda u: mf.ErrorEstimateLocalInverse(u, 1)
+        ),
+    }
+    save_strategies_figure(histories, __file__, xlabel="leaf DoFs",
+                           title="Direct Poisson: estimator comparison")
 
 
 if __name__ == "__main__":

@@ -14,7 +14,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import l2_point_error, report
+from common import l2_point_error, report, save_strategies_figure
 
 import mfv2d_tpu as mf
 
@@ -91,6 +91,10 @@ def main():
         p_err=hist_p[-1][1],
         hp_err=hist_hp[-1][1],
         h_err=hist_h[-1][1],
+    )
+    save_strategies_figure(
+        {"p-refine": hist_p, "hp": hist_hp, "h-refine": hist_h},
+        __file__, title="Poisson hp strategies",
     )
     # Smooth-but-localized solution: p/hp must beat uniform-ish h-splitting.
     assert min(hist_p[-1][1], hist_hp[-1][1]) < hist_h[-1][1]

@@ -7,7 +7,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import l2_point_error, report
+from common import l2_point_error, report, save_convergence_figure, save_field_figure
 
 import mfv2d_tpu as mf
 from mfv2d_tpu.models import transport
@@ -41,6 +41,7 @@ def source_exact(x, y):
 
 def main():
     model = transport.linear_advection_diffusion(NU, a_field, u_exact, source_exact)
+    orders, errs = [], []
     for p in (2, 3, 4, 5):
         mesh = mf.examples.unit_square_mesh(4, 4, p)
         sols, stats, _ = mf.solve_system_2d(
@@ -51,10 +52,13 @@ def main():
             ),
             recon_order=10,
         )
-        report(
-            f"linear_adv_dif p={p}",
-            l2_u=l2_point_error(sols[-1], "u", u_exact),
-        )
+        l2_u = l2_point_error(sols[-1], "u", u_exact)
+        report(f"linear_adv_dif p={p}", l2_u=l2_u)
+        orders.append(p)
+        errs.append(l2_u)
+    save_convergence_figure(orders, errs, __file__,
+                            title="Advection-diffusion: p-convergence")
+    save_field_figure(sols[-1], "u", __file__, title="Advection-diffusion: u")
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import l2_point_error, report
+from common import l2_point_error, report, save_field_figure
 
 import mfv2d_tpu as mf
 from mfv2d_tpu.models import flow
@@ -40,6 +40,8 @@ def main():
         err_vel=l2_point_error(grid, "vel", flow.ns_velocity_exact),
         err_vor=l2_point_error(grid, "vor", flow.ns_vorticity_exact),
     )
+    save_field_figure(grid, "vel", __file__, title=f"Navier-Stokes Re={RE}: |velocity|")
+    save_field_figure(grid, "vor", __file__, title=f"Navier-Stokes Re={RE}: vorticity")
 
 
 if __name__ == "__main__":

@@ -7,7 +7,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import report
+from common import report, save_field_figure
 
 import mfv2d_tpu as mf
 from mfv2d_tpu.models import flow
@@ -46,6 +46,8 @@ def main():
         kinetic_energy=float(np.mean(np.sum(vel**2, axis=-1))),
     )
     assert np.all(np.isfinite(vel))
+    save_field_figure(sol, "vel", __file__, title=f"Cavity flow Re={RE}: |velocity|")
+    save_field_figure(sol, "vor", __file__, title=f"Cavity flow Re={RE}: vorticity")
 
 
 if __name__ == "__main__":

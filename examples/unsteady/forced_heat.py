@@ -11,7 +11,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import report
+from common import report, save_convergence_figure, save_field_figure
 
 import mfv2d_tpu as mf
 
@@ -33,6 +33,7 @@ def main():
     system = mf.KFormSystem(
         ALPHA * (v.derivative @ u.derivative) == v @ mf.TimeDependent(source),
     )
+    dts, errs = [], []
     for nt in (8, 16, 32):
         mesh = mf.examples.unit_square_mesh(4, 4, 4)
         bc = mf.BoundaryCondition2DSteady(
@@ -52,8 +53,13 @@ def main():
             np.abs(g.point_data["u"] - np.sin(T_END) * phi(g.points[:, 0], g.points[:, 1]))
         )
         report(f"forced_heat nt={nt:3d}", max_err=err)
+        dts.append(T_END / nt)
+        errs.append(float(err))
         if nt == 32:
             assert err < 2e-4
+    save_convergence_figure(dts, errs, __file__, xlabel="dt", logx=True,
+                            title="Forced heat: dt-convergence")
+    save_field_figure(g, "u", __file__, title="Forced heat: u(T)")
 
 
 if __name__ == "__main__":

@@ -7,7 +7,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import report
+from common import report, save_convergence_figure, save_field_figure
 
 import mfv2d_tpu as mf
 from mfv2d_tpu.models import transport
@@ -21,6 +21,7 @@ def final_u(x, y):
 
 def main():
     model = transport.reaction(ALPHA, final_u)
+    dts, errs = [], []
     for nt in (8, 16, 32, 64):
         mesh = mf.examples.unit_square_mesh(6, 6, 3)
         sols, stats, _ = mf.solve_system_2d(
@@ -36,6 +37,11 @@ def main():
         exact = final_u(sol.points[:, 0], sol.points[:, 1]) * (1 - np.exp(-ALPHA))
         err = float(np.max(np.abs(sol.point_data["u"] - exact)))
         report(f"reaction nt={nt}", err=err)
+        dts.append(1.0 / nt)
+        errs.append(err)
+    save_convergence_figure(dts, errs, __file__, xlabel="dt", logx=True,
+                            title="Reaction: dt-convergence")
+    save_field_figure(sol, "u", __file__, title="Reaction: u(T)")
 
 
 if __name__ == "__main__":

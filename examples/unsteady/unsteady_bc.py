@@ -13,7 +13,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import report
+from common import report, save_convergence_figure, save_field_figure
 
 import mfv2d_tpu as mf
 
@@ -49,12 +49,18 @@ def main():
         )
         return sols[-1]
 
+    dts, errs = [], []
     for nt in (8, 16, 32):
         sol = solve(nt)
         err = np.max(
             np.abs(sol.point_data["u"] - exact(sol.points[:, 0], sol.points[:, 1], T_END))
         )
         report(f"unsteady-bc nt={nt:3d}", max_err=err)
+        dts.append(T_END / nt)
+        errs.append(float(err))
+    save_convergence_figure(dts, errs, __file__, xlabel="dt", logx=True,
+                            title="Unsteady BCs: dt-convergence")
+    save_field_figure(sol, "u", __file__, title="Unsteady BCs: u(T)")
 
     # Checkpoint at step 16, then resume the same march to completion.
     ckpt = str(Path(tempfile.mkdtemp()) / "march.npz")
