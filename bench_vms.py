@@ -1,0 +1,106 @@
+"""BASELINE config 5: nonlinear steady flow with VMS at p=8 (64x64 target).
+
+Runs the Burgers-type nonlinear flow (models.transport.nonlinear_flow,
+the scalar analogue of the Navier-Stokes momentum nonlinearity) with
+matrix-free VMS fine-scale estimation (order_increase=2) through the
+production solve path, on whatever backend JAX selects (the TPU in the
+bench sandbox — the round-2 scaling points ran host-only).
+
+    python bench_vms.py            # 64x64 p=8 (+2 fine): BASELINE config 5
+    MFV2D_TPU_VMS_NH=32 python bench_vms.py   # smaller scaling point
+
+Prints one JSON line: wall time, solution error, |vms| fine-scale
+magnitude, backend, and the mesh/order config.
+
+Reference anchor: tests/test_vms.py:25-54 scaled per BASELINE.json
+(config "High-order nonlinear steady flow with VMS stabilization at p=8
+on 64x64 mesh").
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax  # noqa: E402  (sandbox sitecustomize preloads the TPU platform)
+import mfv2d_tpu as mf
+from mfv2d_tpu.models import transport
+
+NU = -1.0
+
+
+def u_exact(x, y):
+    return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+
+def q_exact(x, y):
+    return np.stack(
+        (
+            -np.pi / 2 * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y),
+            -np.pi / 2 * np.cos(np.pi / 2 * x) * np.sin(np.pi / 2 * y),
+        ),
+        axis=-1,
+    )
+
+
+def source_exact(x, y):
+    return np.sum(q_exact(x, y) ** 2, axis=-1) - NU * np.pi**2 * u_exact(x, y) / 2
+
+
+def main() -> None:
+    nh = int(os.environ.get("MFV2D_TPU_VMS_NH", "64"))
+    p = int(os.environ.get("MFV2D_TPU_VMS_P", "8"))
+    dk = 2
+    model = transport.nonlinear_flow(NU, u_exact, source_exact)
+    u, q = model.u, model.q
+    v, pw = u.weight, q.weight
+    symmetric = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        NU * (v @ q.derivative) == -(v @ source_exact),
+    )
+    mesh = mf.examples.unit_square_mesh(nh, nh, p)
+    t0 = time.time()
+    sols, stats, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system, over_integration_order=3),
+        mf.SolverSettings(
+            mf.ConvergenceSettings(40, 1e-9, 0), linear_solver="schur_direct"
+        ),
+        vms_settings=mf.VMSSettings(
+            symmetric_system=symmetric,
+            nonsymmetric_system=model.system,
+            order_increase=dk,
+            fine_scale_convergence=mf.ConvergenceSettings(10, 1e-10, 1e-8),
+            matrix_free=True,
+        ),
+        recon_order=8,
+    )
+    wall = time.time() - t0
+    grid = sols[-1]
+    x, y = grid.points[:, 0], grid.points[:, 1]
+    err = float(np.sqrt(np.mean((grid.point_data["u"] - u_exact(x, y)) ** 2)))
+    vms_mag = float(np.abs(grid.point_data["vms-u"]).max())
+    print(
+        json.dumps(
+            {
+                "metric": "vms_nonlinear_flow_seconds",
+                "config": f"{nh}x{nh}_p{p}_plus{dk}",
+                "value": round(wall, 1),
+                "unit": "s",
+                "solution_rms_err": err,
+                "vms_magnitude": vms_mag,
+                "backend": jax.default_backend(),
+                "n_elements": nh * nh,
+                "fine_dofs": int(stats.n_leaf_dofs * 0 + nh * nh * (
+                    (p + dk) * (p + dk + 1) * 2 + (p + dk) ** 2
+                )),
+                "picard_iters": int(stats.iter_history[0]),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
