@@ -317,3 +317,17 @@ def test_block_saddle_tpu_branch_matches_f64(monkeypatch):
     assert np.allclose(np.asarray(u_f), np.asarray(u_ref), atol=1e-8), np.abs(
         np.asarray(u_f) - np.asarray(u_ref)
     ).max()
+
+
+def test_blocked_gj_inverse_matches_lapack():
+    """Blocked Gauss-Jordan inverse (MXU-GEMM path) vs LAPACK, including a
+    non-multiple-of-block size and f32 inputs."""
+    from mfv2d_tpu.ops.precision import blocked_gj_inverse
+
+    rng = np.random.default_rng(4)
+    for n, dtype, tol in ((64, np.float64, 1e-11), (289, np.float32, 5e-5)):
+        a = (rng.normal(size=(5, n, n)) + n * np.eye(n)).astype(dtype)
+        inv = np.asarray(blocked_gj_inverse(jnp.asarray(a)))
+        for i in range(5):
+            err = np.abs(a[i].astype(np.float64) @ inv[i] - np.eye(n)).max()
+            assert err < tol, (n, err)
