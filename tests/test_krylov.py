@@ -267,3 +267,50 @@ def test_single_chip_f32x2_on_ill_conditioned_blocks(stokes_system, monkeypatch)
     scale = float(np.linalg.norm(rhs))
     assert float(jnp.linalg.norm(ru)) / scale < 1e-7
     assert float(jnp.linalg.norm(rl)) / scale < 1e-7
+
+
+def test_sharded_steady_stokes_picard_with_mixed_gmres(stokes_system):
+    """Full sharded Picard steady solve of the (indefinite-trace) Stokes
+    system through the forced mixed path: the curvature probe must route
+    every trace correction to the GMRES inner and the Picard loop must
+    still converge to the direct-solver answer."""
+    from jax.sharding import Mesh
+
+    from mfv2d_tpu.config import config
+    from mfv2d_tpu.models import flow
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.parallel.sharding import sharded_steady_solve
+    from mfv2d_tpu.solver.discretization import discretize_mesh
+
+    model = flow.stokes_flow()
+    mesh = mf.examples.unit_square_mesh(4, 4, 3)
+    disc = discretize_mesh(mesh, model.system.unknown_forms, FemCache(2))
+    device_mesh = Mesh(np.array(jax.devices("cpu")[:2]), axis_names=("e",))
+
+    old = config.sharded_mixed
+    config.sharded_mixed = "1"
+    try:
+        sol, lam, residuals = sharded_steady_solve(
+            model.system, disc, device_mesh,
+            maximum_iterations=10,
+            absolute_tolerance=1e-9,
+            cg_maximum_iterations=4000,
+            cg_tolerance=1e-11,
+        )
+    finally:
+        config.sharded_mixed = old
+    assert residuals[-1] < 1e-9, residuals
+
+    # Host reference: same discretization through the direct solver.
+    sols_ref, _, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system),
+        mf.SolverSettings(mf.ConvergenceSettings(10, 1e-9, 0.0)),
+        recon_order=4,
+    )
+    from mfv2d_tpu.solver.solve import reconstruct_mesh_from_solution
+
+    grid = reconstruct_mesh_from_solution(disc, 4, sol)
+    ref = sols_ref[-1]
+    err = np.abs(grid.point_data["vel"] - ref.point_data["vel"]).max()
+    assert err < 1e-7, err
