@@ -17,6 +17,7 @@ BENCH.md archives a full run.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -292,6 +293,86 @@ def bench_peak() -> dict:
     return row
 
 
+def bench_factor() -> list[dict]:
+    """Assembly + explicit-inverse build throughput at p=8 (VERDICT item 8).
+
+    Measures the two-stage pipeline (fused pair-table assembly writing
+    [E, n, n] to HBM, then the f32 seed inverse + Newton-Schulz/f32x2
+    build) with both seed algorithms: the batched getrf path
+    (jnp.linalg.inv) and the blocked Gauss-Jordan MXU path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.evaluation import ElementBatch, compute_element_matrices
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.ops.precision import blocked_gj_inverse
+
+    p = int(os.environ.get("MFV2D_TPU_FACTOR_P", "8"))
+    n_elem = int(os.environ.get("MFV2D_TPU_FACTOR_E", "1024"))
+    system = _nonlinear_ns_system()
+    compiled = CompiledSystem(system)
+    cache = FemCache(2)
+    rng = np.random.default_rng(5)
+    base = np.array([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)])
+    corners = np.tile(base, (n_elem, 1, 1)) + 0.05 * rng.normal(
+        size=(n_elem, 4, 2)
+    )
+    batch = ElementBatch(cache.get_basis2d(p, p), corners)
+
+    def assemble():
+        m = compute_element_matrices(
+            system.unknown_forms, compiled.linear_blocks, batch
+        )
+        m.block_until_ready()
+        return m
+
+    t0 = time.perf_counter()
+    mats = assemble()  # compile + run
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mats = assemble()
+    assemble_s = time.perf_counter() - t0
+
+    d = jnp.sqrt(jnp.maximum(jnp.abs(mats).max(axis=-1), 1e-30))
+    scaled32 = (mats / d[..., :, None] / d[..., None, :]).astype(jnp.float32)
+
+    rows = []
+    for name, fn in (
+        ("getrf", jax.jit(jnp.linalg.inv)),
+        ("blocked_gj", lambda a: blocked_gj_inverse(a)),
+    ):
+        out = fn(scaled32)
+        out.block_until_ready()  # compile + run
+        t0 = time.perf_counter()
+        out = fn(scaled32)
+        out.block_until_ready()
+        seed_s = time.perf_counter() - t0
+        err = float(
+            jnp.abs(
+                jnp.einsum(
+                    "eij,ejk->eik", scaled32[:8].astype(jnp.float64),
+                    out[:8].astype(jnp.float64),
+                )
+                - jnp.eye(out.shape[-1])
+            ).max()
+        )
+        row = {
+            "metric": "p8_seed_inverse_seconds",
+            "config": f"{name}_E{n_elem}_p{p}",
+            "value": round(seed_s, 3),
+            "unit": "s",
+            "assemble_s": round(assemble_s, 3),
+            "assemble_compile_s": round(compile_s, 1),
+            "probe_err": err,
+            "n": int(out.shape[-1]),
+        }
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    return rows
+
+
 REFERENCE_TIMES = {
     # docs/sg_execution_times.rst rows (reference hardware: docs-build CI).
     "steady/mixed_poisson.py": 4.512,
@@ -381,5 +462,7 @@ if __name__ == "__main__":
         bench_peak()
     elif mode == "gallery":
         bench_gallery(warm="warm" in sys.argv[2:])
+    elif mode == "factor":
+        bench_factor()
     else:
         raise SystemExit(f"unknown mode {mode}")

@@ -67,6 +67,10 @@ class _Config:
         # GEMVs are software-emulated; "1" forces it (CPU parity tests),
         # "0" disables it.
         self.sharded_mixed = os.environ.get("MFV2D_TPU_SHARDED_MIXED", "auto")
+        # f32 seed-inverse algorithm for the explicit-inverse builds:
+        # "getrf" (batched jnp.linalg.inv), "gj" (blocked Gauss-Jordan,
+        # MXU GEMMs — ops/precision.blocked_gj_inverse), or "auto".
+        self.seed_inverse = os.environ.get("MFV2D_TPU_SEED_INV", "auto")
 
 
 config = _Config()

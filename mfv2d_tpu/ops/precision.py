@@ -55,7 +55,14 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
         return jnp.asarray(x_np), float(cond) * 6e-8
     d = jnp.sqrt(jnp.maximum(jnp.abs(blocks).max(axis=-1), 1e-30))
     scaled = blocks / d[..., :, None] / d[..., None, :]
-    inv_s = jnp.linalg.inv(scaled.astype(jnp.float32)).astype(jnp.float64)
+    from mfv2d_tpu.config import config
+
+    if config.seed_inverse == "gj":
+        inv_s = blocked_gj_inverse(scaled.astype(jnp.float32)).astype(
+            jnp.float64
+        )
+    else:
+        inv_s = jnp.linalg.inv(scaled.astype(jnp.float32)).astype(jnp.float64)
     x = inv_s / d[..., :, None] / d[..., None, :]
 
     probe = jnp.ones(blocks.shape[:-1])
