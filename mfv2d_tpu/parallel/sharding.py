@@ -311,6 +311,8 @@ def _fused_mixed_factory(
             return _traced_outer(
                 trace_rhs, jnp.asarray(tolerance, trace_rhs.dtype)
             )
+        from mfv2d_tpu.tracing import tracer
+
         trace_rhs = jnp.asarray(trace_rhs)
         tol2 = float(tolerance) ** 2
         lam = jnp.zeros_like(trace_rhs)
@@ -318,10 +320,16 @@ def _fused_mixed_factory(
         total = 0
         stagnant = 0
         for k in range(max_outer + 1):
+            t0 = time.perf_counter()
             lam_new, rr_a, it = sweep(
                 lam, trace_rhs, inner_cap, m, *tables64, *tables32
             )
             rr = float(rr_a)
+            if tracer.enabled:
+                tracer.add(
+                    f"mixed_sweep[{method},m={m}]",
+                    time.perf_counter() - t0,
+                )
             if np.isfinite(rr) and rr < best_rr:
                 best_lam, best_rr = lam, rr
                 stagnant = 0
