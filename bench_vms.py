@@ -92,9 +92,9 @@ def main() -> None:
                 "vms_magnitude": vms_mag,
                 "backend": jax.default_backend(),
                 "n_elements": nh * nh,
-                "fine_dofs": int(stats.n_leaf_dofs * 0 + nh * nh * (
+                "fine_dofs": nh * nh * (
                     (p + dk) * (p + dk + 1) * 2 + (p + dk) ** 2
-                )),
+                ),
                 "picard_iters": int(stats.iter_history[0]),
             }
         ),

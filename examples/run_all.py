@@ -11,14 +11,32 @@ HERE = Path(__file__).resolve().parent
 def main():
     scripts = sorted(HERE.glob("*/*.py"))
     figures_dir = HERE / "_figures"
+    stems = {s.stem for s in scripts}
+
+    def figs_of(script):
+        # Exact per-script figures: a stem can prefix a sibling stem
+        # (reaction vs reaction_mixed), so exclude files whose label
+        # continues into another known stem.
+        out = []
+        for f in figures_dir.glob(f"{script.stem}_*.png"):
+            rest = f.stem[len(script.stem) + 1 :]
+            if any(f"{script.stem}_{rest}".startswith(other + "_")
+                   for other in stems if other != script.stem):
+                continue
+            out.append(f)
+        return out
+
     failures = []
     for script in scripts:
+        # Stale figures from a previous run must not mask a regression.
+        for f in figs_of(script):
+            f.unlink()
         t0 = time.perf_counter()
         result = subprocess.run([sys.executable, str(script)], capture_output=True)
         dt = time.perf_counter() - t0
         # Smoke-check the gallery figures (reference parity: the sphinx-
         # gallery scripts render field/convergence plots).
-        n_figs = len(list(figures_dir.glob(f"{script.stem}_*.png")))
+        n_figs = len(figs_of(script))
         status = "OK " if result.returncode == 0 else "FAIL"
         print(f"{status} {script.relative_to(HERE)}  ({dt:.1f}s, {n_figs} figs)")
         if result.returncode != 0:

@@ -46,11 +46,17 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
         # ([4096, 320, 320]) in tens of seconds instead of hours.
         host = np.asarray(blocks)
         x_np = np.linalg.inv(host)
-        # cond * eps_f32 estimate from infinity norms (the seed_err
-        # contract): gates whether all-f32 inner iterations can contract.
+        # seed_err contract: cond * eps_f32 of the row-max-EQUILIBRATED
+        # matrix (matching the device branch, which probes the equilibrated
+        # f32 seed — ~25x better-conditioned on saddle blocks than the raw
+        # matrix; an unequilibrated estimate would flip _inner32_ok
+        # differently above vs below the batch-size threshold).
+        d = np.sqrt(np.maximum(np.abs(host).max(axis=-1), 1e-30))
+        scaled = host / d[..., :, None] / d[..., None, :]
+        inv_scaled = x_np * d[..., :, None] * d[..., None, :]
         cond = (
-            np.abs(host).sum(axis=-1).max(axis=-1)
-            * np.abs(x_np).sum(axis=-1).max(axis=-1)
+            np.abs(scaled).sum(axis=-1).max(axis=-1)
+            * np.abs(inv_scaled).sum(axis=-1).max(axis=-1)
         ).max()
         return jnp.asarray(x_np), float(cond) * 6e-8
     d = jnp.sqrt(jnp.maximum(jnp.abs(blocks).max(axis=-1), 1e-30))
@@ -133,9 +139,15 @@ def blocked_gj_inverse(a, block: int = 128):
     Full-width Jordan elimination one column-block at a time: invert the
     b x b pivot block, scale its row-panel, eliminate it from every other
     row with one [..., m, b] @ [..., b, m] GEMM, then write the inverse's
-    column-panel.  No pivoting across blocks — callers feed equilibrated
-    (row-max-scaled) matrices, the same assumption the plain f32 seed
-    makes.  Cost 2 n^3 flops per matrix, ~all of it in batched GEMMs.
+    column-panel.  No pivoting across blocks — STRONGER than the getrf
+    seed's assumption (jnp.linalg.inv partially pivots across the whole
+    matrix): every leading block-sized principal minor must be
+    nonsingular, which row-max equilibration does not guarantee for
+    saddle-structured blocks with zero diagonal blocks.  Opt-in via
+    MFV2D_TPU_SEED_INV=gj after measuring; the Newton-Schulz probe and
+    host fallback in newton_schulz_inverse recover a usable inverse if a
+    pivot block is singular, but seed_err is then meaningless.
+    Cost 2 n^3 flops per matrix, ~all of it in batched GEMMs.
 
     Padding rows (to a block multiple) carry an identity and drop out.
     """

@@ -36,7 +36,7 @@ from mfv2d_tpu.solver.krylov import (
     cg_loop as _cg_loop,
     gmres_cycle as _gmres_cycle,
     gmres_loop as _gmres_loop,
-    spd_probe,
+    trace_indefinite_probe,
 )
 
 
@@ -364,9 +364,14 @@ def _mixed_trace_enabled() -> bool:
 def _trace_krylov(system, method: str, maximum_iterations: int):
     """The fused trace-Schur Krylov for ``system``; mixed-precision where it pays.
 
-    Systems whose element blocks are too ill-conditioned for f32 sweeps to
-    contract (``_inner32_ok`` False, a cond(A)*eps_f32 probe at build time)
-    stay on the f64 loop.  ``method="cg"`` is upgraded to large-restart
+    Systems whose element blocks are too ill-conditioned for the plain
+    f32 inner operator (``_inner32_ok`` False, a cond(A)*eps_f32 probe at
+    build time) get the f32x2 hi/lo inner operator instead; the pure-f64
+    loops run only when the mixed path is disabled outright
+    (``MFV2D_TPU_SHARDED_MIXED=0``).  If an inner operator fails to
+    contract anyway, the outer loop's stagnation exit returns the best
+    iterate and the caller's convergence check decides.  ``method="cg"``
+    is upgraded to large-restart
     GMRES when the curvature probe finds the trace operator indefinite
     (saddle formulations): the CG recurrence is only semiconvergent there
     — Stokes 16x16 p=4 measured 18,000 inner CG iterations vs ~600 for the
@@ -914,23 +919,13 @@ class ShardedBlockSystem:
         """
         cached = getattr(self, "_trace_indef", None)
         if cached is None:
-            if self.n_lagrange == 0:
-                cached = False
-            else:
-                rhs = jnp.asarray(
-                    np.random.default_rng(0).normal(size=self.n_lagrange),
-                    jnp.float32,
-                )
-                # Probe through the f32x2 operator when the plain f32
-                # inverse fails the cond*eps_f32 gate — its sign structure
-                # is meaningless there.
-                kern, tabs, _ = self._inner32_kernel(
-                    not getattr(self, "_inner32_ok", True)
-                )
-                probe = jax.jit(
-                    lambda r, *t: spd_probe(lambda v: kern(v, *t), r)
-                )
-                cached = bool(probe(rhs, *tabs) <= -1e-4)
+            # Probe through the f32x2 operator when the plain f32 inverse
+            # fails the cond*eps_f32 gate — its sign structure is
+            # meaningless there.
+            kern, tabs, _ = self._inner32_kernel(
+                not getattr(self, "_inner32_ok", True)
+            )
+            cached = trace_indefinite_probe(kern, tabs, self.n_lagrange)
             self._trace_indef = cached
         return cached
 
@@ -1477,20 +1472,12 @@ class MultiBucketShardedSystem:
         """
         cached = getattr(self, "_trace_indef", None)
         if cached is None:
-            if self.n_lagrange == 0:
-                cached = False
-            else:
-                rhs = jnp.asarray(
-                    np.random.default_rng(0).normal(size=self.n_lagrange),
-                    jnp.float32,
-                )
-                kerns, tabs, n32 = self._inner32_parts(
-                    not self._inner32_ok
-                )
-                probe = jax.jit(
-                    lambda r, *t: spd_probe(_sum_matvec(kerns, t, n32), r)
-                )
-                cached = bool(probe(rhs, *tabs) <= -1e-4)
+            kerns, tabs, n32 = self._inner32_parts(not self._inner32_ok)
+            cached = trace_indefinite_probe(
+                lambda v, *t: _sum_matvec(kerns, t, n32)(v),
+                tabs,
+                self.n_lagrange,
+            )
             self._trace_indef = cached
         return cached
 

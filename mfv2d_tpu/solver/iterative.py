@@ -31,7 +31,11 @@ from mfv2d_tpu.utils.lazy import lazy_module
 sp = lazy_module("scipy.sparse")
 
 from mfv2d_tpu.solver.discretization import Discretization
-from mfv2d_tpu.solver.krylov import auto_restart, gmres_loop, spd_probe
+from mfv2d_tpu.solver.krylov import (
+    auto_restart,
+    gmres_loop,
+    trace_indefinite_probe,
+)
 from mfv2d_tpu.solver.solve import ConvergenceSettings
 
 
@@ -554,25 +558,12 @@ class BlockSaddleSystem:
         """
         cached = getattr(self, "_trace_indef", None)
         if cached is None:
-            if self.n_lagrange == 0:
-                cached = False
-            else:
-                rhs = jnp.asarray(
-                    np.random.default_rng(0).normal(size=self.n_lagrange),
-                    jnp.float32,
-                )
-
-                accurate = not getattr(self, "_inner32_ok", True)
-                apply32 = (
-                    self._schur32x2_apply if accurate else self._schur32_apply
-                )
-                tabs32 = self._tables32x2 if accurate else self._tables32
-
-                @jax.jit
-                def probe(r, *tabs):
-                    return spd_probe(lambda v: apply32(v, *tabs), r)
-
-                cached = bool(probe(rhs, *tabs32) <= -1e-4)
+            accurate = not getattr(self, "_inner32_ok", True)
+            apply32 = (
+                self._schur32x2_apply if accurate else self._schur32_apply
+            )
+            tabs32 = self._tables32x2 if accurate else self._tables32
+            cached = trace_indefinite_probe(apply32, tabs32, self.n_lagrange)
             self._trace_indef = cached
         return cached
 

@@ -100,7 +100,7 @@ def spd_probe(matvec, rhs, iters: int = 32):
     """
 
     def scale_of(min_c, max_c):
-        return jnp.maximum(jnp.maximum(jnp.abs(min_c), jnp.abs(max_c)), 1e-300)
+        return jnp.maximum(jnp.maximum(jnp.abs(min_c), jnp.abs(max_c)), 1e-30)
 
     def cond(c):
         (_, _, rs, rs0, min_c, max_c), k = c
@@ -112,7 +112,7 @@ def spd_probe(matvec, rhs, iters: int = 32):
         (r, p, rs, rs0, min_c, max_c), k = c
         ap = matvec(p)
         pap = jnp.vdot(p, ap)
-        curv = pap / jnp.maximum(jnp.vdot(p, p), 1e-300)
+        curv = pap / jnp.maximum(jnp.vdot(p, p), 1e-30)
         min_c = jnp.minimum(min_c, curv)
         max_c = jnp.maximum(max_c, curv)
         alpha = rs / jnp.where(pap != 0, pap, 1.0)
@@ -135,6 +135,29 @@ def spd_probe(matvec, rhs, iters: int = 32):
     )
     s = scale_of(min_c, max_c)
     return min_c * max_c / (s * s)
+
+
+def trace_indefinite_probe(apply_fn, tables, n_lagrange: int) -> bool:
+    """Shared routing policy: probe an (apply_fn, tables) trace operator for
+    curvature-sign mixing with a fixed seeded f32 vector.
+
+    Single source of truth for the probe seed, length, and the -1e-4
+    mixing threshold — the single-chip and sharded systems all route
+    through here so CG/GMRES selection can never diverge between them.
+    """
+    if n_lagrange == 0:
+        return False
+    import numpy as np
+
+    rhs = jnp.asarray(
+        np.random.default_rng(0).normal(size=n_lagrange), jnp.float32
+    )
+
+    @jax.jit
+    def probe(r, *tabs):
+        return spd_probe(lambda v: apply_fn(v, *tabs), r)
+
+    return bool(probe(rhs, *tables) <= -1e-4)
 
 
 def _apply_rotations(cs, sn, hcol, j):

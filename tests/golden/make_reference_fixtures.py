@@ -194,9 +194,24 @@ def _solution_fixture(out, ref, UnknownFormOrder, Basis1D, Basis2D,
         poly_dofs[e * n_el_dofs : e * n_el_dofs + n1] = np.asarray(
             ref.element_primal_dofs(UnknownFormOrder.FORM_ORDER_1, space, poly_flux)
         )
-    bcheck = np.abs(u_exact(corners_all[..., 0], corners_all[..., 1]))
-    # Sanity on the vanishing-boundary premise: corner values on the hull.
-    assert float(bcheck.min()) < 1e-12
+    # Vanishing-boundary premise: u_exact must be ~0 at EVERY hull point
+    # (otherwise the omitted weak boundary term is nonzero and the fixture
+    # is wrong).  The mesh spans [-1, 1]^2, so hull corners are those with
+    # |x| = 1 or |y| = 1; check corners and edge midpoints.
+    cx = corners_all[..., 0]
+    cy = corners_all[..., 1]
+    on_hull = (np.abs(np.abs(cx) - 1.0) < 1e-12) | (
+        np.abs(np.abs(cy) - 1.0) < 1e-12
+    )
+    assert on_hull.any()
+    hull_vals = np.abs(u_exact(cx, cy))[on_hull]
+    mid_x = np.linspace(-1, 1, 33)
+    for edge in (u_exact(mid_x, -1.0 + 0 * mid_x),
+                 u_exact(mid_x, 1.0 + 0 * mid_x),
+                 u_exact(-1.0 + 0 * mid_x, mid_x),
+                 u_exact(1.0 + 0 * mid_x, mid_x)):
+        hull_vals = np.concatenate([hull_vals, np.abs(edge)])
+    assert float(hull_vals.max()) < 1e-12, float(hull_vals.max())
     g_res = np.abs(lagrange_mat @ poly_dofs).max()
     assert g_res < 1e-10, g_res
 
