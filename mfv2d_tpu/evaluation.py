@@ -55,6 +55,40 @@ from mfv2d_tpu.ops.mass import (
 from mfv2d_tpu.system import ElementFormSpecification
 
 
+def _mass_solve(a, b, refinements: int = 3):
+    """Traceable f64 solve ``A X = B`` for (well-conditioned) mass matrices.
+
+    TPU XLA implements LuDecomposition only for f32/c64, so an f64
+    ``jnp.linalg.solve`` fails to lower there; factor in f32 and refine
+    the f64 residual instead (mass matrices are mildly conditioned, so a
+    few rounds reach ~1e-13).  Elsewhere (or in f32) this is a plain
+    solve.  ``jax.default_backend()`` is static at trace time.
+    """
+    import jax
+
+    if a.dtype != jnp.float64 or jax.default_backend() != "tpu":
+        return jnp.linalg.solve(a, b)
+    lu, piv = jax.scipy.linalg.lu_factor(a.astype(jnp.float32))
+
+    def solve32(r):
+        return jax.scipy.linalg.lu_solve(
+            (lu, piv), r.astype(jnp.float32)
+        ).astype(jnp.float64)
+
+    x = solve32(b)
+    for _ in range(refinements):
+        x = x + solve32(b - a @ x)
+    return x
+
+
+def _mass_inverse(a):
+    """Traceable f64 inverse of batched mass matrices (see _mass_solve)."""
+    eye = jnp.broadcast_to(
+        jnp.eye(a.shape[-1], dtype=a.dtype), a.shape
+    )
+    return _mass_solve(a, eye)
+
+
 class ElementBatch:
     """A batch of elements sharing basis orders and integration rules.
 
@@ -130,7 +164,7 @@ class ElementBatch:
                 else:
                     raise ValueError(f"Invalid mass order {order}.")
             else:
-                m = jnp.linalg.inv(self.mass(order, False))
+                m = _mass_inverse(self.mass(order, False))
             self._mass[key] = m
         return self._mass[key]
 
@@ -501,7 +535,7 @@ def compute_element_projector(
             cross = mass_surf_double(batch_in.tb, batch_out.tb, jac)
         else:
             raise ValueError(f"Invalid form order {order}.")
-        out.append(jnp.linalg.solve(batch_out.mass(order, False), cross))
+        out.append(_mass_solve(batch_out.mass(order, False), cross))
     return out
 
 
@@ -721,7 +755,7 @@ def _cached_mass_apply_fn(orders, int_orders, form_orders, inverse: bool):
             off += n
             m = batch.mass(order, False)
             if inverse:
-                parts.append(jnp.linalg.solve(m, v[..., None])[..., 0])
+                parts.append(_mass_solve(m, v[..., None])[..., 0])
             else:
                 parts.append(jnp.einsum("eij,ej->ei", m, v))
         return jnp.concatenate(parts, axis=1)
