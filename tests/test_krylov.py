@@ -314,3 +314,34 @@ def test_sharded_steady_stokes_picard_with_mixed_gmres(stokes_system):
     ref = sols_ref[-1]
     err = np.abs(grid.point_data["vel"] - ref.point_data["vel"]).max()
     assert err < 1e-7, err
+
+
+def test_traced_outer_mixed_gmres(stokes_system):
+    """The mixed defect-correction loop must also work as a TRACED
+    while_loop (what fused marches inline): jit the whole solve and check
+    the true residual."""
+    from jax.sharding import Mesh
+
+    from mfv2d_tpu.parallel.sharding import ShardedBlockSystem
+
+    disc, mats, lagrange_mat = stokes_system
+    device_mesh = Mesh(np.array(jax.devices("cpu")[:2]), axis_names=("e",))
+    sharded = ShardedBlockSystem(
+        disc, np.asarray(mats[0]), lagrange_mat, device_mesh
+    )
+    solve = sharded.make_fused_gmres_mixed(4000)
+
+    @jax.jit
+    def traced(rhs):
+        lam, rs, iters = solve(rhs, 1e-10)
+        return lam, rs, iters
+
+    rng = np.random.default_rng(5)
+    rhs = jnp.asarray(rng.normal(size=lagrange_mat.shape[0]))
+    lam, rs, iters = traced(rhs)
+    matvec = sharded.make_schur_matvec()
+    res = float(jnp.linalg.norm(rhs - matvec(lam))) / float(
+        jnp.linalg.norm(rhs)
+    )
+    assert res < 1e-8, res
+    assert int(iters) >= 1
