@@ -345,3 +345,39 @@ def test_traced_outer_mixed_gmres(stokes_system):
     )
     assert res < 1e-8, res
     assert int(iters) >= 1
+
+
+def test_gmres_edge_cases():
+    """Zero RHS exits immediately; tol=0 runs the cycle to completion."""
+    rng = np.random.default_rng(2)
+    n = 40
+    a = jnp.asarray(rng.normal(size=(n, n)) + n * np.eye(n))
+    zero = jnp.zeros(n)
+    x, rr, it = krylov.gmres_loop(lambda v: a @ v, zero, 0.0, 100, 50)
+    assert float(jnp.linalg.norm(x)) == 0.0
+    b = jnp.asarray(rng.normal(size=n))
+    x, rr, it = krylov.gmres_loop(lambda v: a @ v, b, 0.0, n + 5, n + 5)
+    res = np.linalg.norm(np.asarray(b - a @ x)) / np.linalg.norm(b)
+    assert res < 1e-12, res
+
+
+def test_single_chip_mixed_warm_start(stokes_system, monkeypatch):
+    """initial_lagrange warm-starts the mixed solve (fewer inner iterations
+    when started at the solution)."""
+    from mfv2d_tpu.solver.iterative import solve_schur_iterative
+    from mfv2d_tpu.solver.solve import ConvergenceSettings
+
+    disc, mats, lagrange_mat = stokes_system
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    system = BlockSaddleSystem(disc, mats, lagrange_mat)
+    monkeypatch.undo()
+
+    rng = np.random.default_rng(1)
+    rhs = jnp.asarray(rng.normal(size=system.n_dofs))
+    cons = jnp.zeros(system.n_lagrange)
+    conv = ConvergenceSettings(4000, 1e-9, 0.0)
+    _, lam1, _, iters_cold = solve_schur_iterative(system, rhs, cons, conv)
+    _, _, _, iters_warm = solve_schur_iterative(
+        system, rhs, cons, conv, initial_lagrange=lam1
+    )
+    assert iters_warm <= max(iters_cold // 2, 2), (iters_cold, iters_warm)
