@@ -70,6 +70,13 @@ def golden_freshness() -> bool:
 
 
 _SMOKE = r"""
+import jax
+
+# The sandbox sitecustomize imports jax and registers the TPU platform
+# before env vars can take effect; the config update after import is the
+# only reliable way to keep the smoke on the host CPU (a wedged TPU relay
+# would otherwise hang the gate).
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import mfv2d_tpu as mf
 from mfv2d_tpu.examples import unit_square_mesh
