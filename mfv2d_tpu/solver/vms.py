@@ -37,6 +37,21 @@ from mfv2d_tpu.solver.solve import (
 from mfv2d_tpu.system import KFormSystem
 
 
+import jax
+
+
+@jax.jit
+def _block_gemv(blocks, v2d):
+    """Batched block-diagonal matvec: [E,m,n] x [E,n] -> [E,m]."""
+    return jnp.einsum("eij,ej->ei", blocks, v2d)
+
+
+@jax.jit
+def _block_gemv_t(blocks, v2d):
+    """Transposed batched matvec: [E,m,n]^T x [E,m] -> [E,n]."""
+    return jnp.einsum("eij,ei->ej", blocks, v2d)
+
+
 class _FineBucketView:
     """Adapter pairing a fine batch with a coarse bucket's leaf ranks."""
 
@@ -168,6 +183,18 @@ class SuyashGreenOperator:
 
         self.fine_offsets = np.concatenate([[0], np.cumsum(fine_sizes)])
         self.projector_c2f = sp.csr_array(sp.block_diag(proj_leaf, format="csr"))
+        # Device-resident fine-scale operators (uniform-order meshes): the
+        # fine advection operator and the coarse->fine projector are
+        # block-diagonal with contiguous per-leaf DoFs, so their
+        # applications are single batched GEMVs on device.  The host-CSR
+        # alternative rebuilds a ~100M-nnz block_diag per Picard iteration
+        # and runs its SpMVs on (possibly one) host core — measured as THE
+        # wall-time wall of BASELINE config 5.
+        self._dev_ops = len(disc.buckets) == 1
+        if self._dev_ops:
+            self._fine_adv_lin_dev = jnp.asarray(np.stack(fine_adv_leaf))
+            self._fine_adv_nonlin_dev = None
+            self._proj_dev = jnp.asarray(np.stack(proj_leaf))
         self.fine_linear_advection_operator = sp.coo_array(
             sp.block_diag(fine_adv_leaf, format="coo")
         )
@@ -270,6 +297,33 @@ class SuyashGreenOperator:
 
     # -- operator application ------------------------------------------
 
+    def _apply_fine_advection(self, v):
+        """F v (fine advection, linear + current nonlinear part)."""
+        if self._dev_ops:
+            e = self._fine_adv_lin_dev.shape[0]
+            v2 = jnp.asarray(v).reshape(e, -1)
+            out = _block_gemv(self._fine_adv_lin_dev, v2)
+            if self._fine_adv_nonlin_dev is not None:
+                out = out + _block_gemv(self._fine_adv_nonlin_dev, v2)
+            return np.asarray(out).ravel()
+        return self.fine_advection_operator @ np.asarray(v)
+
+    def _project_to_coarse(self, x):
+        """P^T x (dual projection of a fine vector to coarse DoFs)."""
+        if self._dev_ops:
+            e, n_f, _ = self._proj_dev.shape
+            out = _block_gemv_t(self._proj_dev, jnp.asarray(x).reshape(e, n_f))
+            return np.asarray(out).ravel()
+        return np.asarray(x) @ self.projector_c2f
+
+    def _prolong_to_fine(self, u):
+        """P u (coarse DoFs to the fine space)."""
+        if self._dev_ops:
+            e = self._proj_dev.shape[0]
+            out = _block_gemv(self._proj_dev, jnp.asarray(u).reshape(e, -1))
+            return np.asarray(out).ravel()
+        return self.projector_c2f @ np.asarray(u)
+
     def fine_scale_greens_function(self, x: np.ndarray) -> np.ndarray:
         """G' x = A_f^{-1} x - P A_c^{-1} P^T x (solve_system.py:949-961)."""
         if self.matrix_free:
@@ -286,10 +340,10 @@ class SuyashGreenOperator:
             )
             u_c, _, _, _ = solve_schur_direct(
                 self.coarse_saddle,
-                jnp.asarray(x @ self.projector_c2f),
+                jnp.asarray(self._project_to_coarse(x)),
                 jnp.zeros(self.coarse_saddle.n_lagrange),
             )
-            return np.asarray(u_f) - self.projector_c2f @ np.asarray(u_c)
+            return np.asarray(u_f) - self._prolong_to_fine(np.asarray(u_c))
         result_fine = self.fine_decomp.solve(np.pad(x, (0, self.fine_padding)))[
             : x.size
         ]
@@ -307,10 +361,10 @@ class SuyashGreenOperator:
         initial_guess: np.ndarray | None,
     ) -> np.ndarray:
         """Fixed-point iteration for the unresolved-scale forcing."""
-        residual = self.fine_forcing - (
-            self.fine_advection_operator @ self.projector_c2f @ coarse_solution
+        residual = self.fine_forcing - self._apply_fine_advection(
+            self._prolong_to_fine(coarse_solution)
         )
-        agr = self.fine_advection_operator @ self.fine_scale_greens_function(residual)
+        agr = self._apply_fine_advection(self.fine_scale_greens_function(residual))
         u = np.array(agr) if initial_guess is None else np.array(initial_guess)
 
         if self.iteration == "gmres":
@@ -323,7 +377,7 @@ class SuyashGreenOperator:
             n_u = agr.size
 
             def op(w):
-                return w + self.fine_advection_operator @ (
+                return w + self._apply_fine_advection(
                     self.fine_scale_greens_function(w)
                 )
 
@@ -344,8 +398,8 @@ class SuyashGreenOperator:
             u = np.asarray(out)
 
         for _ in range(self.convergence.maximum_iterations):
-            u_new = agr - self.fine_advection_operator @ self.fine_scale_greens_function(
-                u
+            u_new = agr - self._apply_fine_advection(
+                self.fine_scale_greens_function(u)
             )
             max_du = np.abs(u - u_new).max()
             max_u = np.abs(u_new).max()
@@ -367,10 +421,10 @@ class SuyashGreenOperator:
         """Unresolved scales from the unresolved-contribution forcing."""
         residual = (
             self.fine_forcing
-            - (
-                self.fine_advection_operator
-                @ self.projector_c2f
-                @ coarse_solution[: coarse_solution.size - self.coarse_padding]
+            - self._apply_fine_advection(
+                self._prolong_to_fine(
+                    coarse_solution[: coarse_solution.size - self.coarse_padding]
+                )
             )
             - unresolved_contribution
         )
@@ -378,7 +432,7 @@ class SuyashGreenOperator:
 
     def fine_results_to_coarse_dofs(self, x: np.ndarray, *, dual: bool) -> np.ndarray:
         """Project fine-scale results back to the coarse DoFs (padded)."""
-        y = x @ self.projector_c2f if dual else self.projector_c2f.T @ x
+        y = self._project_to_coarse(x) if dual else self.projector_c2f.T @ np.asarray(x)
         return np.pad(y, (0, self.coarse_padding))
 
     def update_nonlinear_advection(self, coarse_dofs: np.ndarray) -> None:
@@ -387,7 +441,37 @@ class SuyashGreenOperator:
             return
         # coarse_dofs may carry lagrange padding; strip it.
         n_coarse = self.projector_c2f.shape[1]
-        fine_dofs = self.projector_c2f @ coarse_dofs[:n_coarse]
+        fine_dofs = self._prolong_to_fine(coarse_dofs[:n_coarse])
+
+        if self._dev_ops:
+            # Single bucket: keep the nonlinear advection blocks on device
+            # (one batched assembly, no 100M-nnz host block_diag rebuild).
+            bucket = self.disc.buckets[0]
+            fine_batch = self.fine_batches[0]
+            gather = (
+                self.fine_offsets[bucket.leaf_ranks][:, None]
+                + np.arange(
+                    self.disc.form_spec.total_size(*fine_batch.orders),
+                    dtype=np.int64,
+                )[None, :]
+            )
+            statics = evaluate_static_fields(
+                fine_batch, self.compiled_advection.fields
+            )
+            mats = jit_element_matrices(
+                self.disc.form_spec,
+                self.compiled_advection.nonlin_blocks,
+                fine_batch,
+                dofs=jnp.asarray(fine_dofs[gather]),
+                static_fields=statics,
+            )
+            # Assembly follows the batch's element order; the flat fine
+            # vector (and the linear blocks) are leaf-RANK ordered.
+            ranks = np.asarray(bucket.leaf_ranks)
+            if not np.array_equal(ranks, np.arange(ranks.size)):
+                mats = jnp.asarray(mats)[jnp.asarray(np.argsort(ranks))]
+            self._fine_adv_nonlin_dev = mats
+            return
 
         nonlin_leaf: list[np.ndarray | None] = [None] * self.disc.n_leaves
         for bucket, fine_batch in zip(self.disc.buckets, self.fine_batches):

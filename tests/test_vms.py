@@ -221,3 +221,65 @@ def test_vms_matrix_free_full_solve():
     assert np.all(np.isfinite(grid.point_data["vms-u"]))
     # Resolved problem: the fine scales are numerically zero.
     assert np.abs(grid.point_data["vms-u"]).max() < 1e-10
+
+
+def test_nonlinear_vms_device_ops_match_host_csr():
+    """The device-resident fine-operator path (uniform meshes) equals the
+    host-CSR path on a NONLINEAR flow with VMS — exercising the per-Picard
+    nonlinear advection update and every projector/advection application."""
+    from mfv2d_tpu.models import transport
+
+    nu = -1.0
+
+    def u_exact(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def q_exact(x, y):
+        return np.stack(
+            (
+                -np.pi / 2 * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y),
+                -np.pi / 2 * np.cos(np.pi / 2 * x) * np.sin(np.pi / 2 * y),
+            ),
+            axis=-1,
+        )
+
+    def source_exact(x, y):
+        return np.sum(q_exact(x, y) ** 2, axis=-1) - nu * np.pi**2 * u_exact(
+            x, y
+        ) / 2
+
+    model = transport.nonlinear_flow(nu, u_exact, source_exact)
+    u, q = model.u, model.q
+    v, pw = u.weight, q.weight
+    symmetric = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        nu * (v @ q.derivative) == -(v @ source_exact),
+    )
+    results = {}
+    for mfree in (False, True):
+        mesh = mf.examples.unit_square_mesh(4, 4, 3)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, over_integration_order=3),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(40, 1e-9, 0),
+                linear_solver="schur_direct",
+            ),
+            vms_settings=mf.VMSSettings(
+                symmetric_system=symmetric,
+                nonsymmetric_system=model.system,
+                order_increase=2,
+                fine_scale_convergence=mf.ConvergenceSettings(10, 1e-10, 1e-8),
+                matrix_free=mfree,
+            ),
+            recon_order=6,
+        )
+        grid = sols[-1]
+        results[mfree] = (
+            np.asarray(grid.point_data["u"]),
+            np.asarray(grid.point_data["vms-u"]),
+        )
+    # matrix_free=True uses the device block ops (incl. the nonlinear
+    # update); matrix_free=False the host LU + CSR.  Same answers.
+    assert np.allclose(results[True][0], results[False][0], atol=1e-8)
+    assert np.allclose(results[True][1], results[False][1], atol=1e-9)
