@@ -38,27 +38,6 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
     blocks = jnp.asarray(blocks)
     n = blocks.shape[-1]
     batch = int(np.prod(blocks.shape[:-2])) if blocks.ndim > 2 else 1
-    if jax.default_backend() == "tpu" and batch * n**3 > 2e9:
-        # Emulated-f64 GEMMs run at ~3 GFLOP/s on TPU, so one Newton-
-        # Schulz sweep on a batch this size is a multi-minute single
-        # dispatch — past the TPU runtime's watchdog (which kills the
-        # worker).  Host LAPACK inverts batches like the VMS fine space
-        # ([4096, 320, 320]) in tens of seconds instead of hours.
-        host = np.asarray(blocks)
-        x_np = np.linalg.inv(host)
-        # seed_err contract: cond * eps_f32 of the row-max-EQUILIBRATED
-        # matrix (matching the device branch, which probes the equilibrated
-        # f32 seed — ~25x better-conditioned on saddle blocks than the raw
-        # matrix; an unequilibrated estimate would flip _inner32_ok
-        # differently above vs below the batch-size threshold).
-        d = np.sqrt(np.maximum(np.abs(host).max(axis=-1), 1e-30))
-        scaled = host / d[..., :, None] / d[..., None, :]
-        inv_scaled = x_np * d[..., :, None] * d[..., None, :]
-        cond = (
-            np.abs(scaled).sum(axis=-1).max(axis=-1)
-            * np.abs(inv_scaled).sum(axis=-1).max(axis=-1)
-        ).max()
-        return jnp.asarray(x_np), float(cond) * 6e-8
     d = jnp.sqrt(jnp.maximum(jnp.abs(blocks).max(axis=-1), 1e-30))
     scaled = blocks / d[..., :, None] / d[..., None, :]
     from mfv2d_tpu.config import config
@@ -87,12 +66,33 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
         ax = jnp.einsum("...ij,...jk->...ik", blocks_, x_)
         return 2.0 * x_ - jnp.einsum("...ij,...jk->...ik", x_, ax)
 
+    # Emulated-f64 GEMMs run at ~3 GFLOP/s on TPU, so one whole-batch NS
+    # sweep at VMS scale ([4096, 320, 320]: ~540 GFLOP) is a multi-minute
+    # single dispatch — past the TPU runtime watchdog.  Chunk each sweep
+    # into ~10 s element-slices instead (two compiled shapes: body chunk
+    # and tail).  A few-minute device build still beats single-core host
+    # LAPACK by a wide margin, and keeps the inverse f64-accurate (the
+    # f32x2 hi/lo split downstream needs that).
+    flops_per_el = 4.0 * float(n) ** 3
+    chunk = batch
+    if jax.default_backend() == "tpu":
+        chunk = max(1, min(batch, int(3e10 / max(flops_per_el, 1.0))))
+
+    def ns_sweep(x_):
+        if chunk >= batch or blocks.ndim == 2:
+            return ns_step(x_, blocks)
+        parts = [
+            ns_step(x_[i : i + chunk], blocks[i : i + chunk])
+            for i in range(0, batch, chunk)
+        ]
+        return jnp.concatenate(parts, axis=0)
+
     seed_err = float(probe_err_of(x, applied))
     err = seed_err
     for _ in range(8):
         if np.isfinite(err) and err <= 1e-11:
             break
-        x_next = ns_step(x, blocks)
+        x_next = ns_sweep(x)
         err_next = float(probe_err_of(x_next, applied))
         if not np.isfinite(err_next) or err_next >= err:
             break

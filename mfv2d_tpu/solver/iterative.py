@@ -124,6 +124,19 @@ class DeviceSchurFactor:
         return np.asarray(x)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("rounds",))
+def _schur_rhs_solve(inv, blocks, rhs, rounds: int):
+    """Batched ``A^{-1} @ rhs`` via the explicit inverse + refine rounds."""
+    x = jnp.einsum("eij,ejk->eik", inv, rhs)
+    for _ in range(rounds):
+        r = rhs - jnp.einsum("eij,ejk->eik", blocks, x)
+        x = x + jnp.einsum("eij,ejk->eik", inv, r)
+    return x
+
+
 class BlockSaddleSystem:
     """Device-resident element-blocked saddle system.
 
@@ -458,7 +471,9 @@ class BlockSaddleSystem:
         rows_acc: list[np.ndarray] = []
         cols_acc: list[np.ndarray] = []
         vals_acc: list[np.ndarray] = []
-        for blocks_np, bucket in zip(self._blocks_np, self.disc.buckets):
+        for i_bucket, (blocks_np, bucket) in enumerate(
+            zip(self._blocks_np, self.disc.buckets)
+        ):
             gather = np.asarray(bucket.gather)
             n_e, n = gather.shape
             # Constraint entries owned by this bucket, as (element, local
@@ -493,14 +508,37 @@ class BlockSaddleSystem:
             valid = np.zeros((n_e, k_max), bool)
             valid[ue, slot_of_pair] = True
 
-            # Batched S_e = G_e A_e^{-1} G_e^T, chunked to bound memory.
-            chunk = max(1, (1 << 27) // max(1, k_max * n * 8))
+            # Batched S_e = G_e A_e^{-1} G_e^T, chunked to bound memory
+            # (and, on the device path, to bound per-dispatch work under
+            # the TPU watchdog).
+            if self._refine_inverse:
+                # Device: the explicit f64 inverse already exists — two
+                # batched GEMMs per chunk (plus the probe-chosen refine
+                # rounds) replace single-threaded host LAPACK solves,
+                # which dominated the VMS-scale setup on a 1-core host.
+                inv_dev = self.lu_factors[i_bucket]
+                blocks_dev = self.blocks[i_bucket]
+                rounds = self._refine_rounds[i_bucket]
+                ge_dev = jnp.asarray(ge)
+                flops = 4.0 * n * n * k_max * (1 + 2 * rounds)
+                chunk = max(1, min(n_e, int(3e10 / max(flops, 1.0))))
+            else:
+                chunk = max(1, (1 << 27) // max(1, k_max * n * 8))
             for c0 in range(0, n_e, chunk):
                 c1 = min(c0 + chunk, n_e)
-                sol = np.linalg.solve(
-                    blocks_np[c0:c1], np.swapaxes(ge[c0:c1], 1, 2)
-                )
-                se = np.einsum("ekn,enj->ekj", ge[c0:c1], sol, optimize=True)
+                if self._refine_inverse:
+                    get = jnp.swapaxes(ge_dev[c0:c1], 1, 2)
+                    sol = _schur_rhs_solve(
+                        inv_dev[c0:c1], blocks_dev[c0:c1], get, rounds
+                    )
+                    se = np.asarray(
+                        jnp.einsum("ekn,enj->ekj", ge_dev[c0:c1], sol)
+                    )
+                else:
+                    sol = np.linalg.solve(
+                        blocks_np[c0:c1], np.swapaxes(ge[c0:c1], 1, 2)
+                    )
+                    se = np.einsum("ekn,enj->ekj", ge[c0:c1], sol, optimize=True)
                 mask = valid[c0:c1, :, None] & valid[c0:c1, None, :]
                 rows_full = np.broadcast_to(
                     rows_pad[c0:c1, :, None], se.shape
