@@ -195,17 +195,23 @@ class SuyashGreenOperator:
             self._fine_adv_lin_dev = jnp.asarray(np.stack(fine_adv_leaf))
             self._fine_adv_nonlin_dev = None
             self._proj_dev = jnp.asarray(np.stack(proj_leaf))
-        self.fine_linear_advection_operator = sp.coo_array(
-            sp.block_diag(fine_adv_leaf, format="coo")
-        )
-        self.coarse_linear_advection_operator = sp.coo_array(
-            sp.block_diag(coarse_adv_leaf, format="coo")
-        )
-        if self.compiled_advection.nonlin_blocks is None:
-            self.fine_advection_operator = self.fine_linear_advection_operator.tocsr()
-            self.coarse_advection_operator = (
-                self.coarse_linear_advection_operator.tocsr()
+        if not self._dev_ops:
+            # Host-CSR operators (hp meshes / LU path); at fine p=10 scale
+            # these are ~100M-nnz builds, skipped entirely when the device
+            # block operators serve every application.
+            self.fine_linear_advection_operator = sp.coo_array(
+                sp.block_diag(fine_adv_leaf, format="coo")
             )
+            self.coarse_linear_advection_operator = sp.coo_array(
+                sp.block_diag(coarse_adv_leaf, format="coo")
+            )
+            if self.compiled_advection.nonlin_blocks is None:
+                self.fine_advection_operator = (
+                    self.fine_linear_advection_operator.tocsr()
+                )
+                self.coarse_advection_operator = (
+                    self.coarse_linear_advection_operator.tocsr()
+                )
 
         # Fine-space forcing + weak BCs + constraints on the p-raised mesh.
         forcing_list = [np.asarray(f) for f in forcing_leaf]
