@@ -75,6 +75,7 @@ def main() -> None:
             matrix_free=True,
         ),
         recon_order=8,
+        print_residual=True,  # per-Picard progress (stall detection)
     )
     wall = time.time() - t0
     grid = sols[-1]
