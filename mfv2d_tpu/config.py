@@ -67,6 +67,14 @@ class _Config:
         # GEMVs are software-emulated; "1" forces it (CPU parity tests),
         # "0" disables it.
         self.sharded_mixed = os.environ.get("MFV2D_TPU_SHARDED_MIXED", "auto")
+        # Condensed trace operator for the mixed-path inner Krylov: apply
+        # S = sum_e G_e A_e^{-1} G_e^T through precomputed per-element
+        # condensed blocks [E, c, c] (c = constraints touching an element)
+        # instead of the full block inverses [E, n, n] — (n/c)^2 less HBM
+        # traffic per inner matvec and representation-only f32 error (the
+        # blocks are built through the f64 inverse, then rounded).
+        # Disable with MFV2D_TPU_CONDENSED=0.
+        self.condensed_trace = os.environ.get("MFV2D_TPU_CONDENSED", "1") != "0"
         # f32 seed-inverse algorithm for the explicit-inverse builds:
         # "getrf" (batched jnp.linalg.inv), "gj" (blocked Gauss-Jordan,
         # MXU GEMMs — ops/precision.blocked_gj_inverse), or "auto".

@@ -50,6 +50,22 @@ def _pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarra
     return np.pad(arr, widths)
 
 
+def _padded_table(keys: np.ndarray, key_max: int):
+    """Vectorized fill: per-key slot indices for a padded gather table.
+
+    Returns ``(order, sorted_keys, slot, k)`` where ``order`` sorts entries
+    by key, ``slot`` is each sorted entry's position within its key group,
+    and ``k`` the maximum group size (pad width).
+    """
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    counts = np.bincount(sorted_keys, minlength=key_max)
+    k = max(1, int(counts.max()) if counts.size else 1)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    slot = np.arange(sorted_keys.size) - starts[sorted_keys]
+    return order, sorted_keys, slot, k
+
+
 
 def _sum_matvec(schurs, tables, n_tab):
     """Summed per-bucket Schur matvec over a flat table concatenation."""
@@ -463,6 +479,10 @@ class ShardedBlockSystem:
             cols = np.zeros(0, np.int64)
             vals = np.zeros(0)
 
+        # Raw constraint triplets are kept host-side for the condensed-trace
+        # build (lazy, see ``_tables_c32``); tiny relative to the blocks.
+        self._lag_coo = (rows, cols, vals)
+
         # Map flat DoF columns to (element, local dof) and partition entries
         # by the owning device (elements are block-distributed).  Both trace
         # products use padded GATHER layouts: TPU scatters/segment-sums are
@@ -474,24 +494,9 @@ class ShardedBlockSystem:
         nd = self.n_devices
         n_lag = max(self.n_lagrange, 1)
 
-        def padded_table(keys, key_max):
-            """Vectorized fill: per-key slot indices for a padded table.
-
-            Returns (order, slot, k) where ``order`` sorts entries by key,
-            ``slot`` is each sorted entry's position within its key group,
-            and ``k`` the maximum group size (pad width).
-            """
-            order = np.argsort(keys, kind="stable")
-            sorted_keys = keys[order]
-            counts = np.bincount(sorted_keys, minlength=key_max)
-            k = max(1, int(counts.max()) if counts.size else 1)
-            starts = np.concatenate(([0], np.cumsum(counts)))
-            slot = np.arange(sorted_keys.size) - starts[sorted_keys]
-            return order, sorted_keys, slot, k
-
         # Row-major per device: G x = psum of per-device partial row sums.
         key1 = (owner * n_lag + rows).astype(np.int64)
-        o1, sk1, slot1, k1 = padded_table(key1, nd * n_lag)
+        o1, sk1, slot1, k1 = _padded_table(key1, nd * n_lag)
         tr_elem = np.zeros((nd, n_lag, k1), np.int32)
         tr_dof = np.zeros((nd, n_lag, k1), np.int32)
         tr_val = np.zeros((nd, n_lag, k1))
@@ -503,7 +508,7 @@ class ShardedBlockSystem:
 
         # Column-major per device: G^T lam gathered per local (element, dof).
         key2 = (elem_of_entry * n + local_dof).astype(np.int64)
-        o2, sk2, slot2, k2 = padded_table(key2, self.e_padded * n)
+        o2, sk2, slot2, k2 = _padded_table(key2, self.e_padded * n)
         tt_rows = np.zeros((self.e_padded, n, k2), np.int32)
         tt_val = np.zeros((self.e_padded, n, k2))
         e2 = sk2 // n
@@ -847,6 +852,172 @@ class ShardedBlockSystem:
             self._tables32x2_cache = cached
         return cached
 
+    def _use_condensed(self) -> bool:
+        """Whether the inner Krylov applies the condensed trace operator.
+
+        Statically condensing ``S_e = G_e A_e^{-1} G_e^T`` to per-element
+        ``[E, c, c]`` blocks over the c constraints touching each element
+        (c is O(p) per edge; the full blocks are O(p^2) per form) shrinks
+        the HBM bytes each inner matvec streams by ``(n/c)^2`` — measured
+        6x (Stokes p=4, n=81, c~32) to 19x (Navier-Stokes p=8, n=289,
+        c~70).  The condensed blocks are built through the f64 block
+        inverse and *then* rounded, so the f32 operator error is plain
+        representation eps_f32|S| instead of the block-inverse path's
+        cond(A)*eps_f32 — systems that failed the f32 seed gate (NS p=8)
+        run the cheap f32 inner this way instead of the 2x-cost f32x2.
+        Disable with ``MFV2D_TPU_CONDENSED=0``.
+        """
+        from mfv2d_tpu.config import config
+
+        return config.condensed_trace and self.n_lagrange > 0
+
+    def _condensed_structure(self):
+        """Host-side per-element constraint structure (cached).
+
+        Returns ``(ge, ce_rows, valid, co_idx, co_val)``:
+
+        - ``ge [e_padded, c_max, n]`` — dense per-element constraint rows
+          ``G_e`` (f64),
+        - ``ce_rows [e_padded, c_max]`` — the global constraint index of
+          each slot (0-padded; padding is killed by zeroed D rows/cols),
+        - ``valid [e_padded, c_max]`` — slot validity mask,
+        - ``co_idx [nd, n_lag, k3]`` / ``co_val`` — per-device padded
+          gather assembling the flat per-element contributions into the
+          trace vector (the scatter-free output layout, same idea as the
+          ``tr_*`` tables).
+        """
+        cached = getattr(self, "_condensed_struct_cache", None)
+        if cached is not None:
+            return cached
+        rows, cols, vals = self._lag_coo
+        n = self.n_dofs_per_element
+        nd = self.n_devices
+        per_dev = self.e_padded // nd
+        n_lag = max(self.n_lagrange, 1)
+        elem = cols // n
+        dof = cols % n
+
+        # Unique (element, constraint-row) pairs -> padded slot table.
+        pair_key = elem * n_lag + rows
+        uniq, pair_inv = np.unique(pair_key, return_inverse=True)
+        ue = uniq // n_lag
+        ur = uniq % n_lag
+        counts = np.bincount(ue, minlength=self.e_padded)
+        c_max = max(1, int(counts.max()) if counts.size else 1)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        slot_of_pair = np.arange(uniq.size) - starts[ue]
+
+        ge = np.zeros((self.e_padded, c_max, n))
+        np.add.at(ge, (elem, slot_of_pair[pair_inv], dof), vals)
+        ce_rows = np.zeros((self.e_padded, c_max), np.int32)
+        ce_rows[ue, slot_of_pair] = ur.astype(np.int32)
+        valid = np.zeros((self.e_padded, c_max), bool)
+        valid[ue, slot_of_pair] = True
+
+        # Output gather: for each (device, constraint) the flat positions
+        # (local element * c_max + slot) contributing to it.
+        owner_pair = ue // per_dev
+        key = (owner_pair * n_lag + ur).astype(np.int64)
+        o3, sk3, slot3, k3 = _padded_table(key, nd * n_lag)
+        co_idx = np.zeros((nd, n_lag, k3), np.int32)
+        co_val = np.zeros((nd, n_lag, k3), np.float32)
+        d3 = sk3 // n_lag
+        r3 = sk3 % n_lag
+        flat_pos = (ue[o3] - d3 * per_dev) * c_max + slot_of_pair[o3]
+        co_idx[d3, r3, slot3] = flat_pos.astype(np.int32)
+        co_val[d3, r3, slot3] = 1.0
+        cached = (ge, ce_rows, valid, co_idx, co_val)
+        self._condensed_struct_cache = cached
+        return cached
+
+    @property
+    def _tables_c32(self):
+        """f32 condensed-trace operator tables (lazy; one device build).
+
+        ``d32 [e_padded, c_max, c_max]`` holds ``G_e A_e^{-1} G_e^T``
+        computed through the refined f64 block inverse on device (two
+        batched GEMM chains), then rounded — so the stored operator's only
+        error is f32 representation.  Padding slots carry zero rows/cols.
+        """
+        cached = getattr(self, "_tables_c32_cache", None)
+        if cached is not None:
+            return cached
+        ge, ce_rows, valid, co_idx, co_val = self._condensed_structure()
+        shard3 = NamedSharding(self.mesh, P("e", None, None))
+        ge_dev = jax.device_put(ge, shard3)
+        mask = jax.device_put(
+            (valid[:, :, None] & valid[:, None, :]).astype(np.float64), shard3
+        )
+        refine = self._refine
+        rounds = getattr(self, "_refine_rounds", 0)
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P("e", None, None),
+                P("e", None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None, None),
+            ),
+            out_specs=P("e", None, None),
+        )
+        def build_d(lu, piv, blocks, ge_l, mask_l):
+            if refine:
+                y = jnp.einsum("eij,ekj->eki", lu, ge_l)
+                for _ in range(rounds):
+                    r = ge_l - jnp.einsum("eij,ekj->eki", blocks, y)
+                    y = y + jnp.einsum("eij,ekj->eki", lu, r)
+            else:
+                y = jnp.swapaxes(
+                    jax.scipy.linalg.lu_solve(
+                        (lu, piv), jnp.swapaxes(ge_l, 1, 2)
+                    ),
+                    1,
+                    2,
+                )
+            # D[e, k, l] = g_k . (A^{-1} g_l)
+            return jnp.einsum("ekn,eln->ekl", ge_l, y) * mask_l
+
+        d64 = jax.jit(build_d)(self.lu, self.piv, self.blocks, ge_dev, mask)
+        cached = (
+            d64.astype(jnp.float32),
+            jax.device_put(ce_rows, NamedSharding(self.mesh, P("e", None))),
+            jax.device_put(co_idx, shard3),
+            jax.device_put(co_val, shard3),
+        )
+        self._tables_c32_cache = cached
+        return cached
+
+    def _schur_c32_shardmap(self):
+        """Condensed all-f32 S kernel: one tiny [E,c,c] GEMV + one psum.
+
+        Streams ``(c/n)^2`` of the bytes of the full-block f32 kernel per
+        iteration and represents S to plain eps_f32 (see
+        :meth:`_use_condensed`)."""
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None),
+                P("e", None, None),
+                P("e", None),
+                P("e", None, None),
+                P("e", None, None),
+            ),
+            out_specs=P(None),
+        )
+        def schur_c32(lam32, d32, ce_rows, co_idx, co_val):
+            lam_e = lam32[ce_rows]
+            y = jnp.einsum("ekl,el->ek", d32, lam_e)
+            flat = y.reshape(-1)
+            part = jnp.sum(co_val[0] * flat[co_idx[0]], axis=-1)
+            return jax.lax.psum(part, "e")[: self.n_lagrange]
+
+        return schur_c32
+
     def _schur32_shardmap(self):
         """All-f32 S~ = G A~^{-1} G^T kernel (one f32 GEMV + one psum).
 
@@ -930,7 +1101,15 @@ class ShardedBlockSystem:
         return cached
 
     def _inner32_kernel(self, accurate: bool):
-        """(kernel, tables, n_tables) for the f32 or f32x2 inner operator."""
+        """(kernel, tables, n_tables) for the inner f32 trace operator.
+
+        The condensed kernel (default) supersedes both the plain-f32 and
+        the f32x2 paths: it is cheaper than either AND more accurate than
+        the f32x2 split (representation-only error), so ``accurate`` is
+        moot when it is enabled.
+        """
+        if self._use_condensed():
+            return self._schur_c32_shardmap(), self._tables_c32, 4
         if accurate:
             return self._schur32x2_shardmap(), self._tables32x2, 7
         return self._schur32_shardmap(), self._tables32, 6
@@ -1482,15 +1661,22 @@ class MultiBucketShardedSystem:
         return cached
 
     def _inner32_parts(self, accurate: bool):
+        subs = [sub for _, sub in self.subsystems]
+        if all(sub._use_condensed() for sub in subs):
+            return (
+                [sub._schur_c32_shardmap() for sub in subs],
+                tuple(t for sub in subs for t in sub._tables_c32),
+                4,
+            )
         if accurate:
             return (
-                [sub._schur32x2_shardmap() for _, sub in self.subsystems],
-                tuple(t for _, sub in self.subsystems for t in sub._tables32x2),
+                [sub._schur32x2_shardmap() for sub in subs],
+                tuple(t for sub in subs for t in sub._tables32x2),
                 7,
             )
         return (
-            [sub._schur32_shardmap() for _, sub in self.subsystems],
-            tuple(t for _, sub in self.subsystems for t in sub._tables32),
+            [sub._schur32_shardmap() for sub in subs],
+            tuple(t for sub in subs for t in sub._tables32),
             6,
         )
 

@@ -388,6 +388,74 @@ class BlockSaddleSystem:
         y = flat[inv_perm]
         return jnp.sum(row_vals32 * y[row_cols], axis=1)
 
+    def _use_condensed(self) -> bool:
+        """Whether the mixed-path inner Krylov applies the condensed trace
+        operator (see :meth:`_condensed_buckets`; MFV2D_TPU_CONDENSED=0
+        disables)."""
+        from mfv2d_tpu.config import config
+
+        return config.condensed_trace and self.n_lagrange > 0
+
+    @property
+    def _tables_c32(self):
+        """Flat f32 condensed-trace tables for the inner Krylov (cached).
+
+        Layout: ``(out_idx [n_lag, k], out_val, d32_0, rows_0, d32_1,
+        rows_1, ...)`` — one ``[n_e, c, c]`` condensed block batch plus its
+        constraint-index gather per bucket, and a global padded gather
+        assembling the concatenated per-element contributions (scatter-free,
+        mirroring the ``_row_cols`` layout).  The blocks come from the f64
+        build in :meth:`_condensed_buckets`, so rounding to f32 leaves
+        representation-only error — systems that fail the f32 seed-inverse
+        gate still run the cheap f32 inner this way.
+        """
+        cached = getattr(self, "_tables_c32_cache", None)
+        if cached is not None:
+            return cached
+        buckets = self._condensed_buckets()
+        n_lag = self.n_lagrange
+        bucket_tabs: list[jnp.ndarray] = []
+        flat_rows: list[np.ndarray] = []
+        flat_pos: list[np.ndarray] = []
+        offset = 0
+        for se_full, rows_pad, valid in buckets:
+            n_e, k_max = rows_pad.shape
+            bucket_tabs.append(jnp.asarray(se_full, jnp.float32))
+            bucket_tabs.append(jnp.asarray(rows_pad, jnp.int32))
+            flat_rows.append(rows_pad[valid])
+            pos = offset + np.arange(n_e * k_max).reshape(n_e, k_max)
+            flat_pos.append(pos[valid])
+            offset += n_e * k_max
+        rows_all = np.concatenate(flat_rows)
+        pos_all = np.concatenate(flat_pos)
+        counts = np.bincount(rows_all, minlength=n_lag)
+        k_out = max(1, int(counts.max()) if counts.size else 1)
+        order = np.argsort(rows_all, kind="stable")
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        slot = np.arange(rows_all.size) - starts[rows_all[order]]
+        out_idx = np.zeros((n_lag, k_out), np.int32)
+        out_val = np.zeros((n_lag, k_out), np.float32)
+        out_idx[rows_all[order], slot] = pos_all[order].astype(np.int32)
+        out_val[rows_all[order], slot] = 1.0
+        cached = (
+            jnp.asarray(out_idx),
+            jnp.asarray(out_val),
+        ) + tuple(bucket_tabs)
+        self._tables_c32_cache = cached
+        return cached
+
+    @staticmethod
+    def _schur_c32_apply(lam32, out_idx, out_val, *d_rows):
+        """Condensed all-f32 S lambda: one tiny [E,c,c] GEMV per bucket plus
+        a padded output gather — ``(c/n)^2`` of the full-block bytes."""
+        parts = []
+        for i in range(0, len(d_rows), 2):
+            d32, rows = d_rows[i : i + 2]
+            lam_e = lam32[rows]
+            parts.append(jnp.einsum("ekl,el->ek", d32, lam_e).reshape(-1))
+        flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return jnp.sum(out_val * flat[out_idx], axis=1)
+
     @property
     def _tables64(self):
         """Flat f64 operator tables (TPU explicit-inverse path), for passing
@@ -454,23 +522,28 @@ class BlockSaddleSystem:
             self.apply_diagonal_inverse(self.apply_trace_transpose(lam))
         )
 
-    def assemble_schur_sparse(self) -> sp.csr_array:
-        """Assemble S = G A^{-1} G^T explicitly (static condensation).
+    def _condensed_buckets(self):
+        """Per-bucket condensed trace blocks (cached; static condensation).
 
         A is block-diagonal so S = sum_e G_e A_e^{-1} G_e^T with each term a
-        small dense block over the constraints touching element e; the
-        result is a sparse SPD-structured trace matrix (size n_lagrange)
-        whose sparse factorization replaces the whole CG iteration — the
-        classic hybridized-FEM direct trace solve.
+        small dense block over the c constraints touching element e.  Returns
+        ``[(se, rows_pad, valid), ...]`` per bucket with ``se [n_e, c, c]``
+        (f64 numpy), ``rows_pad [n_e, c]`` the constraint indices, and
+        ``valid`` the slot mask.  The blocks feed both the assembled sparse
+        S (:meth:`assemble_schur_sparse` / the direct trace solve) and the
+        condensed f32 inner Krylov operator (:attr:`_tables_c32`) —
+        ``(n/c)^2`` less HBM traffic per inner matvec than the full block
+        inverses, with representation-only f32 error.
         """
+        cached = getattr(self, "_condensed_cache", None)
+        if cached is not None:
+            return cached
         if self.n_lagrange == 0:
             raise ValueError("System has no constraints; Schur is empty.")
         assert self.lagrange_mat is not None
         g = sp.coo_array(self.lagrange_mat)
         n_lag = self.n_lagrange
-        rows_acc: list[np.ndarray] = []
-        cols_acc: list[np.ndarray] = []
-        vals_acc: list[np.ndarray] = []
+        out: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for i_bucket, (blocks_np, bucket) in enumerate(
             zip(self._blocks_np, self.disc.buckets)
         ):
@@ -488,6 +561,13 @@ class BlockSaddleSystem:
             r_idx = np.asarray(g.row)[sel].astype(np.int64)
             v_ent = np.asarray(g.data)[sel]
             if e_idx.size == 0:
+                out.append(
+                    (
+                        np.zeros((n_e, 1, 1)),
+                        np.zeros((n_e, 1), np.int64),
+                        np.zeros((n_e, 1), bool),
+                    )
+                )
                 continue
 
             # Unique (element, row) pairs -> a padded slot table per element.
@@ -524,6 +604,7 @@ class BlockSaddleSystem:
                 chunk = max(1, min(n_e, int(3e10 / max(flops, 1.0))))
             else:
                 chunk = max(1, (1 << 27) // max(1, k_max * n * 8))
+            se_full = np.zeros((n_e, k_max, k_max))
             for c0 in range(0, n_e, chunk):
                 c1 = min(c0 + chunk, n_e)
                 if self._refine_inverse:
@@ -540,15 +621,29 @@ class BlockSaddleSystem:
                     )
                     se = np.einsum("ekn,enj->ekj", ge[c0:c1], sol, optimize=True)
                 mask = valid[c0:c1, :, None] & valid[c0:c1, None, :]
-                rows_full = np.broadcast_to(
-                    rows_pad[c0:c1, :, None], se.shape
-                )
-                cols_full = np.broadcast_to(
-                    rows_pad[c0:c1, None, :], se.shape
-                )
-                rows_acc.append(rows_full[mask])
-                cols_acc.append(cols_full[mask])
-                vals_acc.append(se[mask])
+                se_full[c0:c1] = np.where(mask, se, 0.0)
+            out.append((se_full, rows_pad, valid))
+        self._condensed_cache = out
+        return out
+
+    def assemble_schur_sparse(self) -> sp.csr_array:
+        """Assemble S = G A^{-1} G^T explicitly (static condensation).
+
+        Scatters the cached per-bucket condensed blocks
+        (:meth:`_condensed_buckets`) into a sparse SPD-structured trace
+        matrix (size n_lagrange) whose sparse factorization replaces the
+        whole CG iteration — the classic hybridized-FEM direct trace solve.
+        """
+        rows_acc: list[np.ndarray] = []
+        cols_acc: list[np.ndarray] = []
+        vals_acc: list[np.ndarray] = []
+        for se_full, rows_pad, valid in self._condensed_buckets():
+            mask = valid[:, :, None] & valid[:, None, :]
+            rows_full = np.broadcast_to(rows_pad[:, :, None], se_full.shape)
+            cols_full = np.broadcast_to(rows_pad[:, None, :], se_full.shape)
+            rows_acc.append(rows_full[mask])
+            cols_acc.append(cols_full[mask])
+            vals_acc.append(se_full[mask])
         s = sp.coo_array(
             (
                 np.concatenate(vals_acc),
@@ -596,11 +691,12 @@ class BlockSaddleSystem:
         """
         cached = getattr(self, "_trace_indef", None)
         if cached is None:
-            accurate = not getattr(self, "_inner32_ok", True)
-            apply32 = (
-                self._schur32x2_apply if accurate else self._schur32_apply
-            )
-            tabs32 = self._tables32x2 if accurate else self._tables32
+            if self._use_condensed():
+                apply32, tabs32 = self._schur_c32_apply, self._tables_c32
+            elif not getattr(self, "_inner32_ok", True):
+                apply32, tabs32 = self._schur32x2_apply, self._tables32x2
+            else:
+                apply32, tabs32 = self._schur32_apply, self._tables32
             cached = trace_indefinite_probe(apply32, tabs32, self.n_lagrange)
             self._trace_indef = cached
         return cached
@@ -787,7 +883,7 @@ def gmres_general(
 
 
 def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
-                         inner_tolerance=1e-6):
+                         inner_tolerance=1e-6, condensed=False):
     """One jitted mixed-precision defect-correction sweep for the
     single-chip trace system: an accurate f64 Schur residual followed by
     an all-f32 inner CG/GMRES correction.
@@ -795,14 +891,18 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
     All operator tables flow through the jit boundary as ARGUMENTS (the
     remote TPU compiler rejects closure captures past ~100 MB and compiles
     glacially below that).  ``rounds`` (per-bucket refinement counts) is
-    static structure baked into the trace.
+    static structure baked into the trace.  ``condensed`` applies the
+    inner operator through the precomputed [E, c, c] condensed trace
+    blocks (default where available — cheaper AND more accurate than both
+    plain f32 and f32x2; see ``BlockSaddleSystem._tables_c32``).
     """
     n64 = 5 + 3 * len(rounds)
-    apply32 = (
-        BlockSaddleSystem._schur32x2_apply
-        if accurate
-        else BlockSaddleSystem._schur32_apply
-    )
+    if condensed:
+        apply32 = BlockSaddleSystem._schur_c32_apply
+    elif accurate:
+        apply32 = BlockSaddleSystem._schur32x2_apply
+    else:
+        apply32 = BlockSaddleSystem._schur32_apply
 
     @jax.jit
     def sweep(lam, trace_rhs, *tabs):
@@ -871,16 +971,22 @@ def _solve_schur_mixed_tpu(
         m = 0
         inner_cap = max_iter
     accurate = not getattr(system, "_inner32_ok", True)
-    cache_key = ("mixed_sweep", method, m, inner_cap, accurate)
+    condensed = system._use_condensed()
+    cache_key = ("mixed_sweep", method, m, inner_cap, accurate, condensed)
     sweep = system._jit_cache.get(cache_key)
     if sweep is None:
         sweep = _mixed_sweep_factory(
-            tuple(system._refine_rounds), method, m, inner_cap, accurate
+            tuple(system._refine_rounds), method, m, inner_cap, accurate,
+            condensed=condensed,
         )
         system._jit_cache[cache_key] = sweep
-    tabs = system._tables64 + (
-        system._tables32x2 if accurate else system._tables32
-    )
+    if condensed:
+        tabs32 = system._tables_c32
+    elif accurate:
+        tabs32 = system._tables32x2
+    else:
+        tabs32 = system._tables32
+    tabs = system._tables64 + tabs32
 
     tol2 = tol * tol
     best_lam, best_rr = lam, float("inf")

@@ -497,7 +497,16 @@ def non_linear_solve_run(
                 )
             else:
                 progress_tracker.update_iteration(max_residual)
-            print(progress_tracker.state_str("{} - {} | {}"), end="\r")
+            # "\r" keeps a terminal single-line; flush + newline fallback
+            # when stdout is a file so long runs show live progress in logs.
+            import sys as _sys
+
+            _end = "\r" if _sys.stdout.isatty() else "\n"
+            print(
+                progress_tracker.state_str("{} - {} | {}"),
+                end=_end,
+                flush=True,
+            )
 
         if not (max_residual > atol and max_residual > max_mag * rtol):
             break

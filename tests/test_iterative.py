@@ -319,6 +319,24 @@ def test_block_saddle_tpu_branch_matches_f64(monkeypatch):
     ).max()
 
 
+def test_condensed_trace_apply_matches_schur():
+    """Single-chip condensed [E,c,c] operator: f32-representation parity
+    with S = G A^{-1} G^T, and the assembled sparse S agrees exactly."""
+    disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup()
+    system = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    rng = np.random.default_rng(7)
+    lam = rng.normal(size=system.n_lagrange)
+    y64 = np.asarray(system.apply_schur(jnp.asarray(lam)))
+    y32 = np.asarray(
+        system._schur_c32_apply(
+            jnp.asarray(lam, jnp.float32), *system._tables_c32
+        )
+    )
+    assert np.linalg.norm(y32 - y64) / np.linalg.norm(y64) < 2e-6
+    ys = system.assemble_schur_sparse() @ lam
+    assert np.allclose(ys, y64, atol=1e-12)
+
+
 def test_blocked_gj_inverse_matches_lapack():
     """Blocked Gauss-Jordan inverse (MXU-GEMM path) vs LAPACK, including a
     non-multiple-of-block size and f32 inputs."""

@@ -223,6 +223,51 @@ def test_schur_matvec_uses_one_psum(device_mesh):
     assert jaxpr.count("psum") == 1, jaxpr.count("psum")
 
 
+def test_condensed_trace_kernel_parity_and_one_psum(device_mesh):
+    """The condensed [E,c,c] inner operator matches S to f32 representation
+    accuracy and still communicates exactly once per application."""
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    assert sharded._use_condensed()
+    rng = np.random.default_rng(11)
+    lam = rng.normal(size=lagrange_mat.shape[0])
+    y64 = np.asarray(single.apply_schur(jnp.asarray(lam)))
+    kern = sharded._schur_c32_shardmap()
+    tabs = sharded._tables_c32
+    lam32 = jnp.asarray(lam, jnp.float32)
+    y32 = np.asarray(jax.jit(lambda l: kern(l, *tabs))(lam32))
+    rel = np.linalg.norm(y32 - y64) / np.linalg.norm(y64)
+    assert rel < 2e-6, rel
+    # The condensed block batch is strictly smaller than the full inverse.
+    assert tabs[0].shape[1] < sharded.blocks.shape[1]
+    jaxpr = str(jax.make_jaxpr(lambda l: kern(l, *tabs))(lam32))
+    assert jaxpr.count("psum") == 1, jaxpr.count("psum")
+
+
+def test_condensed_mixed_solve_matches_legacy_inner(device_mesh, monkeypatch):
+    """The mixed trace solve reaches the same solution with the condensed
+    inner operator (default) and with the legacy full-block f32 inner."""
+    monkeypatch.setenv("MFV2D_TPU_SHARDED_MIXED", "1")
+    from mfv2d_tpu.config import config
+    from mfv2d_tpu.parallel.sharding import _trace_krylov
+
+    monkeypatch.setattr(config, "sharded_mixed", "1")
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    rng = np.random.default_rng(12)
+    rhs = jnp.asarray(rng.normal(size=lagrange_mat.shape[0]))
+    tol = 1e-10 * float(jnp.linalg.norm(rhs))
+
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    lam_c, rr_c, _ = _trace_krylov(sharded, "cg", 3000)(rhs, tol)
+    assert float(rr_c) <= tol * tol * 1.01
+
+    monkeypatch.setattr(config, "condensed_trace", False)
+    fresh = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    lam_l, rr_l, _ = _trace_krylov(fresh, "cg", 3000)(rhs, tol)
+    assert np.allclose(np.asarray(lam_c), np.asarray(lam_l), atol=1e-8)
+
+
 def test_picard_residual_one_psum_and_parity(device_mesh):
     """The sharded residual needs one psum and matches the host residual."""
     from mfv2d_tpu.compiler import CompiledSystem
