@@ -195,22 +195,53 @@ def _apply_rotations(cs, sn, hcol, j):
     return jnp.where(rows == j, t, res)
 
 
+_CGS_CHUNK = 256
+
+
 def gmres_cycle(matvec, b, tol, x0, m):
     """One traceable GMRES(m) cycle from ``x0``: Arnoldi + Givens + update.
 
     Returns ``(x_new, |r|_estimate, iterations)``.  The basis is stored as
-    an ``[m+1, n]`` array; rows beyond the active count are zero, which
-    makes the CGS2 projections exact without masking.
+    an ``[m_pad, n]`` array (rows padded to a multiple of the CGS chunk);
+    rows beyond the active count are zero, which makes the CGS2
+    projections exact without masking.  The projections stream only the
+    chunks holding rows ``0..j`` instead of the whole allocation — at
+    large restarts the basis read is the per-iteration HBM bound, and the
+    active prefix averages half the allocation over a cycle.
     """
     n = b.shape[0]
     r0 = b - matvec(x0)
     beta = jnp.linalg.norm(r0)
     v0 = r0 / jnp.where(beta > 0, beta, 1.0)
-    big_v = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
+    m_pad = -(-(m + 1) // _CGS_CHUNK) * _CGS_CHUNK
+    big_v = jnp.zeros((m_pad, n), b.dtype).at[0].set(v0)
     big_h = jnp.zeros((m + 1, m), b.dtype)
     cs = jnp.zeros(m, b.dtype)
     sn = jnp.zeros(m, b.dtype)
     g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+
+    def _proj(vmat, w, nc):
+        """h = V w over the first ``nc`` row chunks (rest stays zero)."""
+
+        def cb(i, h):
+            row = (i * _CGS_CHUNK).astype(jnp.int32)
+            blk = jax.lax.dynamic_slice(vmat, (row, jnp.int32(0)),
+                                        (_CGS_CHUNK, n))
+            return jax.lax.dynamic_update_slice(h, blk @ w, (row,))
+
+        return jax.lax.fori_loop(0, nc, cb, jnp.zeros(m_pad, w.dtype))
+
+    def _sub(vmat, w, h, nc):
+        """w - h @ V accumulated over the first ``nc`` row chunks."""
+
+        def cb(i, w):
+            row = (i * _CGS_CHUNK).astype(jnp.int32)
+            blk = jax.lax.dynamic_slice(vmat, (row, jnp.int32(0)),
+                                        (_CGS_CHUNK, n))
+            hp = jax.lax.dynamic_slice(h, (row,), (_CGS_CHUNK,))
+            return w - hp @ blk
+
+        return jax.lax.fori_loop(0, nc, cb, w)
 
     def cond(c):
         j, _, _, _, _, g_ = c
@@ -219,14 +250,15 @@ def gmres_cycle(matvec, b, tol, x0, m):
     def body(c):
         j, big_v, big_h, cs, sn, g_ = c
         w = matvec(big_v[j])
-        # CGS2: two projection passes against the whole basis (rows past
-        # j are zero, so the projections need no masking and each pass is
-        # one [m+1, n] GEMV pair on the MXU).
-        h1 = big_v @ w
-        w = w - h1 @ big_v
-        h2 = big_v @ w
-        w = w - h2 @ big_v
-        hcol = h1 + h2
+        # CGS2: two projection passes against the active basis prefix
+        # (chunked GEMV pairs on the MXU; rows past j are zero so no
+        # masking is needed within the last chunk).
+        nc = j // _CGS_CHUNK + 1
+        h1 = _proj(big_v, w, nc)
+        w = _sub(big_v, w, h1, nc)
+        h2 = _proj(big_v, w, nc)
+        w = _sub(big_v, w, h2, nc)
+        hcol = (h1 + h2)[: m + 1]
         h_next = jnp.linalg.norm(w)
         hcol = hcol.at[j + 1].set(h_next)
         big_v = big_v.at[j + 1].set(w / jnp.where(h_next > 0, h_next, 1.0))
