@@ -981,13 +981,34 @@ class ShardedBlockSystem:
             return jnp.einsum("ekn,eln->ekl", ge_l, y) * mask_l
 
         d64 = jax.jit(build_d)(self.lu, self.piv, self.blocks, ge_dev, mask)
-        cached = (
-            d64.astype(jnp.float32),
-            jax.device_put(ce_rows, NamedSharding(self.mesh, P("e", None))),
-            jax.device_put(co_idx, shard3),
-            jax.device_put(co_val, shard3),
+        d_hi = d64.astype(jnp.float32)
+        rows_dev = jax.device_put(
+            ce_rows, NamedSharding(self.mesh, P("e", None))
         )
+        idx_dev = jax.device_put(co_idx, shard3)
+        val_dev = jax.device_put(co_val, shard3)
+        cached = (d_hi, rows_dev, idx_dev, val_dev)
         self._tables_c32_cache = cached
+        # The hi/lo pair shares the build: lo captures what f32 rounding
+        # dropped, for systems whose trace conditioning makes the plain
+        # f32 representation unable to contract (same ``accurate`` gate as
+        # the legacy f32x2 path).
+        self._tables_c32x2_cache = (
+            d_hi,
+            (d64 - d_hi.astype(jnp.float64)).astype(jnp.float32),
+            rows_dev,
+            idx_dev,
+            val_dev,
+        )
+        return cached
+
+    @property
+    def _tables_c32x2(self):
+        """f32x2 (hi/lo) condensed-trace tables — see :attr:`_tables_c32`."""
+        cached = getattr(self, "_tables_c32x2_cache", None)
+        if cached is None:
+            _ = self._tables_c32
+            cached = self._tables_c32x2_cache
         return cached
 
     def _schur_c32_shardmap(self):
@@ -1017,6 +1038,35 @@ class ShardedBlockSystem:
             return jax.lax.psum(part, "e")[: self.n_lagrange]
 
         return schur_c32
+
+    def _schur_c32x2_shardmap(self):
+        """Condensed f32x2 S kernel: hi/lo [E,c,c] GEMV pair + one psum —
+        for systems whose trace conditioning defeats the plain f32
+        representation (the legacy ``accurate`` gate)."""
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None),
+                P("e", None, None),
+                P("e", None, None),
+                P("e", None),
+                P("e", None, None),
+                P("e", None, None),
+            ),
+            out_specs=P(None),
+        )
+        def schur_c32x2(lam32, d_hi, d_lo, ce_rows, co_idx, co_val):
+            lam_e = lam32[ce_rows]
+            y = jnp.einsum("ekl,el->ek", d_hi, lam_e) + jnp.einsum(
+                "ekl,el->ek", d_lo, lam_e
+            )
+            flat = y.reshape(-1)
+            part = jnp.sum(co_val[0] * flat[co_idx[0]], axis=-1)
+            return jax.lax.psum(part, "e")[: self.n_lagrange]
+
+        return schur_c32x2
 
     def _schur32_shardmap(self):
         """All-f32 S~ = G A~^{-1} G^T kernel (one f32 GEMV + one psum).
@@ -1109,6 +1159,8 @@ class ShardedBlockSystem:
         moot when it is enabled.
         """
         if self._use_condensed():
+            if accurate:
+                return self._schur_c32x2_shardmap(), self._tables_c32x2, 5
             return self._schur_c32_shardmap(), self._tables_c32, 4
         if accurate:
             return self._schur32x2_shardmap(), self._tables32x2, 7
@@ -1663,6 +1715,12 @@ class MultiBucketShardedSystem:
     def _inner32_parts(self, accurate: bool):
         subs = [sub for _, sub in self.subsystems]
         if all(sub._use_condensed() for sub in subs):
+            if accurate:
+                return (
+                    [sub._schur_c32x2_shardmap() for sub in subs],
+                    tuple(t for sub in subs for t in sub._tables_c32x2),
+                    5,
+                )
             return (
                 [sub._schur_c32_shardmap() for sub in subs],
                 tuple(t for sub in subs for t in sub._tables_c32),

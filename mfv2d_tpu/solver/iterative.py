@@ -457,6 +457,45 @@ class BlockSaddleSystem:
         return jnp.sum(out_val * flat[out_idx], axis=1)
 
     @property
+    def _tables_c32x2(self):
+        """f32x2 (hi/lo) condensed tables for trace systems whose
+        conditioning defeats the plain f32 representation (shares the f64
+        build with :attr:`_tables_c32`)."""
+        cached = getattr(self, "_tables_c32x2_cache", None)
+        if cached is not None:
+            return cached
+        buckets = self._condensed_buckets()
+        base = self._tables_c32
+        out_idx, out_val = base[0], base[1]
+        tabs: list[jnp.ndarray] = []
+        for (se_full, rows_pad, valid), i in zip(
+            buckets, range(2, len(base), 2)
+        ):
+            hi = np.asarray(base[i])
+            tabs.append(base[i])
+            tabs.append(jnp.asarray((se_full - hi).astype(np.float32)))
+            tabs.append(base[i + 1])
+        cached = (out_idx, out_val) + tuple(tabs)
+        self._tables_c32x2_cache = cached
+        return cached
+
+    @staticmethod
+    def _schur_c32x2_apply(lam32, out_idx, out_val, *d_rows):
+        """Condensed f32x2 S lambda: hi/lo GEMV pair per bucket."""
+        parts = []
+        for i in range(0, len(d_rows), 3):
+            d_hi, d_lo, rows = d_rows[i : i + 3]
+            lam_e = lam32[rows]
+            parts.append(
+                (
+                    jnp.einsum("ekl,el->ek", d_hi, lam_e)
+                    + jnp.einsum("ekl,el->ek", d_lo, lam_e)
+                ).reshape(-1)
+            )
+        flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return jnp.sum(out_val * flat[out_idx], axis=1)
+
+    @property
     def _tables64(self):
         """Flat f64 operator tables (TPU explicit-inverse path), for passing
         through jit boundaries as arguments."""
@@ -897,7 +936,9 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
     plain f32 and f32x2; see ``BlockSaddleSystem._tables_c32``).
     """
     n64 = 5 + 3 * len(rounds)
-    if condensed:
+    if condensed and accurate:
+        apply32 = BlockSaddleSystem._schur_c32x2_apply
+    elif condensed:
         apply32 = BlockSaddleSystem._schur_c32_apply
     elif accurate:
         apply32 = BlockSaddleSystem._schur32x2_apply
@@ -980,7 +1021,9 @@ def _solve_schur_mixed_tpu(
             condensed=condensed,
         )
         system._jit_cache[cache_key] = sweep
-    if condensed:
+    if condensed and accurate:
+        tabs32 = system._tables_c32x2
+    elif condensed:
         tabs32 = system._tables_c32
     elif accurate:
         tabs32 = system._tables32x2

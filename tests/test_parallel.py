@@ -268,6 +268,31 @@ def test_condensed_mixed_solve_matches_legacy_inner(device_mesh, monkeypatch):
     assert np.allclose(np.asarray(lam_c), np.asarray(lam_l), atol=1e-8)
 
 
+def test_condensed_f32x2_route_when_seed_gate_fails(device_mesh, monkeypatch):
+    """Systems failing the f32 seed gate route to the condensed hi/lo
+    kernel and still solve; the hi/lo pair represents the blocks to
+    ~eps_f32^2."""
+    from mfv2d_tpu.config import config
+    from mfv2d_tpu.parallel.sharding import _trace_krylov
+
+    monkeypatch.setattr(config, "sharded_mixed", "1")
+    disc, forcing, matrices, lagrange_mat, lagrange_vec = _setup(3, 3)
+    sharded = ShardedBlockSystem(disc, matrices[0], lagrange_mat, device_mesh)
+    sharded._inner32_ok = False  # force the accurate gate
+    kern, tabs, n32 = sharded._inner32_kernel(True)
+    assert n32 == 5  # condensed hi/lo tables
+    rng = np.random.default_rng(13)
+    rhs = jnp.asarray(rng.normal(size=lagrange_mat.shape[0]))
+    tol = 1e-10 * float(jnp.linalg.norm(rhs))
+    lam, rr, _ = _trace_krylov(sharded, "cg", 3000)(rhs, tol)
+    assert float(rr) <= tol * tol * 1.01
+    single = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    r_true = np.asarray(rhs) - np.asarray(
+        single.apply_schur(jnp.asarray(np.asarray(lam)))
+    )
+    assert np.linalg.norm(r_true) <= 10 * tol
+
+
 def test_picard_residual_one_psum_and_parity(device_mesh):
     """The sharded residual needs one psum and matches the host residual."""
     from mfv2d_tpu.compiler import CompiledSystem
