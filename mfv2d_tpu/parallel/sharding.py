@@ -221,6 +221,8 @@ def _fused_mixed_factory(
     inner_tolerance: float = 1e-6,
     max_outer: int = 60,
     n32: int = 6,
+    schurs_c64=None,
+    tables_c64=(),
 ):
     """f64 defect correction around an all-f32 inner Krylov trace solve.
 
@@ -266,11 +268,20 @@ def _fused_mixed_factory(
         else maximum_iterations
     )
 
-    @partial(jax.jit, static_argnames=("max_iter", "m_"))
-    def sweep(lam, trace_rhs, max_iter, m_, *tabs):
-        k64 = n64 * len(schurs)
-        matvec64 = _sum_matvec(schurs, tabs[:k64], n64)
-        matvec32 = _sum_matvec(schurs32, tabs[k64:], n32)
+    k64 = n64 * len(schurs)
+    k32 = n32 * len(schurs32)
+
+    @partial(jax.jit, static_argnames=("max_iter", "m_", "fast"))
+    def sweep(lam, trace_rhs, max_iter, m_, fast, *tabs):
+        """One defect-correction sweep.  ``fast`` computes the outer
+        residual through the condensed f64 operator ((c/n)^2 the cost of
+        the refined full-block chain; error ~cond*eps_f64 — see
+        ``_schur_c64_shardmap``); the exact chain runs the final sweeps."""
+        if fast:
+            matvec64 = _sum_matvec(schurs_c64, tabs[k64 + k32 :], 4)
+        else:
+            matvec64 = _sum_matvec(schurs, tabs[:k64], n64)
+        matvec32 = _sum_matvec(schurs32, tabs[k64 : k64 + k32], n32)
         r = trace_rhs - matvec64(lam)
         rr = jnp.vdot(r, r)
         r32 = r.astype(jnp.float32)
@@ -335,15 +346,21 @@ def _fused_mixed_factory(
         best_lam, best_rr = lam, float("inf")
         total = 0
         stagnant = 0
+        # Intermediate sweeps measure the residual through the cheap
+        # condensed f64 operator (when built); once it reports
+        # convergence — or stalls — the loop switches to the exact
+        # refined chain, which both verifies and finishes the solve.
+        fast = bool(schurs_c64)
+        all_tabs = tuple(tables64) + tuple(tables32) + tuple(tables_c64)
         for k in range(max_outer + 1):
             t0 = time.perf_counter()
             lam_new, rr_a, it = sweep(
-                lam, trace_rhs, inner_cap, m, *tables64, *tables32
+                lam, trace_rhs, inner_cap, m, fast, *all_tabs
             )
             rr = float(rr_a)
             if tracer.enabled:
                 tracer.add(
-                    f"mixed_sweep[{method},m={m}]",
+                    f"mixed_sweep[{method},m={m},{'c64' if fast else 'exact'}]",
                     time.perf_counter() - t0,
                 )
             if np.isfinite(rr) and rr < best_rr:
@@ -351,7 +368,17 @@ def _fused_mixed_factory(
                 stagnant = 0
             else:
                 stagnant += 1
-            if rr <= tol2 or stagnant >= 3 or k == max_outer:
+            if rr <= tol2 or stagnant >= 3:
+                if fast:
+                    # Hand off to the exact chain: re-measure and finish
+                    # there (its first sweep both verifies and corrects).
+                    fast = False
+                    lam = best_lam if rr > tol2 else lam
+                    best_lam, best_rr = lam, float("inf")
+                    stagnant = 0
+                    continue
+                break
+            if k == max_outer:
                 break
             total += int(it)
             lam = lam_new
@@ -989,6 +1016,14 @@ class ShardedBlockSystem:
         val_dev = jax.device_put(co_val, shard3)
         cached = (d_hi, rows_dev, idx_dev, val_dev)
         self._tables_c32_cache = cached
+        # f64 condensed tables: the cheap intermediate-sweep outer residual
+        # (the exact refined-inverse chain stays the final verification).
+        self._tables_c64_cache = (
+            d64,
+            rows_dev,
+            idx_dev,
+            jax.device_put(co_val.astype(np.float64), shard3),
+        )
         # The hi/lo pair shares the build: lo captures what f32 rounding
         # dropped, for systems whose trace conditioning makes the plain
         # f32 representation unable to contract (same ``accurate`` gate as
@@ -1010,6 +1045,45 @@ class ShardedBlockSystem:
             _ = self._tables_c32
             cached = self._tables_c32x2_cache
         return cached
+
+    @property
+    def _tables_c64(self):
+        """f64 condensed-trace tables — see :attr:`_tables_c32`."""
+        cached = getattr(self, "_tables_c64_cache", None)
+        if cached is None:
+            _ = self._tables_c32
+            cached = self._tables_c64_cache
+        return cached
+
+    def _schur_c64_shardmap(self):
+        """Condensed f64 S kernel for intermediate outer residuals.
+
+        The emulated-f64 GEMV over [E, c, c] costs ~(c/n)^2 of the
+        refined full-block chain (measured ~0.4 s/apply at NS p=8); its
+        error (~cond(A) eps_f64 from the inverse used in the build) is far
+        below the 1e-10 targets, and the exact chain still issues the
+        final convergence verification."""
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None),
+                P("e", None, None),
+                P("e", None),
+                P("e", None, None),
+                P("e", None, None),
+            ),
+            out_specs=P(None),
+        )
+        def schur_c64(lam, d64, ce_rows, co_idx, co_val):
+            lam_e = lam[ce_rows]
+            y = jnp.einsum("ekl,el->ek", d64, lam_e)
+            flat = y.reshape(-1)
+            part = jnp.sum(co_val[0] * flat[co_idx[0]], axis=-1)
+            return jax.lax.psum(part, "e")[: self.n_lagrange]
+
+        return schur_c64
 
     def _schur_c32_shardmap(self):
         """Condensed all-f32 S kernel: one tiny [E,c,c] GEMV + one psum.
@@ -1176,6 +1250,7 @@ class ShardedBlockSystem:
         cond*eps_f32 probe.
         """
         kern, tabs, n32 = self._inner32_kernel(accurate)
+        cond = self._use_condensed()
         return _fused_mixed_factory(
             [self._schur_shardmap()],
             [kern],
@@ -1184,6 +1259,8 @@ class ShardedBlockSystem:
             maximum_iterations,
             method="cg",
             n32=n32,
+            schurs_c64=[self._schur_c64_shardmap()] if cond else None,
+            tables_c64=self._tables_c64 if cond else (),
         )
 
     def make_fused_gmres_mixed(
@@ -1199,6 +1276,7 @@ class ShardedBlockSystem:
         the f32x2 inner operator (see ``make_fused_cg_mixed``).
         """
         kern, tabs, n32 = self._inner32_kernel(accurate)
+        cond = self._use_condensed()
         return _fused_mixed_factory(
             [self._schur_shardmap()],
             [kern],
@@ -1208,6 +1286,8 @@ class ShardedBlockSystem:
             method="gmres",
             restart=restart,
             n32=n32,
+            schurs_c64=[self._schur_c64_shardmap()] if cond else None,
+            tables_c64=self._tables_c64 if cond else (),
         )
 
     def _schur_shardmap(self):
@@ -1738,11 +1818,23 @@ class MultiBucketShardedSystem:
             6,
         )
 
+    def _c64_parts(self):
+        """(kernels, tables) for the condensed f64 intermediate residual,
+        or (None, ()) when any bucket has condensation disabled."""
+        subs = [sub for _, sub in self.subsystems]
+        if not all(sub._use_condensed() for sub in subs):
+            return None, ()
+        return (
+            [sub._schur_c64_shardmap() for sub in subs],
+            tuple(t for sub in subs for t in sub._tables_c64),
+        )
+
     def make_fused_cg_mixed(
         self, maximum_iterations: int, accurate: bool = False
     ):
         """Mixed-precision multi-bucket CG (f32 inner, f64 defect correction)."""
         kerns, tabs, n32 = self._inner32_parts(accurate)
+        c64_kerns, c64_tabs = self._c64_parts()
         return _fused_mixed_factory(
             [sub._schur_shardmap() for _, sub in self.subsystems],
             kerns,
@@ -1751,6 +1843,8 @@ class MultiBucketShardedSystem:
             maximum_iterations,
             method="cg",
             n32=n32,
+            schurs_c64=c64_kerns,
+            tables_c64=c64_tabs,
         )
 
     def make_fused_gmres_mixed(
@@ -1761,6 +1855,7 @@ class MultiBucketShardedSystem:
     ):
         """Mixed-precision multi-bucket GMRES (f32 inner, f64 defect correction)."""
         kerns, tabs, n32 = self._inner32_parts(accurate)
+        c64_kerns, c64_tabs = self._c64_parts()
         return _fused_mixed_factory(
             [sub._schur_shardmap() for _, sub in self.subsystems],
             kerns,
@@ -1770,6 +1865,8 @@ class MultiBucketShardedSystem:
             method="gmres",
             restart=restart,
             n32=n32,
+            schurs_c64=c64_kerns,
+            tables_c64=c64_tabs,
         )
 
     def schur_rhs(self, rhs_flat: np.ndarray, constraints: np.ndarray):

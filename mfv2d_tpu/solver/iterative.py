@@ -479,6 +479,26 @@ class BlockSaddleSystem:
         self._tables_c32x2_cache = cached
         return cached
 
+    @property
+    def _tables_c64(self):
+        """f64 condensed tables for the cheap intermediate-sweep outer
+        residual (same layout as :attr:`_tables_c32`, f64 values; the
+        exact refined chain still verifies convergence)."""
+        cached = getattr(self, "_tables_c64_cache", None)
+        if cached is not None:
+            return cached
+        base = self._tables_c32
+        buckets = self._condensed_buckets()
+        tabs: list[jnp.ndarray] = []
+        for (se_full, rows_pad, valid), i in zip(
+            buckets, range(2, len(base), 2)
+        ):
+            tabs.append(jnp.asarray(se_full))
+            tabs.append(base[i + 1])
+        cached = (base[0], base[1].astype(jnp.float64)) + tuple(tabs)
+        self._tables_c64_cache = cached
+        return cached
+
     @staticmethod
     def _schur_c32x2_apply(lam32, out_idx, out_val, *d_rows):
         """Condensed f32x2 S lambda: hi/lo GEMV pair per bucket."""
@@ -945,12 +965,17 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
     else:
         apply32 = BlockSaddleSystem._schur32_apply
 
-    @jax.jit
-    def sweep(lam, trace_rhs, *tabs):
-        tabs64 = tabs[:n64]
-        tabs32 = tabs[n64:]
+    @_partial(jax.jit, static_argnames=("n_outer", "fast"))
+    def sweep(lam, trace_rhs, n_outer, fast, *tabs):
+        tabs64 = tabs[:n_outer]
+        tabs32 = tabs[n_outer:]
 
         def matvec64(v):
+            if fast:
+                # Condensed f64 outer residual (the f64 table layout
+                # matches the f32 apply); the exact refined chain runs
+                # the final verification sweeps.
+                return BlockSaddleSystem._schur_c32_apply(v, *tabs64)
             return BlockSaddleSystem._schur64_apply(v, rounds, *tabs64)
 
         def matvec32(v):
@@ -1029,22 +1054,42 @@ def _solve_schur_mixed_tpu(
         tabs32 = system._tables32x2
     else:
         tabs32 = system._tables32
-    tabs = system._tables64 + tabs32
+    tabs_exact = system._tables64 + tabs32
+    n_exact = len(system._tables64)
+    if condensed:
+        tabs_fast = system._tables_c64 + tabs32
+        n_fast = len(system._tables_c64)
 
     tol2 = tol * tol
     best_lam, best_rr = lam, float("inf")
     total = 0
     stagnant = 0
     rr = float("inf")
+    # Intermediate sweeps measure the residual through the cheap condensed
+    # f64 operator; the exact refined chain verifies and finishes.
+    fast = condensed
     for k in range(61):
-        lam_new, rr_a, it = sweep(lam, trace_rhs, *tabs)
+        if fast:
+            lam_new, rr_a, it = sweep(lam, trace_rhs, n_fast, True, *tabs_fast)
+        else:
+            lam_new, rr_a, it = sweep(
+                lam, trace_rhs, n_exact, False, *tabs_exact
+            )
         rr = float(rr_a)
         if np.isfinite(rr) and rr < best_rr:
             best_lam, best_rr = lam, rr
             stagnant = 0
         else:
             stagnant += 1
-        if rr <= tol2 or stagnant >= 3 or k == 60:
+        if rr <= tol2 or stagnant >= 3:
+            if fast:
+                fast = False
+                lam = best_lam if rr > tol2 else lam
+                best_lam, best_rr = lam, float("inf")
+                stagnant = 0
+                continue
+            break
+        if k == 60:
             break
         total += int(it)
         lam = lam_new
