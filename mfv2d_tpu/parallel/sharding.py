@@ -272,11 +272,17 @@ def _fused_mixed_factory(
     k32 = n32 * len(schurs32)
 
     @partial(jax.jit, static_argnames=("max_iter", "m_", "fast"))
-    def sweep(lam, trace_rhs, max_iter, m_, fast, *tabs):
+    def sweep(lam, trace_rhs, tol, state, max_iter, m_, fast, *tabs):
         """One defect-correction sweep.  ``fast`` computes the outer
         residual through the condensed f64 operator ((c/n)^2 the cost of
         the refined full-block chain; error ~cond*eps_f64 — see
-        ``_schur_c64_shardmap``); the exact chain runs the final sweeps."""
+        ``_schur_c64_shardmap``); the exact chain runs the final sweeps.
+
+        The inner tolerance floors at the OUTER target (converged
+        verification sweeps exit at zero inner iterations), and GMRES
+        sweeps recycle the previous sweep's Krylov basis via a
+        least-squares projection — same scheme as the single-chip
+        ``_mixed_sweep_factory`` (solver/iterative.py)."""
         if fast:
             matvec64 = _sum_matvec(schurs_c64, tabs[k64 + k32 :], 4)
         else:
@@ -285,12 +291,27 @@ def _fused_mixed_factory(
         r = trace_rhs - matvec64(lam)
         rr = jnp.vdot(r, r)
         r32 = r.astype(jnp.float32)
-        t32 = jnp.asarray(inner_tolerance, jnp.float32) * jnp.linalg.norm(r32)
+        nr32 = jnp.linalg.norm(r32)
+        tol32 = jnp.asarray(tol, jnp.float32)
+        t32 = jnp.asarray(inner_tolerance, jnp.float32) * nr32
+        t32 = jnp.maximum(t32, 0.3 * tol32)
+        t32 = jnp.where(nr32 <= tol32, 2.0 * nr32, t32)
         if method == "gmres":
-            d32, _, it = _gmres_loop(matvec32, r32, t32, max_iter, m_)
+            from mfv2d_tpu.solver.krylov import (
+                gmres_loop_recycled,
+                krylov_project,
+            )
+
+            dx = krylov_project(state, r32)
+            rp = r32 - matvec32(dx)
+            use = jnp.linalg.norm(rp) < nr32
+            dx = jnp.where(use, dx, jnp.zeros_like(dx))
+            d32, _, it, state = gmres_loop_recycled(
+                matvec32, r32, t32, max_iter, m_, x0=dx, state=state
+            )
         else:
             d32, _, it = _cg_loop(matvec32, r32, t32, max_iter)
-        return lam + d32.astype(lam.dtype), rr, it
+        return lam + d32.astype(lam.dtype), rr, it, state
 
     def _traced_outer(trace_rhs, tol):
         """Whole defect-correction loop as one traced while_loop (for
@@ -300,34 +321,59 @@ def _fused_mixed_factory(
         matvec64 = _sum_matvec(schurs, tabs[:k64], n64)
         matvec32 = _sum_matvec(schurs32, tabs[k64:], n32)
 
-        def inner(r32):
-            t32 = jnp.asarray(inner_tolerance, jnp.float32) * jnp.linalg.norm(r32)
-            if method == "gmres":
-                return _gmres_loop(matvec32, r32, t32, inner_cap, m)
-            return _cg_loop(matvec32, r32, t32, inner_cap)
+        def inner_tol_of(nr32):
+            t32 = jnp.asarray(inner_tolerance, jnp.float32) * nr32
+            t32 = jnp.maximum(t32, 0.3 * jnp.asarray(tol, jnp.float32))
+            return jnp.where(
+                nr32 <= jnp.asarray(tol, jnp.float32), 2.0 * nr32, t32
+            )
 
         def cond(st):
-            _, rr, _, k = st
+            _, rr, _, k = st[0]
             return (k < max_outer) & (rr > tol * tol)
 
         def body(st):
-            lam, _, tot, k = st
+            (lam, _, tot, k), state = st
             r = trace_rhs - matvec64(lam)
             rr = jnp.vdot(r, r)
             fix = rr > tol * tol
-            d32, _, it = inner(r.astype(jnp.float32))
+            r32 = r.astype(jnp.float32)
+            t32 = inner_tol_of(jnp.linalg.norm(r32))
+            if method == "gmres":
+                from mfv2d_tpu.solver.krylov import (
+                    gmres_loop_recycled,
+                    krylov_project,
+                )
+
+                dx = krylov_project(state, r32)
+                rp = r32 - matvec32(dx)
+                use = jnp.linalg.norm(rp) < jnp.linalg.norm(r32)
+                dx = jnp.where(use, dx, jnp.zeros_like(dx))
+                d32, _, it, state = gmres_loop_recycled(
+                    matvec32, r32, t32, inner_cap, m, x0=dx, state=state
+                )
+            else:
+                d32, _, it = _cg_loop(matvec32, r32, t32, inner_cap)
             lam = jnp.where(fix, lam + d32.astype(lam.dtype), lam)
             tot = tot + jnp.where(fix, it, 0)
-            return lam, rr, tot, k + 1
+            return (lam, rr, tot, k + 1), state
 
-        lam, _, tot, _ = jax.lax.while_loop(
+        from mfv2d_tpu.solver.krylov import empty_recycle_state
+
+        state0 = (
+            empty_recycle_state(n_lag, m) if method == "gmres" else ()
+        )
+        (lam, _, tot, _), _ = jax.lax.while_loop(
             cond,
             body,
             (
-                jnp.zeros_like(trace_rhs),
-                jnp.asarray(jnp.inf, trace_rhs.dtype),
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(0, jnp.int32),
+                (
+                    jnp.zeros_like(trace_rhs),
+                    jnp.asarray(jnp.inf, trace_rhs.dtype),
+                    jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32),
+                ),
+                state0,
             ),
         )
         r = trace_rhs - matvec64(lam)
@@ -340,8 +386,14 @@ def _fused_mixed_factory(
             )
         from mfv2d_tpu.tracing import tracer
 
+        from mfv2d_tpu.solver.krylov import empty_recycle_state
+
         trace_rhs = jnp.asarray(trace_rhs)
         tol2 = float(tolerance) ** 2
+        tol_j = jnp.asarray(float(tolerance))
+        state = (
+            empty_recycle_state(n_lag, m) if method == "gmres" else ()
+        )
         lam = jnp.zeros_like(trace_rhs)
         best_lam, best_rr = lam, float("inf")
         total = 0
@@ -354,8 +406,8 @@ def _fused_mixed_factory(
         all_tabs = tuple(tables64) + tuple(tables32) + tuple(tables_c64)
         for k in range(max_outer + 1):
             t0 = time.perf_counter()
-            lam_new, rr_a, it = sweep(
-                lam, trace_rhs, inner_cap, m, fast, *all_tabs
+            lam_new, rr_a, it, state = sweep(
+                lam, trace_rhs, tol_j, state, inner_cap, m, fast, *all_tabs
             )
             rr = float(rr_a)
             if tracer.enabled:

@@ -33,7 +33,6 @@ sp = lazy_module("scipy.sparse")
 from mfv2d_tpu.solver.discretization import Discretization
 from mfv2d_tpu.solver.krylov import (
     auto_restart,
-    gmres_loop,
     trace_indefinite_probe,
 )
 from mfv2d_tpu.solver.solve import ConvergenceSettings
@@ -954,6 +953,20 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
     inner operator through the precomputed [E, c, c] condensed trace
     blocks (default where available — cheaper AND more accurate than both
     plain f32 and f32x2; see ``BlockSaddleSystem._tables_c32``).
+
+    Two cross-sweep economies (measured on the Stokes 8x8 p=3 system:
+    929 -> ~350 total inner iterations):
+
+    - The inner tolerance floors at the OUTER target: reducing the inner
+      residual below ~0.3 tol (or at all, once the outer residual already
+      meets tol — the verification sweeps) buys nothing the next f64
+      residual can see, yet used to cost a full ~190-iteration inner
+      solve per sweep.
+    - GMRES sweeps recycle: each sweep returns its last cycle's
+      basis + Givens QR, and the next sweep warm-starts by projecting its
+      residual onto that space (solver/krylov.py ``krylov_project``) —
+      the inner operator is identical across sweeps, so the projection
+      removes the already-explored spectral content for ~two matvecs.
     """
     n64 = 5 + 3 * len(rounds)
     if condensed and accurate:
@@ -966,7 +979,7 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
         apply32 = BlockSaddleSystem._schur32_apply
 
     @_partial(jax.jit, static_argnames=("n_outer", "fast"))
-    def sweep(lam, trace_rhs, n_outer, fast, *tabs):
+    def sweep(lam, trace_rhs, tol, state, n_outer, fast, *tabs):
         tabs64 = tabs[:n_outer]
         tabs32 = tabs[n_outer:]
 
@@ -984,14 +997,33 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
         r = trace_rhs - matvec64(lam)
         rr = jnp.vdot(r, r)
         r32 = r.astype(jnp.float32)
-        t32 = jnp.asarray(inner_tolerance, jnp.float32) * jnp.linalg.norm(r32)
+        nr32 = jnp.linalg.norm(r32)
+        tol32 = jnp.asarray(tol, jnp.float32)
+        t32 = jnp.asarray(inner_tolerance, jnp.float32) * nr32
+        # Floor at the outer target; once the sweep's residual already
+        # meets it, 2|r| makes the inner loop exit with zero iterations.
+        t32 = jnp.maximum(t32, 0.3 * tol32)
+        t32 = jnp.where(nr32 <= tol32, 2.0 * nr32, t32)
         if method == "gmres":
-            d32, _, it = gmres_loop(matvec32, r32, t32, inner_cap, m)
+            from mfv2d_tpu.solver.krylov import (
+                gmres_loop_recycled,
+                krylov_project,
+            )
+
+            dx = krylov_project(state, r32)
+            rp = r32 - matvec32(dx)
+            # The stored basis is f32 spectral information from an earlier
+            # residual; guard against a stale/noisy projection overshooting.
+            use = jnp.linalg.norm(rp) < nr32
+            dx = jnp.where(use, dx, jnp.zeros_like(dx))
+            d32, _, it, state = gmres_loop_recycled(
+                matvec32, r32, t32, inner_cap, m, x0=dx, state=state
+            )
         else:
             from mfv2d_tpu.solver.krylov import cg_loop
 
             d32, _, it = cg_loop(matvec32, r32, t32, inner_cap)
-        return lam + d32.astype(lam.dtype), rr, it
+        return lam + d32.astype(lam.dtype), rr, it, state
 
     return sweep
 
@@ -1061,6 +1093,14 @@ def _solve_schur_mixed_tpu(
         n_fast = len(system._tables_c64)
 
     tol2 = tol * tol
+    from mfv2d_tpu.solver.krylov import empty_recycle_state
+
+    state = (
+        empty_recycle_state(system.n_lagrange, m)
+        if method == "gmres"
+        else ()
+    )
+    tol_j = jnp.asarray(tol)
     best_lam, best_rr = lam, float("inf")
     total = 0
     stagnant = 0
@@ -1070,10 +1110,12 @@ def _solve_schur_mixed_tpu(
     fast = condensed
     for k in range(61):
         if fast:
-            lam_new, rr_a, it = sweep(lam, trace_rhs, n_fast, True, *tabs_fast)
+            lam_new, rr_a, it, state = sweep(
+                lam, trace_rhs, tol_j, state, n_fast, True, *tabs_fast
+            )
         else:
-            lam_new, rr_a, it = sweep(
-                lam, trace_rhs, n_exact, False, *tabs_exact
+            lam_new, rr_a, it, state = sweep(
+                lam, trace_rhs, tol_j, state, n_exact, False, *tabs_exact
             )
         rr = float(rr_a)
         if np.isfinite(rr) and rr < best_rr:

@@ -199,15 +199,28 @@ _CGS_CHUNK = 256
 
 
 def gmres_cycle(matvec, b, tol, x0, m):
+    """One traceable GMRES(m) cycle from ``x0`` (see :func:`_gmres_cycle_state`).
+
+    Returns ``(x_new, |r|_estimate, iterations)``.
+    """
+    x, res, j, *_ = _gmres_cycle_state(matvec, b, tol, x0, m)
+    return x, res, j
+
+
+def _gmres_cycle_state(matvec, b, tol, x0, m):
     """One traceable GMRES(m) cycle from ``x0``: Arnoldi + Givens + update.
 
-    Returns ``(x_new, |r|_estimate, iterations)``.  The basis is stored as
-    an ``[m_pad, n]`` array (rows padded to a multiple of the CGS chunk);
-    rows beyond the active count are zero, which makes the CGS2
-    projections exact without masking.  The projections stream only the
-    chunks holding rows ``0..j`` instead of the whole allocation — at
-    large restarts the basis read is the per-iteration HBM bound, and the
-    active prefix averages half the allocation over a cycle.
+    Returns ``(x_new, |r|_estimate, iterations, V, R, cs, sn)`` where
+    ``V [m_pad, n]`` is the orthonormal Krylov basis, ``R [m+1, m]`` the
+    Givens-rotated (upper-triangular) Hessenberg, and ``cs/sn`` the stored
+    rotations — together the recycle state consumed by
+    :func:`krylov_project`.  The basis is stored as an ``[m_pad, n]``
+    array (rows padded to a multiple of the CGS chunk); rows beyond the
+    active count are zero, which makes the CGS2 projections exact without
+    masking.  The projections stream only the chunks holding rows
+    ``0..j`` instead of the whole allocation — at large restarts the
+    basis read is the per-iteration HBM bound, and the active prefix
+    averages half the allocation over a cycle.
     """
     n = b.shape[0]
     r0 = b - matvec(x0)
@@ -290,7 +303,53 @@ def gmres_cycle(matvec, b, tol, x0, m):
     )
     rhs = jnp.where(active, g[:m], 0.0)
     y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
-    return x0 + y @ big_v[:m], jnp.abs(g[j]), j
+    return x0 + y @ big_v[:m], jnp.abs(g[j]), j, big_v, big_h, cs, sn
+
+
+def empty_recycle_state(n: int, m: int, dtype=jnp.float32):
+    """A zero recycle state: :func:`krylov_project` returns the zero vector
+    against it, so cold solves and warm restarts share one code path."""
+    m_pad = -(-(m + 1) // _CGS_CHUNK) * _CGS_CHUNK
+    return (
+        jnp.zeros((m_pad, n), dtype),
+        jnp.zeros((m + 1, m), dtype),
+        jnp.zeros(m, dtype),
+        jnp.zeros(m, dtype),
+        jnp.int32(0),
+    )
+
+
+def krylov_project(state, r):
+    """Least-squares correction ``argmin_y |r - A (V y)|`` from a stored
+    GMRES cycle state — the cross-sweep Krylov recycling kernel.
+
+    The Arnoldi relation ``A V_m = V_{m+1} Hbar`` turns the minimization
+    into the small problem ``min |V^T r - Hbar y|``; with the stored Givens
+    QR of ``Hbar`` (rotated columns in ``R``, rotations in ``cs/sn``) that
+    is one basis GEMV, one log-depth rotation sweep over the coefficient
+    vector (:func:`_apply_rotations` — the same affine recurrence the
+    Arnoldi columns go through), and one ``[m, m]`` triangular solve.
+    Mixed-precision defect-correction sweeps solve the SAME inner operator
+    for a sequence of outer residuals, so the space built by one sweep
+    removes most of the spectral content of the next sweep's residual at
+    the cost of ~one matvec (measured: see tests/test_krylov.py).
+
+    ``state`` rows beyond the active count ``j`` are zero / masked, so a
+    partially filled (or all-zero) state degrades gracefully to a zero
+    correction.
+    """
+    big_v, big_h, cs, sn, j = state
+    m = big_h.shape[1]
+    c = big_v @ r  # [m_pad]; zero rows contribute zero
+    c_rot = _apply_rotations(cs, sn, c[: m + 1], j)
+    idx = jnp.arange(m)
+    active = idx < j
+    r_mat = jnp.where(
+        (idx[:, None] == idx[None, :]) & ~active[:, None], 1.0, big_h[:m, :]
+    )
+    rhs = jnp.where(active, c_rot[:m], 0.0)
+    y = jax.scipy.linalg.solve_triangular(r_mat, rhs, lower=False)
+    return y @ big_v[:m]
 
 
 def gmres_loop(matvec, b, tol, max_iter, m):
@@ -299,21 +358,45 @@ def gmres_loop(matvec, b, tol, max_iter, m):
     Returns ``(x, |r|^2, iterations)`` (the residual is the rotated-
     Hessenberg estimate from the last cycle).
     """
+    x, rr, total, _ = gmres_loop_recycled(matvec, b, tol, max_iter, m)
+    return x, rr, total
+
+
+def gmres_loop_recycled(matvec, b, tol, max_iter, m, x0=None, state=None):
+    """Traceable restarted GMRES(m) that also returns its last cycle's
+    recycle state ``(V, R, cs, sn, j)``.
+
+    ``x0`` warm-starts the iteration (e.g. the :func:`krylov_project`
+    correction from a previous sweep's state); ``state`` seeds the
+    returned state so a zero-iteration exit (already-converged sweep)
+    passes the caller's basis through instead of wiping it.
+
+    Returns ``(x, |r|^2, iterations, state)``.
+    """
+    if state is None:
+        state = empty_recycle_state(b.shape[0], m, b.dtype)
 
     def outer_cond(c):
-        x, res, total = c
+        x, res, total = c[0]
         return (total < max_iter) & (res > tol)
 
     def outer_body(c):
-        x, _, total = c
-        x, res, j = gmres_cycle(matvec, b, tol, x, m)
-        return x, res, total + jnp.maximum(j, 1)
+        (x, _, total), _ = c
+        x, res, j, big_v, big_h, cs, sn = _gmres_cycle_state(
+            matvec, b, tol, x, m
+        )
+        return (x, res, total + jnp.maximum(j, 1)), (big_v, big_h, cs, sn, j)
 
-    r_init = jnp.linalg.norm(b)
-    x, res, total = jax.lax.while_loop(
-        outer_cond, outer_body, (jnp.zeros_like(b), r_init, 0)
+    if x0 is None:
+        x_init = jnp.zeros_like(b)
+        r_init = jnp.linalg.norm(b)
+    else:
+        x_init = x0
+        r_init = jnp.linalg.norm(b - matvec(x0))
+    (x, res, total), state = jax.lax.while_loop(
+        outer_cond, outer_body, ((x_init, r_init, 0), state)
     )
-    return x, res * res, total
+    return x, res * res, total, state
 
 
 def auto_restart(

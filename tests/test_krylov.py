@@ -347,6 +347,45 @@ def test_traced_outer_mixed_gmres(stokes_system):
     assert int(iters) >= 1
 
 
+def test_gmres_recycle_projection():
+    """Cross-sweep recycling: the stored cycle state warm-starts a solve
+    with a nearby RHS in ~2 iterations instead of a full Krylov build, and
+    the zero state degrades to an exact no-op (cold path unchanged)."""
+    rng = np.random.default_rng(3)
+    n = 300
+    a = rng.normal(size=(n, n)) + 6 * np.eye(n)
+    a = 0.5 * (a + a.T)
+    a[: n // 3] *= -1.0
+    a = 0.5 * (a + a.T)  # indefinite, like a saddle trace Schur system
+    aj = jnp.asarray(a, jnp.float32)
+    mv = lambda v: aj @ v  # noqa: E731
+    b1 = jnp.asarray(rng.normal(size=n), jnp.float32)
+    tol = 1e-5 * float(jnp.linalg.norm(b1))
+    x1, _, it1, st = krylov.gmres_loop_recycled(mv, b1, tol, 600, n + 10)
+    res1 = float(jnp.linalg.norm(b1 - aj @ x1)) / float(jnp.linalg.norm(b1))
+    assert res1 < 5e-5
+
+    # Defect-correction shape: a second solve against a nearby residual.
+    b2 = b1 + 1e-3 * jnp.asarray(rng.normal(size=n), jnp.float32)
+    dx = krylov.krylov_project(st, b2)
+    proj_res = float(jnp.linalg.norm(b2 - aj @ dx))
+    assert proj_res < 1e-2 * float(jnp.linalg.norm(b2)), proj_res
+    tol2 = 1e-5 * float(jnp.linalg.norm(b2))
+    x2, _, it2, _ = krylov.gmres_loop_recycled(
+        mv, b2, tol2, 600, n + 10, x0=dx, state=st
+    )
+    res2 = float(jnp.linalg.norm(b2 - aj @ x2)) / float(jnp.linalg.norm(b2))
+    assert res2 < 5e-5
+    assert int(it2) <= int(it1) // 10, (int(it1), int(it2))
+
+    # Zero state: projection is exactly zero, wrapper path is unchanged.
+    st0 = krylov.empty_recycle_state(n, n + 10)
+    assert float(jnp.linalg.norm(krylov.krylov_project(st0, b2))) == 0.0
+    x3, _, it3 = krylov.gmres_loop(mv, b1, tol, 600, n + 10)
+    assert np.allclose(np.asarray(x3), np.asarray(x1))
+    assert int(it3) == int(it1)
+
+
 def test_gmres_edge_cases():
     """Zero RHS exits immediately; tol=0 runs the cycle to completion."""
     rng = np.random.default_rng(2)
