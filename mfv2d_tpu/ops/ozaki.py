@@ -1,0 +1,137 @@
+"""Ozaki-scheme f64 matrix products on the MXU.
+
+TPU XLA software-emulates f64 matmuls at ~3 GFLOP/s (measured, BACKLOG.md)
+— the wall behind every accurate batched GEMM in the framework (the
+Newton-Schulz f64 inverse builds were ~19 s per sweep at Navier-Stokes
+p=8 scale).  This module computes f64-accurate products from EXACT bf16
+slice GEMMs instead:
+
+    a = sigma_row * sum_s a_s,   |a_s| <= 2^(-t*s),  a_s a multiple of
+                                 2^(-t*(s+1))  (t significand bits)
+
+Each slice is exactly representable in bf16 (t <= 8 mantissa bits), the
+MXU multiplies bf16 pairs exactly into the f32 accumulator (16-bit
+products), and a k-term accumulation of slice-pair products stays exact
+while ``k * 2^(2t) <= 2^24`` — so every slice-pair GEMM
+``a_s @ b_s'`` is EXACT at full bf16 MXU throughput.  Summing the pairs
+with ``s + s' < cutoff`` in f64 (elementwise — cheap) reproduces the f64
+product to ``~k * 2^(-t*cutoff)`` relative error: t=7, cutoff=7 gives
+~1e-12 with 28 batched bf16 GEMMs, ~1000x the emulated-f64 rate.
+
+The scheme is the standard Ozaki splitting (Ozaki et al., "Error-free
+transformations of matrix multiplication", Numer. Algorithms 2012), laid
+out for TPU: per-row/per-column power-of-two scaling, slice extraction as
+elementwise f64 ops (bandwidth-bound), all FLOPs on the MXU.
+
+Reference counterpart: the f64 BLAS calls behind src/algebra/matrix.c —
+the reference runs LAPACK in native f64; TPU hardware has no f64 unit, so
+exactness has to be reconstructed from the bf16/f32 units.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pick_bits(k: int, t: int | None) -> int:
+    """Largest slice width (<= 8 bits, bf16-exact) with exact k-term
+    f32 accumulation: ``k * 2^(2t) <= 2^24``."""
+    if t is None:
+        t = min(8, (24 - max(int(np.ceil(np.log2(max(k, 2)))), 1)) // 2)
+    if k * (1 << (2 * t)) > (1 << 24):
+        raise ValueError(
+            f"contraction length {k} too long for exact {t}-bit slices"
+        )
+    return t
+
+
+def _split(a, axis: int, t: int, n_slices: int):
+    """Slice ``a`` (f64) along scaling ``axis`` into bf16-exact pieces.
+
+    Returns ``(slices, scale)`` with ``slices[s]`` f32 arrays whose values
+    are multiples of ``2^(-t(s+1))`` bounded by ``~2^(-t s)``, and
+    ``sigma`` the per-row (or per-column) power-of-two scale such that
+    ``a ~= sigma * sum_s slices[s]`` to ``2^(-t n_slices)`` relative.
+    """
+    mag = jnp.max(jnp.abs(a), axis=axis, keepdims=True)
+    # Power-of-two scale (exact division): 2^ceil(log2 mag); zero
+    # rows/columns scale by 1 and produce all-zero slices.
+    expo = jnp.ceil(jnp.log2(jnp.where(mag > 0, mag, 1.0)))
+    sigma = jnp.exp2(expo)
+    r = a / sigma
+    slices = []
+    for s in range(n_slices):
+        step = jnp.exp2(float(t * (s + 1)))
+        # Round-to-nearest chop to t*(s+1) fractional bits; the
+        # difference from the previous chop has t significand bits.
+        c = jnp.round(r * step) / step
+        slices.append(c.astype(jnp.float32))
+        r = r - c
+    return slices, sigma
+
+
+@partial(jax.jit, static_argnames=("t", "n_slices", "cutoff", "dims"))
+def _matmul_sliced(a, b, t: int, n_slices: int, cutoff: int, dims):
+    """Core: slice both operands and sum the exact slice-pair GEMMs."""
+    contract, batch = dims
+    (ca,), (cb,) = contract
+    slices_a, sig_a = _split(a, ca, t, n_slices)
+    slices_b, sig_b = _split(b, cb, t, n_slices)
+
+    # Group pairs by level l = s + s': terms at one level share magnitude,
+    # so the f32 adds inside a level lose nothing that matters at the
+    # level below the cutoff; levels are combined in f64, smallest first.
+    by_level: dict[int, list] = {}
+    for s in range(n_slices):
+        for sp in range(n_slices):
+            if s + sp < cutoff:
+                by_level.setdefault(s + sp, []).append((s, sp))
+
+    level_sums = []
+    for level in sorted(by_level, reverse=True):
+        acc = None
+        for s, sp in by_level[level]:
+            g = jax.lax.dot_general(
+                slices_a[s].astype(jnp.bfloat16),
+                slices_b[sp].astype(jnp.bfloat16),
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            acc = g if acc is None else acc + g
+        level_sums.append(acc.astype(jnp.float64))
+    total = level_sums[0]
+    for term in level_sums[1:]:
+        total = total + term
+
+    # Undo the per-row / per-column scaling.  dot_general output layout is
+    # (batch dims..., lhs free dims..., rhs free dims...).
+    sig_a_out = jnp.squeeze(sig_a, axis=ca)[..., :, None]
+    sig_b_out = jnp.squeeze(sig_b, axis=cb)[..., None, :]
+    return total * sig_a_out * sig_b_out
+
+
+def matmul64(a, b, t: int | None = None, cutoff: int | None = None):
+    """``a @ b`` for batched ``[..., n, k] @ [..., k, m]`` f64 operands via
+    exact bf16 slice GEMMs (~1e-12 relative; see module docstring).
+
+    On backends with native f64 GEMMs (CPU/GPU) this is strictly worse
+    than ``a @ b`` — callers gate on ``jax.default_backend() == "tpu"``.
+    """
+    a = jnp.asarray(a, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    if a.ndim < 2 or b.ndim < 2 or a.ndim != b.ndim:
+        raise ValueError(f"batched matmul ranks {a.ndim} vs {b.ndim}")
+    k = a.shape[-1]
+    if b.shape[-2] != k:
+        raise ValueError(f"contraction mismatch {a.shape} @ {b.shape}")
+    t = _pick_bits(k, t)
+    if cutoff is None:
+        cutoff = max(2, int(np.ceil(42 / t)) + 1)
+    n_slices = cutoff
+    nb = a.ndim - 2
+    dims = (((a.ndim - 1,), (b.ndim - 2,)), (tuple(range(nb)), tuple(range(nb))))
+    return _matmul_sliced(a, b, t, n_slices, cutoff, dims)

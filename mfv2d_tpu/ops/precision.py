@@ -61,22 +61,36 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
         back = jnp.einsum("...ij,...j->...i", x_, applied_)
         return jnp.abs(back - 1.0).max()
 
+    # On TPU the f64 sweep GEMMs run through the Ozaki-scheme slice
+    # product (ops/ozaki.py): ~30 EXACT bf16 MXU GEMMs reproduce the f64
+    # product to ~1e-12 relative, ~1000x the emulated-f64 rate that made
+    # these builds the dominant cost of ill-conditioned trace systems
+    # (~19 s per sweep at Navier-Stokes p=8 scale).
+    use_ozaki = jax.default_backend() == "tpu"
+
     @jax.jit
     def ns_step(x_, blocks_):
+        if use_ozaki:
+            from mfv2d_tpu.ops.ozaki import matmul64
+
+            ax = matmul64(blocks_, x_)
+            return 2.0 * x_ - matmul64(x_, ax)
         ax = jnp.einsum("...ij,...jk->...ik", blocks_, x_)
         return 2.0 * x_ - jnp.einsum("...ij,...jk->...ik", x_, ax)
 
-    # Emulated-f64 GEMMs run at ~3 GFLOP/s on TPU, so one whole-batch NS
-    # sweep at VMS scale ([4096, 320, 320]: ~540 GFLOP) is a multi-minute
-    # single dispatch — past the TPU runtime watchdog.  Chunk each sweep
-    # into ~10 s element-slices instead (two compiled shapes: body chunk
-    # and tail).  A few-minute device build still beats single-core host
-    # LAPACK by a wide margin, and keeps the inverse f64-accurate (the
-    # f32x2 hi/lo split downstream needs that).
+    # Chunk each sweep so a dispatch stays under the TPU runtime watchdog
+    # and the slice intermediates fit HBM (the Ozaki path materializes
+    # ~7 f32 slices per operand; the emulated-f64 path is compute-bound
+    # at ~3 GFLOP/s instead).  Two compiled shapes: body chunk and tail.
     flops_per_el = 4.0 * float(n) ** 3
     chunk = batch
     if jax.default_backend() == "tpu":
-        chunk = max(1, min(batch, int(3e10 / max(flops_per_el, 1.0))))
+        if use_ozaki:
+            by_mem = int(3e9 / max(7 * 12.0 * float(n) ** 2, 1.0))
+            by_time = int(1e13 / max(28.0 * flops_per_el, 1.0))
+            chunk = max(1, min(batch, by_mem, by_time))
+        else:
+            chunk = max(1, min(batch, int(3e10 / max(flops_per_el, 1.0))))
 
     def ns_sweep(x_):
         if chunk >= batch or blocks.ndim == 2:

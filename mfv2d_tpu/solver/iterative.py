@@ -955,18 +955,25 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
     plain f32 and f32x2; see ``BlockSaddleSystem._tables_c32``).
 
     Two cross-sweep economies (measured on the Stokes 8x8 p=3 system:
-    929 -> ~350 total inner iterations):
+    929 -> 469 total inner iterations):
 
     - The inner tolerance floors at the OUTER target: reducing the inner
       residual below ~0.3 tol (or at all, once the outer residual already
       meets tol — the verification sweeps) buys nothing the next f64
       residual can see, yet used to cost a full ~190-iteration inner
-      solve per sweep.
-    - GMRES sweeps recycle: each sweep returns its last cycle's
-      basis + Givens QR, and the next sweep warm-starts by projecting its
-      residual onto that space (solver/krylov.py ``krylov_project``) —
-      the inner operator is identical across sweeps, so the projection
-      removes the already-explored spectral content for ~two matvecs.
+      solve per sweep.  This is the bulk of the saving.
+    - GMRES sweeps carry a recycle state: each sweep returns its last
+      cycle's basis + Givens QR and the next warm-starts by projecting
+      its residual onto that space (solver/krylov.py ``krylov_project``).
+      Measured honestly: the gain WITHIN a solve is modest (~1.0-1.2x
+      projection gain — a defect residual is nearly orthogonal to the
+      space GMRES just minimized over, so most of the correction must
+      come from new directions), and persisting the last basis ACROSS
+      solves was measured near-neutral too (161 -> 156 inner iterations
+      on a repeated solve: the final sweep's basis spans late-sweep noise
+      directions, not the solution space) — so no cross-solve state is
+      kept.  The projection is retained for its cheap guard-protected
+      upside; the tolerance floor above is the load-bearing change.
     """
     n64 = 5 + 3 * len(rounds)
     if condensed and accurate:

@@ -1,0 +1,87 @@
+"""Ozaki-scheme f64 GEMM tests (ops/ozaki.py).
+
+The slice products must reproduce native-f64 matmuls to ~1e-12 relative
+error measured against the |a| @ |b| magnitude envelope — including wide
+per-row/per-column dynamic range (the equilibrated saddle blocks the
+Newton-Schulz build feeds it) — and the Newton-Schulz inverse built
+through the Ozaki path must match the einsum-f64 build.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfv2d_tpu.ops.ozaki import matmul64
+
+
+def _rel_err(got, a, b):
+    envelope = np.abs(a) @ np.abs(b)
+    return (np.abs(np.asarray(got) - a @ b) / np.maximum(envelope, 1e-300)).max()
+
+
+@pytest.mark.parametrize(
+    "shape", [(4, 37, 37, 37), (2, 64, 289, 5), (1, 128, 128, 128)]
+)
+def test_matmul64_accuracy(shape):
+    e, n, k, m = shape
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(e, n, k)) * 10.0 ** rng.uniform(-6, 6, size=(e, n, 1))
+    b = rng.normal(size=(e, k, m)) * 10.0 ** rng.uniform(-6, 6, size=(e, 1, m))
+    assert _rel_err(matmul64(a, b), a, b) < 5e-12
+
+
+def test_matmul64_ill_conditioned():
+    """Hilbert-like product (cond ~ 1e18 before regularization): the
+    near-cancelling H @ H^-1 product must still come out ~identity to the
+    envelope-relative bound."""
+    n = 200
+    h = 1.0 / (np.arange(n)[:, None] + np.arange(n)[None, :] + 1.0)
+    x = np.linalg.inv(h + np.eye(n))
+    got = matmul64((h + np.eye(n))[None], x[None])
+    assert _rel_err(got, h + np.eye(n), x[None][0]) < 5e-12
+    assert np.abs(np.asarray(got)[0] - np.eye(n)).max() < 1e-11
+
+
+def test_matmul64_unbatched_and_zero_rows():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(40, 60))
+    a[7] = 0.0  # zero row: scale guard must not divide by zero
+    b = rng.normal(size=(60, 9))
+    b[:, 3] = 0.0
+    got = np.asarray(matmul64(a, b))
+    assert _rel_err(got, a, b) < 5e-12
+    assert np.all(got[7] == 0.0)
+    assert np.all(got[:, 3] == 0.0)
+
+
+def test_matmul64_contraction_too_long():
+    a = np.zeros((2, 3, 5000))
+    b = np.zeros((2, 5000, 3))
+    with pytest.raises(ValueError, match="too long"):
+        matmul64(a, b, t=7)
+
+
+def test_newton_schulz_ozaki_path_matches(monkeypatch):
+    """Forcing the TPU (Ozaki) sweep path on CPU must build the same f64
+    inverse as the native-einsum path."""
+    from mfv2d_tpu.ops import precision
+
+    rng = np.random.default_rng(5)
+    n = 48
+    blocks = rng.normal(size=(6, n, n)) + 4 * np.eye(n)
+    inv_ref, seed_ref = precision.newton_schulz_inverse(blocks)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    inv_oz, seed_oz = precision.newton_schulz_inverse(blocks)
+    monkeypatch.undo()
+
+    assert np.isclose(seed_ref, seed_oz, rtol=1e-3)
+    err = np.abs(
+        np.einsum("eij,ejk->eik", np.asarray(inv_oz), blocks)
+        - np.eye(n)
+    ).max()
+    assert err < 1e-11, err
+    assert np.abs(np.asarray(inv_oz) - np.asarray(inv_ref)).max() < 1e-9 * np.abs(
+        np.asarray(inv_ref)
+    ).max()
