@@ -126,13 +126,22 @@ class DeviceSchurFactor:
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("rounds",))
-def _schur_rhs_solve(inv, blocks, rhs, rounds: int):
-    """Batched ``A^{-1} @ rhs`` via the explicit inverse + refine rounds."""
-    x = jnp.einsum("eij,ejk->eik", inv, rhs)
+@_partial(jax.jit, static_argnames=("rounds", "ozaki"))
+def _schur_rhs_solve(inv, blocks, rhs, rounds: int, ozaki: bool = False):
+    """Batched ``A^{-1} @ rhs`` via the explicit inverse + refine rounds.
+
+    ``ozaki=True`` (the TPU path) runs the f64 GEMMs as exact bf16 slice
+    products (ops/ozaki.py) instead of ~3 GFLOP/s emulated f64."""
+    if ozaki:
+        from mfv2d_tpu.ops.ozaki import matmul64 as _mm
+    else:
+        def _mm(a, b):
+            return jnp.einsum("eij,ejk->eik", a, b)
+
+    x = _mm(inv, rhs)
     for _ in range(rounds):
-        r = rhs - jnp.einsum("eij,ejk->eik", blocks, x)
-        x = x + jnp.einsum("eij,ejk->eik", inv, r)
+        r = rhs - _mm(blocks, x)
+        x = x + _mm(inv, r)
     return x
 
 
@@ -658,8 +667,17 @@ class BlockSaddleSystem:
                 blocks_dev = self.blocks[i_bucket]
                 rounds = self._refine_rounds[i_bucket]
                 ge_dev = jnp.asarray(ge)
-                flops = 4.0 * n * n * k_max * (1 + 2 * rounds)
-                chunk = max(1, min(n_e, int(3e10 / max(flops, 1.0))))
+                # Ozaki-scheme f64 GEMMs (exact bf16 slice products) on
+                # TPU: ~1000x the emulated-f64 rate, so the chunk is
+                # bounded by slice memory rather than the watchdog.
+                ozaki = jax.default_backend() == "tpu"
+                if ozaki:
+                    chunk = max(
+                        1, min(n_e, int(3e9 / max(84.0 * n * n, 1.0)))
+                    )
+                else:
+                    flops = 4.0 * n * n * k_max * (1 + 2 * rounds)
+                    chunk = max(1, min(n_e, int(3e10 / max(flops, 1.0))))
             else:
                 chunk = max(1, (1 << 27) // max(1, k_max * n * 8))
             se_full = np.zeros((n_e, k_max, k_max))
@@ -668,11 +686,17 @@ class BlockSaddleSystem:
                 if self._refine_inverse:
                     get = jnp.swapaxes(ge_dev[c0:c1], 1, 2)
                     sol = _schur_rhs_solve(
-                        inv_dev[c0:c1], blocks_dev[c0:c1], get, rounds
+                        inv_dev[c0:c1], blocks_dev[c0:c1], get, rounds,
+                        ozaki=ozaki,
                     )
-                    se = np.asarray(
-                        jnp.einsum("ekn,enj->ekj", ge_dev[c0:c1], sol)
-                    )
+                    if ozaki:
+                        from mfv2d_tpu.ops.ozaki import matmul64
+
+                        se = np.asarray(matmul64(ge_dev[c0:c1], sol))
+                    else:
+                        se = np.asarray(
+                            jnp.einsum("ekn,enj->ekj", ge_dev[c0:c1], sol)
+                        )
                 else:
                     sol = np.linalg.solve(
                         blocks_np[c0:c1], np.swapaxes(ge[c0:c1], 1, 2)

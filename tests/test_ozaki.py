@@ -62,6 +62,41 @@ def test_matmul64_contraction_too_long():
         matmul64(a, b, t=7)
 
 
+def test_condensed_build_ozaki_path_matches(monkeypatch):
+    """The condensed trace blocks built through the Ozaki GEMMs (forced
+    TPU path) must match the einsum-f64 build to f64 roundoff."""
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.models import flow
+    from mfv2d_tpu.solver.iterative import BlockSaddleSystem
+
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_krylov import _build_system
+
+    disc, mats, lagrange_mat = _build_system(flow.stokes_flow().system, 2, 3)
+    # Forced TPU path: explicit-inverse + Ozaki GEMM condensed build.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        system = BlockSaddleSystem(disc, mats, lagrange_mat)
+        assert system._refine_inverse
+        oz_buckets = system._condensed_buckets()
+    finally:
+        monkeypatch.undo()
+    # Plain CPU path: independent host np.linalg.solve reference.
+    system2 = BlockSaddleSystem(disc, mats, lagrange_mat)
+    assert not system2._refine_inverse
+    ref_buckets = system2._condensed_buckets()
+    for (se_o, rows_o, val_o), (se_r, rows_r, val_r) in zip(
+        oz_buckets, ref_buckets
+    ):
+        scale = np.abs(se_r).max() or 1.0
+        assert np.abs(se_o - se_r).max() / scale < 1e-11
+        assert np.array_equal(rows_o, rows_r)
+        assert np.array_equal(val_o, val_r)
+
+
 def test_newton_schulz_ozaki_path_matches(monkeypatch):
     """Forcing the TPU (Ozaki) sweep path on CPU must build the same f64
     inverse as the native-einsum path."""
