@@ -145,15 +145,54 @@ def choose_refine_rounds(
     return max_rounds, err
 
 
-@partial(jax.jit, static_argnames=("block",))
-def blocked_gj_inverse(a, block: int = 128):
+def gj_unblocked_inverse(a):
+    """Batched in-place Gauss-Jordan inverse with masked (gather-free)
+    updates — no pivoting.
+
+    Row/column ``j`` is selected by comparing a broadcasted iota against
+    the loop index instead of dynamic slicing, so every step is whole-array
+    VPU work: the same code lowers in plain XLA *and* inside Pallas TPU
+    kernels (Mosaic has no batched LAPACK; dynamic sublane slicing relayouts).
+    ~6 n^2 elementwise ops per step, n steps.  Intended for small pivot
+    blocks (n <= 64) under the blocked driver below.
+    """
+    n = a.shape[-1]
+
+    def step(j, m):
+        dt = m.dtype
+        ej_r = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == j).astype(dt)
+        ej_c = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) == j).astype(dt)
+        p = jnp.sum(m * (ej_r * ej_c), axis=(-2, -1), keepdims=True)
+        inv_p = 1.0 / p
+        row = jnp.sum(m * ej_r, axis=-2, keepdims=True) * inv_p
+        col = jnp.sum(m * ej_c, axis=-1, keepdims=True)
+        col0 = col * (1.0 - ej_r)  # exclude the pivot row from elimination
+        m = m - col0 * row
+        # Write the scaled pivot row, then the inverse's column j
+        # (-M[i,j]/p off-diagonal, 1/p on it).
+        m = m * (1.0 - ej_r) + row * ej_r
+        m = m * (1.0 - ej_c) + (-col0 * inv_p + ej_r * inv_p) * ej_c
+        return m
+
+    return jax.lax.fori_loop(0, n, step, a)
+
+
+@partial(jax.jit, static_argnames=("block", "pivot_block"))
+def blocked_gj_inverse(a, block: int = 128, pivot_block: int = 32):
     """Batched inverse by blocked Gauss-Jordan — MXU GEMMs instead of the
     largely-serial batched getrf/getri path.
 
     Full-width Jordan elimination one column-block at a time: invert the
     b x b pivot block, scale its row-panel, eliminate it from every other
     row with one [..., m, b] @ [..., b, m] GEMM, then write the inverse's
-    column-panel.  No pivoting across blocks — STRONGER than the getrf
+    column-panel.  The pivot-block inverses recurse: blocked GJ at
+    ``pivot_block`` whose own pivots use the masked unblocked GJ
+    (``gj_unblocked_inverse``) — batched getrf/getri on [..., b, b] was
+    the measured cost center of this routine on TPU (XLA lowers it through
+    ~b sequential triangular-solve steps).  ``pivot_block=0`` restores the
+    getrf pivot path.
+
+    No pivoting across blocks — STRONGER than the getrf
     seed's assumption (jnp.linalg.inv partially pivots across the whole
     matrix): every leading block-sized principal minor must be
     nonsingular, which row-max equilibration does not guarantee for
@@ -165,6 +204,18 @@ def blocked_gj_inverse(a, block: int = 128):
 
     Padding rows (to a block multiple) carry an identity and drop out.
     """
+    if pivot_block == 0:
+        pivot_inv = jnp.linalg.inv
+    elif block <= pivot_block:
+        pivot_inv = gj_unblocked_inverse
+    else:
+        def pivot_inv(p):
+            return _blocked_gj_padded(p, pivot_block, gj_unblocked_inverse)
+    return _blocked_gj_padded(a, block, pivot_inv)
+
+
+def _blocked_gj_padded(a, block, pivot_inv):
+    """Blocked GJ driver: identity-pad to a block multiple, eliminate."""
     n = a.shape[-1]
     nb = (n + block - 1) // block
     pad = nb * block - n
@@ -183,7 +234,7 @@ def blocked_gj_inverse(a, block: int = 128):
             (0,) * (panel.ndim - 2) + (k * block, 0),
             panel.shape[:-2] + (block, block),
         )
-        dinv = jnp.linalg.inv(pivot)
+        dinv = pivot_inv(pivot)
         rowk = sl(w, k * block, block, axis=-2)  # [..., b, m]
         new_rowk = dinv @ rowk
         w = w - panel @ new_rowk

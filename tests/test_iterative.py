@@ -342,10 +342,22 @@ def test_blocked_gj_inverse_matches_lapack():
     non-multiple-of-block size and f32 inputs."""
     from mfv2d_tpu.ops.precision import blocked_gj_inverse
 
+    from mfv2d_tpu.ops.precision import gj_unblocked_inverse
+
     rng = np.random.default_rng(4)
     for n, dtype, tol in ((64, np.float64, 1e-11), (289, np.float32, 5e-5)):
         a = (rng.normal(size=(5, n, n)) + n * np.eye(n)).astype(dtype)
-        inv = np.asarray(blocked_gj_inverse(jnp.asarray(a)))
-        for i in range(5):
-            err = np.abs(a[i].astype(np.float64) @ inv[i] - np.eye(n)).max()
-            assert err < tol, (n, err)
+        # All pivot strategies: getrf (0), recursive masked GJ (32), and
+        # the unblocked masked GJ when block <= pivot_block.
+        for pivot_block in (0, 32, 128):
+            inv = np.asarray(
+                blocked_gj_inverse(jnp.asarray(a), pivot_block=pivot_block)
+            )
+            for i in range(5):
+                err = np.abs(a[i].astype(np.float64) @ inv[i] - np.eye(n)).max()
+                assert err < tol, (n, pivot_block, err)
+    # The masked unblocked GJ stands alone for small blocks.
+    a = rng.normal(size=(3, 48, 48)) + 48 * np.eye(48)
+    inv = np.asarray(gj_unblocked_inverse(jnp.asarray(a)))
+    for i in range(3):
+        assert np.abs(a[i] @ inv[i] - np.eye(48)).max() < 1e-12
