@@ -17,6 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# HBM budget for one explicit-inverse build (~5 f64 arrays of the batch
+# live at once); batches past it build in element chunks.  Module-level so
+# tests can exercise the chunked path cheaply.
+_BUILD_CHUNK_BYTES = 4e9
+
+
 def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
     """Batched ``[..., n, n]`` f64 explicit inverse, built on device.
 
@@ -38,6 +44,24 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
     blocks = jnp.asarray(blocks)
     n = blocks.shape[-1]
     batch = int(np.prod(blocks.shape[:-2])) if blocks.ndim > 2 else 1
+
+    # VMS-scale batches ([4096, 289, 289] f64 at BASELINE config 5) cannot
+    # hold blocks + seed + sweep output + Ozaki slice temporaries in HBM at
+    # once (measured RESOURCE_EXHAUSTED on the 16 GB v5e).  Build the
+    # inverse in element chunks end-to-end instead: each chunk pays the
+    # same per-element cost, and the peak is one chunk's working set plus
+    # the accumulated output.  ~5 f64 arrays of the chunk live at once.
+    if blocks.ndim > 2 and batch * n * n * 8 * 5 > _BUILD_CHUNK_BYTES:
+        chunk = max(1, int(_BUILD_CHUNK_BYTES / (n * n * 8 * 5 * 2)))
+        chunk = 1 << (chunk.bit_length() - 1)  # shape-stable chunks
+        flat = blocks.reshape(batch, n, n)
+        parts = []
+        seed_err = 0.0
+        for i in range(0, batch, chunk):
+            inv_c, err_c = newton_schulz_inverse(flat[i : i + chunk])
+            parts.append(inv_c)
+            seed_err = max(seed_err, err_c)
+        return jnp.concatenate(parts, axis=0).reshape(blocks.shape), seed_err
     d = jnp.sqrt(jnp.maximum(jnp.abs(blocks).max(axis=-1), 1e-30))
     scaled = blocks / d[..., :, None] / d[..., None, :]
     from mfv2d_tpu.config import config

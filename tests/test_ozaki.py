@@ -120,3 +120,27 @@ def test_newton_schulz_ozaki_path_matches(monkeypatch):
     assert np.abs(np.asarray(inv_oz) - np.asarray(inv_ref)).max() < 1e-9 * np.abs(
         np.asarray(inv_ref)
     ).max()
+
+
+def test_newton_schulz_chunked_build_matches(monkeypatch):
+    """Batches past the HBM budget build in element chunks (the VMS-scale
+    OOM guard) and must agree with the unchunked build exactly per chunk."""
+    from mfv2d_tpu.ops import precision
+
+    rng = np.random.default_rng(6)
+    n = 32
+    blocks = rng.normal(size=(10, n, n)) + 4 * np.eye(n)
+    inv_ref, seed_ref = precision.newton_schulz_inverse(blocks)
+
+    # Shrink the budget so the 10-element batch splits into chunks of 4.
+    monkeypatch.setattr(
+        precision, "_BUILD_CHUNK_BYTES", 10 * n * n * 8 * 5 / 2.0
+    )
+    inv_ch, seed_ch = precision.newton_schulz_inverse(blocks)
+    monkeypatch.undo()
+
+    err = np.abs(
+        np.einsum("eij,ejk->eik", np.asarray(inv_ch), blocks) - np.eye(n)
+    ).max()
+    assert err < 1e-11, err
+    assert np.isclose(seed_ch, seed_ref, rtol=1e-2)
