@@ -183,14 +183,12 @@ class BlockSaddleSystem:
             )
 
             self.lu_factors = []
-            self._inv32 = []
             self._refine_rounds = []
             seed_errs = []
             for b in self.blocks:
                 inv, seed_err = newton_schulz_inverse(b)
                 rounds, _ = choose_refine_rounds(b, inv)
                 self.lu_factors.append(inv)
-                self._inv32.append(inv.astype(jnp.float32))
                 self._refine_rounds.append(rounds)
                 seed_errs.append(seed_err)
             # Same gate as the sharded path: past ~5% seed probe error the
@@ -306,7 +304,11 @@ class BlockSaddleSystem:
         cached = getattr(self, "_tables32_cache", None)
         if cached is None:
             if self._refine_inverse:
-                inv32 = self._inv32
+                # Cast lazily: when the condensed trace operator serves the
+                # inner iteration these full [E, n, n] f32 copies are never
+                # materialized — at VMS scale ([4096, 320, 320]) the eager
+                # copies were ~3 GB of the 16 GB HBM.
+                inv32 = [f.astype(jnp.float32) for f in self.lu_factors]
             else:
                 # CPU/GPU path stores LU factorizations; build the f32
                 # explicit inverses once for the inner iteration.
