@@ -709,13 +709,29 @@ def _cached_projector_fn(orders_in, orders_out, int_orders, spec_items):
             )
         )
 
-    def padded(corners):
-        corners = jnp.asarray(corners)
-        e = corners.shape[0]
-        ep = _pow2(e)
+    def dispatch(corners, e, ep):
         if ep == e:
             return fn(corners)
         return tuple(o[:e] for o in fn(_pad_pow2(corners, e, ep)))
+
+    def padded(corners):
+        corners = jnp.asarray(corners)
+        e = corners.shape[0]
+        # The projector build materializes large quadrature intermediates
+        # per element (measured: the compile for a 4096-element p=8->10
+        # batch asks for 39 GB of HBM); cap each dispatch and concatenate.
+        # Chunks share one compiled shape (tail pads to the cap).
+        cap = 512
+        if e <= cap:
+            return dispatch(corners, e, _pow2(e))
+        chunks = [
+            dispatch(corners[i : i + cap], min(cap, e - i), cap)
+            for i in range(0, e, cap)
+        ]
+        return tuple(
+            jnp.concatenate([c[j] for c in chunks], axis=0)
+            for j in range(len(chunks[0]))
+        )
 
     return padded
 

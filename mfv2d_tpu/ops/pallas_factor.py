@@ -1,0 +1,142 @@
+"""Pallas TPU kernels for the fused factorization pipeline (VERDICT item 8).
+
+The XLA blocked Gauss-Jordan (:func:`mfv2d_tpu.ops.precision.blocked_gj_inverse`)
+streams the full ``[E, m, m]`` workspace from HBM on every one of its
+``m/block`` elimination steps — ~``2 m/block + 2`` full-matrix HBM passes
+per inverse.  At p=8 scale (m=384 padded, 700+ MB per 4096 elements) that
+traffic rivals the 2 m^3 MXU flops.  The kernel here keeps each element
+tile RESIDENT in VMEM across the whole elimination: HBM sees exactly one
+read of the matrix and one write of its inverse.
+
+The elimination itself is the same blocked Jordan sweep (MXU GEMMs per
+panel), with pivot blocks inverted by the shared masked unblocked GJ
+(:func:`mfv2d_tpu.ops.precision.gj_unblocked_inverse`) — gather-free
+whole-array updates that Mosaic lowers without relayouts.  No pivoting,
+same caveats as the XLA path (seed-quality inverses; Newton-Schulz
+refinement and the host fallback recover accuracy).
+
+Reference hot path replaced: the per-block f64 LU of
+src/algebra/matrix.c:1-120 feeding src/fem_space/fem_space.c:235-846 —
+the reference factors each element matrix on the host with LAPACK; TPU
+has no native f64 or LU, so the seed inverse is built wholesale on the
+MXU and refined.
+
+Measured guidance from round 2 stands: pure-assembly Pallas LOSES to
+XLA's pair-table GEMMs (73.8 vs 90.8 M el/s), so assembly stays in XLA;
+only the factorization stage (where XLA's loop structure forces HBM
+round-trips Mosaic can keep in VMEM) is fused here.  jax_enable_x64
+breaks Mosaic lowering — the caller wraps dispatch in
+``jax.enable_x64(False)`` and keeps everything f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfv2d_tpu.ops.precision import gj_unblocked_inverse
+
+
+def _bmm(a, b):
+    """Batched block GEMM at f32-faithful MXU precision.
+
+    Default-precision jnp.matmul inside a Mosaic kernel runs single-pass
+    bf16 (measured: 1.1e-4 inverse probe error vs 5.9e-7 for the same
+    sweep at HIGHEST — a 200x seed-quality loss the Newton-Schulz caller
+    would pay back in extra f64 sweeps).
+    """
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _eliminate_ref(w_ref, block: int, pivot_inv):
+    """Blocked Jordan elimination IN a VMEM ref (the inverse lands there).
+
+    Static Python loop over column blocks; block reads/writes are ref
+    loads/stores at static offsets — memory ops Mosaic lowers at any
+    aligned offset, unlike value-level concatenation across the sublane
+    dimension (``tpu.concatenate`` with a nonzero-offset operand layout
+    crashes its layout pass, measured on v5e).
+    """
+    m = w_ref.shape[-1]
+    if m % block:
+        raise ValueError(f"padded size {m} not a multiple of block {block}")
+    for k in range(0, m, block):
+        panel = w_ref[:, :, k : k + block]
+        pivot = w_ref[:, k : k + block, k : k + block]
+        dinv = pivot_inv(pivot)
+        rowk = w_ref[:, k : k + block, :]
+        new_rowk = _bmm(dinv, rowk)
+        w_ref[...] = w_ref[...] - _bmm(panel, new_rowk)
+        w_ref[:, k : k + block, :] = new_rowk
+        w_ref[:, :, k : k + block] = -_bmm(panel, dinv)
+        w_ref[:, k : k + block, k : k + block] = dinv
+
+
+def _gj_kernel(in_ref, out_ref, piv_ref, *, block, pivot_block):
+    out_ref[...] = in_ref[...]
+
+    if block <= pivot_block:
+        pivot_inv = gj_unblocked_inverse
+    else:
+
+        def pivot_inv(p):
+            # Two-level recursion through the pivot scratch ref: the same
+            # blocked sweep at `pivot_block` granularity, masked unblocked
+            # GJ at the base.
+            piv_ref[...] = p
+            _eliminate_ref(piv_ref, pivot_block, gj_unblocked_inverse)
+            return piv_ref[...]
+
+    _eliminate_ref(out_ref, block, pivot_inv)
+
+
+def gj_inverse_pallas(
+    a,
+    block: int = 128,
+    pivot_block: int = 32,
+    tile: int = 4,
+    interpret: bool | None = None,
+):
+    """Batched ``[E, n, n]`` f32 inverse with the elimination VMEM-resident.
+
+    Pads to a block multiple with an identity tail (XLA side), runs the
+    whole blocked Jordan sweep on ``tile`` matrices per grid step inside
+    one Pallas kernel, and unpads.  E must be a multiple of ``tile``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    a = jnp.asarray(a, jnp.float32)
+    e, n = a.shape[0], a.shape[-1]
+    if e % tile:
+        raise ValueError(f"element count {e} not a multiple of tile {tile}")
+    nb = (n + block - 1) // block
+    m = nb * block
+    if m != n:
+        eye = jnp.eye(m, dtype=a.dtype)
+        w = jnp.broadcast_to(eye, (e, m, m)).copy()
+        a = w.at[..., :n, :n].set(a)
+
+    kernel = functools.partial(_gj_kernel, block=block, pivot_block=pivot_block)
+    spec = pl.BlockSpec(
+        (tile, m, m), lambda i: (i, 0 * i, 0 * i), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(e // tile,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((e, m, m), a.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, block, block), a.dtype)],
+        interpret=interpret,
+    )(a)
+    return out[..., :n, :n] if m != n else out

@@ -116,3 +116,34 @@ def test_dual_primal_roundtrip():
     primal = np.asarray(element_primal_dofs(UnknownFormOrder.FORM_ORDER_0, batch, f))[0]
     m = np.asarray(batch.mass(UnknownFormOrder.FORM_ORDER_0, False))[0]
     assert np.allclose(m @ primal, dual, atol=1e-12)
+
+
+def test_projector_chunked_dispatch_matches():
+    """Past the 512-element dispatch cap the projector build runs in
+    chunks (the 48x48 VMS compile asked 39 GB of HBM in one piece) and
+    must agree with the small-batch path exactly."""
+    import numpy as np
+
+    from mfv2d_tpu.evaluation import jit_element_projector, ElementBatch
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.system import ElementFormSpecification
+    from mfv2d_tpu.kform import UnknownFormOrder
+
+    rng = np.random.default_rng(11)
+    base = np.array([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)])
+    corners = np.tile(base, (600, 1, 1)) + 0.05 * rng.normal(size=(600, 4, 2))
+    spec = ElementFormSpecification(("u", UnknownFormOrder.FORM_ORDER_2))
+    cache = FemCache(1)
+    big = jit_element_projector(
+        spec,
+        ElementBatch(cache.get_basis2d(2, 2, 5, 5), corners),
+        ElementBatch(cache.get_basis2d(3, 3, 5, 5), corners),
+    )
+    small = jit_element_projector(
+        spec,
+        ElementBatch(cache.get_basis2d(2, 2, 5, 5), corners[300:500]),
+        ElementBatch(cache.get_basis2d(3, 3, 5, 5), corners[300:500]),
+    )
+    assert np.allclose(
+        np.asarray(big[0][300:500]), np.asarray(small[0]), atol=1e-13
+    )
