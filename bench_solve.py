@@ -338,10 +338,17 @@ def bench_factor() -> list[dict]:
     d = jnp.sqrt(jnp.maximum(jnp.abs(mats).max(axis=-1), 1e-30))
     scaled32 = (mats / d[..., :, None] / d[..., None, :]).astype(jnp.float32)
 
+    from mfv2d_tpu.ops.pallas_factor import gj_inverse_pallas
+
     rows = []
     for name, fn in (
         ("getrf", jax.jit(jnp.linalg.inv)),
-        ("blocked_gj", lambda a: blocked_gj_inverse(a)),
+        ("blocked_gj_getrf_piv", lambda a: blocked_gj_inverse(a, pivot_block=0)),
+        ("blocked_gj_masked_piv", lambda a: blocked_gj_inverse(a)),
+        (
+            "pallas_gj_resident",
+            lambda a: gj_inverse_pallas(a, tile=4, interpret=False),
+        ),
     ):
         out = fn(scaled32)
         out.block_until_ready()  # compile + run

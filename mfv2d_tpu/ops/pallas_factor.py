@@ -130,13 +130,16 @@ def gj_inverse_pallas(
     spec = pl.BlockSpec(
         (tile, m, m), lambda i: (i, 0 * i, 0 * i), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(e // tile,),
-        in_specs=[spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((e, m, m), a.dtype),
-        scratch_shapes=[pltpu.VMEM((tile, block, block), a.dtype)],
-        interpret=interpret,
-    )(a)
+    # x64 mode breaks Mosaic lowering (i64 grid indices); everything here
+    # is f32, so trace and dispatch with x64 off.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(e // tile,),
+            in_specs=[spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((e, m, m), a.dtype),
+            scratch_shapes=[pltpu.VMEM((tile, block, block), a.dtype)],
+            interpret=interpret,
+        )(a)
     return out[..., :n, :n] if m != n else out
