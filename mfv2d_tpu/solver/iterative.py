@@ -161,14 +161,36 @@ class BlockSaddleSystem:
     def __init__(
         self,
         disc: Discretization,
-        element_matrices: list[np.ndarray],
+        element_matrices: list[np.ndarray] | None,
         lagrange_mat: sp.csr_array | None,
+        block_provider: list | None = None,
     ) -> None:
         self.disc = disc
         self.n_dofs = disc.n_dofs
         self.lagrange_mat = lagrange_mat
-        self._blocks_np = [np.asarray(m) for m in element_matrices]
-        self.blocks = [jnp.asarray(m) for m in element_matrices]
+        # Lean-blocks mode ("assembly is cheap, storage is expensive"):
+        # with a per-bucket ``provider(lo, hi) -> [hi-lo, n, n]`` f64
+        # callable, the element blocks are never held device-resident —
+        # they are rebuilt in chunks for the occasional f64 consumers
+        # (inverse build, condensed-block build, outer residual applies).
+        # At BASELINE config-5 scale the stored blocks are ~6 GB of the
+        # 15.75 GB HBM while every hot-path application runs through the
+        # explicit inverses or the condensed tables.
+        self._provider = block_provider
+        if block_provider is not None and element_matrices is None:
+            if jax.default_backend() != "tpu":
+                # CPU/GPU paths keep LAPACK factorizations of the stored
+                # blocks; lean mode only pays off on the HBM-bound TPU.
+                element_matrices = [
+                    np.asarray(self._provider_full(i))
+                    for i in range(len(disc.buckets))
+                ]
+        if element_matrices is not None:
+            self._blocks_np = [np.asarray(m) for m in element_matrices]
+            self.blocks = [jnp.asarray(m) for m in element_matrices]
+        else:
+            self._blocks_np = None
+            self.blocks = None
         # TPU XLA only implements LuDecomposition in f32 AND executes
         # batched triangular solves ~23x slower than a batched GEMV, so on
         # TPU the diagonal inverse is a precomputed f64 explicit inverse
@@ -185,9 +207,13 @@ class BlockSaddleSystem:
             self.lu_factors = []
             self._refine_rounds = []
             seed_errs = []
-            for b in self.blocks:
-                inv, seed_err = newton_schulz_inverse(b)
-                rounds, _ = choose_refine_rounds(b, inv)
+            for i in range(len(disc.buckets)):
+                if self.blocks is not None:
+                    b = self.blocks[i]
+                    inv, seed_err = newton_schulz_inverse(b)
+                    rounds, _ = choose_refine_rounds(b, inv)
+                else:
+                    inv, seed_err, rounds = self._lean_inverse_build(i)
                 self.lu_factors.append(inv)
                 self._refine_rounds.append(rounds)
                 seed_errs.append(seed_err)
@@ -263,12 +289,67 @@ class BlockSaddleSystem:
         )
         return flat[self._inv_perm]
 
+    # -- lean-blocks plumbing ------------------------------------------
+
+    def _bucket_shape(self, i: int) -> tuple[int, int]:
+        g = np.asarray(self.disc.buckets[i].gather)
+        return g.shape[0], g.shape[1]
+
+    def _provider_full(self, i: int):
+        n_e, _ = self._bucket_shape(i)
+        return self._provider[i](0, n_e)
+
+    def _bucket_block_chunks(self, i: int):
+        """Yield ``(lo, hi, blocks_chunk)`` bounding live f64 block memory.
+
+        Stored mode yields the whole bucket once; lean mode rebuilds
+        power-of-two element chunks through the provider (shape-stable
+        dispatches, same budget as the explicit-inverse builds)."""
+        n_e, n = self._bucket_shape(i)
+        if self.blocks is not None:
+            yield 0, n_e, self.blocks[i]
+            return
+        from mfv2d_tpu.ops.precision import _BUILD_CHUNK_BYTES
+
+        chunk = max(1, int(_BUILD_CHUNK_BYTES / (n * n * 8 * 5 * 2)))
+        chunk = 1 << (chunk.bit_length() - 1)
+        for lo in range(0, n_e, chunk):
+            hi = min(lo + chunk, n_e)
+            yield lo, hi, jnp.asarray(self._provider[i](lo, hi))
+
+    def _lean_inverse_build(self, i: int):
+        """Explicit-inverse build without the full bucket ever resident."""
+        from mfv2d_tpu.ops.precision import (
+            choose_refine_rounds,
+            newton_schulz_inverse,
+        )
+
+        invs = []
+        seed_err = 0.0
+        rounds = 0
+        for _lo, _hi, b in self._bucket_block_chunks(i):
+            inv, se = newton_schulz_inverse(b)
+            rd, _ = choose_refine_rounds(b, inv)
+            invs.append(inv)
+            seed_err = max(seed_err, se)
+            rounds = max(rounds, rd)
+        inv_full = invs[0] if len(invs) == 1 else jnp.concatenate(invs, axis=0)
+        return inv_full, seed_err, rounds
+
+    # -- block-diagonal operators --------------------------------------
+
     def apply_diagonal(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A x with A block-diagonal (batched GEMV per bucket)."""
-        parts = [
-            jnp.einsum("eij,ej->ei", blocks, x[gather])
-            for blocks, gather in zip(self.blocks, self.gathers)
-        ]
+        parts = []
+        for i, gather in enumerate(self.gathers):
+            xe = x[gather]
+            segs = [
+                jnp.einsum("eij,ej->ei", b, xe[lo:hi])
+                for lo, hi, b in self._bucket_block_chunks(i)
+            ]
+            parts.append(
+                segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
+            )
         return self._assemble(parts)
 
     def apply_diagonal_inverse(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -277,17 +358,26 @@ class BlockSaddleSystem:
         refinement rounds, normally zero; measured 23x faster than batched
         triangular solves there)."""
         parts = []
-        for i, (fac, blocks, gather) in enumerate(
-            zip(self.lu_factors, self.blocks, self.gathers)
-        ):
+        for i, (fac, gather) in enumerate(zip(self.lu_factors, self.gathers)):
             xe = x[gather]
             if not self._refine_inverse:
                 ye = jax.scipy.linalg.lu_solve(fac, xe[..., None])[..., 0]
-            else:
+            elif self._refine_rounds[i] == 0:
                 ye = jnp.einsum("eij,ej->ei", fac, xe)
-                for _ in range(self._refine_rounds[i]):
-                    r = xe - jnp.einsum("eij,ej->ei", blocks, ye)
-                    ye = ye + jnp.einsum("eij,ej->ei", fac, r)
+            else:
+                segs = []
+                for lo, hi, blocks in self._bucket_block_chunks(i):
+                    xc = xe[lo:hi]
+                    yc = jnp.einsum("eij,ej->ei", fac[lo:hi], xc)
+                    for _ in range(self._refine_rounds[i]):
+                        r = xc - jnp.einsum("eij,ej->ei", blocks, yc)
+                        yc = yc + jnp.einsum("eij,ej->ei", fac[lo:hi], r)
+                    segs.append(yc)
+                ye = (
+                    segs[0]
+                    if len(segs) == 1
+                    else jnp.concatenate(segs, axis=0)
+                )
             parts.append(ye)
         return self._assemble(parts)
 
@@ -311,7 +401,9 @@ class BlockSaddleSystem:
                 inv32 = [f.astype(jnp.float32) for f in self.lu_factors]
             else:
                 # CPU/GPU path stores LU factorizations; build the f32
-                # explicit inverses once for the inner iteration.
+                # explicit inverses once for the inner iteration.  (Lean
+                # mode materializes stored blocks off-TPU, so self.blocks
+                # is always present here.)
                 inv32 = [
                     jnp.linalg.inv(b.astype(jnp.float32)) for b in self.blocks
                 ]
@@ -529,6 +621,19 @@ class BlockSaddleSystem:
     def _tables64(self):
         """Flat f64 operator tables (TPU explicit-inverse path), for passing
         through jit boundaries as arguments."""
+        if self.blocks is not None:
+            blocks = self.blocks
+        else:
+            # Lean mode: _schur64_apply touches the blocks only in the
+            # probe-chosen refinement loop; with zero rounds a placeholder
+            # arg suffices.  Nonzero rounds materialize the bucket (rare —
+            # it means the f64 inverse itself failed to reach the target).
+            blocks = [
+                jnp.zeros((1, 1, 1))
+                if self._refine_rounds[i] == 0
+                else jnp.asarray(self._provider_full(i))
+                for i in range(len(self.gathers))
+            ]
         return (
             self._col_rows,
             self._col_vals,
@@ -537,7 +642,7 @@ class BlockSaddleSystem:
             self._inv_perm,
         ) + tuple(
             t
-            for triple in zip(self.lu_factors, self.blocks, self.gathers)
+            for triple in zip(self.lu_factors, blocks, self.gathers)
             for t in triple
         )
 
@@ -613,9 +718,12 @@ class BlockSaddleSystem:
         g = sp.coo_array(self.lagrange_mat)
         n_lag = self.n_lagrange
         out: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        for i_bucket, (blocks_np, bucket) in enumerate(
-            zip(self._blocks_np, self.disc.buckets)
-        ):
+        for i_bucket, bucket in enumerate(self.disc.buckets):
+            blocks_np = (
+                self._blocks_np[i_bucket]
+                if self._blocks_np is not None
+                else None  # lean mode: device chunks come from the provider
+            )
             gather = np.asarray(bucket.gather)
             n_e, n = gather.shape
             # Constraint entries owned by this bucket, as (element, local
@@ -666,7 +774,9 @@ class BlockSaddleSystem:
                 # rounds) replace single-threaded host LAPACK solves,
                 # which dominated the VMS-scale setup on a 1-core host.
                 inv_dev = self.lu_factors[i_bucket]
-                blocks_dev = self.blocks[i_bucket]
+                blocks_dev = (
+                    self.blocks[i_bucket] if self.blocks is not None else None
+                )
                 rounds = self._refine_rounds[i_bucket]
                 ge_dev = jnp.asarray(ge)
                 # Ozaki-scheme f64 GEMMs (exact bf16 slice products) on
@@ -687,8 +797,15 @@ class BlockSaddleSystem:
                 c1 = min(c0 + chunk, n_e)
                 if self._refine_inverse:
                     get = jnp.swapaxes(ge_dev[c0:c1], 1, 2)
+                    if blocks_dev is not None:
+                        bchunk = blocks_dev[c0:c1]
+                    elif rounds:
+                        bchunk = jnp.asarray(self._provider[i_bucket](c0, c1))
+                    else:
+                        # rounds == 0: _schur_rhs_solve never reads them.
+                        bchunk = jnp.zeros((1, 1, 1))
                     sol = _schur_rhs_solve(
-                        inv_dev[c0:c1], blocks_dev[c0:c1], get, rounds,
+                        inv_dev[c0:c1], bchunk, get, rounds,
                         ozaki=ozaki,
                     )
                     if ozaki:
@@ -793,8 +910,12 @@ class BlockSaddleSystem:
         interface-mass-like constraint rows.
         """
         diag_a = jnp.zeros(self.n_dofs)
-        for blocks, gather in zip(self.blocks, self.gathers):
-            d = jnp.diagonal(blocks, axis1=1, axis2=2)
+        for i, gather in enumerate(self.gathers):
+            segs = [
+                jnp.diagonal(b, axis1=1, axis2=2)
+                for _lo, _hi, b in self._bucket_block_chunks(i)
+            ]
+            d = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
             diag_a = diag_a.at[gather].set(d)
         safe = jnp.where(jnp.abs(diag_a) > 1e-300, diag_a, 1.0)
         contrib = self.g_vals * self.g_vals / jnp.abs(safe[self.g_cols])

@@ -361,3 +361,62 @@ def test_blocked_gj_inverse_matches_lapack():
     inv = np.asarray(gj_unblocked_inverse(jnp.asarray(a)))
     for i in range(3):
         assert np.abs(a[i] @ inv[i] - np.eye(48)).max() < 1e-12
+
+
+def test_lean_blocks_provider_matches_stored(monkeypatch):
+    """Lean-blocks mode (provider, no stored [E, n, n] device blocks) must
+    reproduce the stored-mode operators, condensed blocks, and solves."""
+    import jax
+
+    disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup()
+    stored = BlockSaddleSystem(disc, matrices, lagrange_mat)
+
+    mats_np = [np.asarray(m) for m in matrices]
+
+    def make_provider(i):
+        def provider(lo, hi):
+            return mats_np[i][lo:hi]
+
+        return provider
+
+    providers = [make_provider(i) for i in range(len(matrices))]
+
+    # Force the TPU (explicit-inverse) branch so lean mode actually skips
+    # storing blocks; everything runs fine on CPU.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    lean = BlockSaddleSystem(disc, None, lagrange_mat, block_provider=providers)
+    monkeypatch.undo()
+    assert lean.blocks is None and lean._blocks_np is None
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=disc.n_dofs))
+    lam = jnp.asarray(rng.normal(size=stored.n_lagrange))
+
+    ax_s = np.asarray(stored.apply_diagonal(x))
+    ax_l = np.asarray(lean.apply_diagonal(x))
+    assert np.allclose(ax_s, ax_l, atol=1e-11)
+
+    ai_l = np.asarray(lean.apply_diagonal_inverse(x))
+    r = np.asarray(lean.apply_diagonal(jnp.asarray(ai_l))) - np.asarray(x)
+    assert np.abs(r).max() < 1e-8
+
+    s_l = np.asarray(lean.apply_schur(lam))
+    # Stored system runs the CPU LU path; compare through the sparse S.
+    s_ref = stored.assemble_schur_sparse() @ np.asarray(lam)
+    assert np.allclose(s_l, s_ref, atol=1e-8)
+
+    # Condensed blocks agree between modes (lean rebuilds chunks).
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    stored_tpu = BlockSaddleSystem(disc, matrices, lagrange_mat)
+    cb_s = stored_tpu._condensed_buckets()
+    cb_l = lean._condensed_buckets()
+    monkeypatch.undo()
+    for (se_s, rows_s, val_s), (se_l, rows_l, val_l) in zip(cb_s, cb_l):
+        assert np.allclose(se_s, se_l, atol=1e-10)
+        assert np.array_equal(rows_s, rows_l)
+        assert np.array_equal(val_s, val_l)
+
+    # Jacobi diagonal and the f64 tables stay functional.
+    d = np.asarray(lean.schur_jacobi_diagonal())
+    assert d.shape == (stored.n_lagrange,) and np.all(d > 0)
+    assert len(lean._tables64) == len(stored._tables64)
