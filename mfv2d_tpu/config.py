@@ -79,6 +79,11 @@ class _Config:
         # "getrf" (batched jnp.linalg.inv), "gj" (blocked Gauss-Jordan,
         # MXU GEMMs — ops/precision.blocked_gj_inverse), or "auto".
         self.seed_inverse = os.environ.get("MFV2D_TPU_SEED_INV", "auto")
+        # Lean-blocks mode: keep [E, n, n] f64 element blocks host-side
+        # with per-bucket slice providers once they pass ~1 GB total
+        # ("auto"), always ("1"), or never ("0").  Device HBM then holds
+        # only the explicit inverses + condensed tables.
+        self.lean_blocks = os.environ.get("MFV2D_TPU_LEAN_BLOCKS", "auto")
 
 
 config = _Config()

@@ -1452,6 +1452,38 @@ def solve_pcg_iterative(
     return x[: system.n_dofs], x[system.n_dofs :], residual, iters
 
 
+def make_block_saddle_system(
+    disc: Discretization,
+    element_matrices: list,
+    lagrange_mat: sp.csr_array | None,
+) -> BlockSaddleSystem:
+    """BlockSaddleSystem, lean when storing the blocks would strain HBM.
+
+    On TPU, batches whose [E, n, n] f64 element blocks pass the lean
+    threshold (MFV2D_TPU_LEAN_BLOCKS: "auto" = 1 GB total, "1" always,
+    "0" never) keep the matrices host-side and hand the system per-bucket
+    slice providers — device HBM then holds only the explicit inverses
+    and condensed tables (at BASELINE config-5 scale the stored blocks
+    alone are ~6 GB of 15.75 GB).
+    """
+    from mfv2d_tpu.config import config
+
+    mode = config.lean_blocks
+    total = sum(int(m.size) * 8 for m in element_matrices)
+    lean = (
+        jax.default_backend() == "tpu"
+        and mode != "0"
+        and (mode == "1" or total > 1e9)
+    )
+    if not lean:
+        return BlockSaddleSystem(disc, element_matrices, lagrange_mat)
+    mats_np = [np.asarray(m) for m in element_matrices]
+    providers = [lambda lo, hi, m=m: m[lo:hi] for m in mats_np]
+    return BlockSaddleSystem(
+        disc, None, lagrange_mat, block_provider=providers
+    )
+
+
 class IterativeSaddleSolver:
     """Drop-in alternative to FrozenSaddleSolver using the Schur/GMRES path."""
 
@@ -1463,7 +1495,9 @@ class IterativeSaddleSolver:
         convergence: ConvergenceSettings,
         method: str = "schur",
     ) -> None:
-        self.system = BlockSaddleSystem(disc, element_matrices, lagrange_mat)
+        self.system = make_block_saddle_system(
+            disc, element_matrices, lagrange_mat
+        )
         self.convergence = convergence
         self.method = method
         self.n_lagrange = self.system.n_lagrange

@@ -259,7 +259,7 @@ class SuyashGreenOperator:
             # Device-resident Schur CG on both hybridized saddle systems:
             # A is block-diagonal per element, so only the trace system is
             # global — no sparse LU of the fine space ever materializes.
-            from mfv2d_tpu.solver.iterative import BlockSaddleSystem
+            from mfv2d_tpu.solver.iterative import make_block_saddle_system
 
             fine_gathers = []
             for bucket, fine_sym in zip(disc.buckets, fine_sym_buckets):
@@ -268,10 +268,10 @@ class SuyashGreenOperator:
                     self.fine_offsets[np.asarray(bucket.leaf_ranks)][:, None]
                     + np.arange(n_f)[None, :]
                 )
-            self.fine_saddle = BlockSaddleSystem(
+            self.fine_saddle = make_block_saddle_system(
                 _BucketsOnly(n_fine, fine_gathers), fine_sym_buckets, fine_lag_mat
             )
-            self.coarse_saddle = BlockSaddleSystem(
+            self.coarse_saddle = make_block_saddle_system(
                 disc, coarse_sym_buckets, coarse_lag_mat
             )
             self.fine_decomp = None

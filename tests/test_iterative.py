@@ -420,3 +420,33 @@ def test_lean_blocks_provider_matches_stored(monkeypatch):
     d = np.asarray(lean.schur_jacobi_diagonal())
     assert d.shape == (stored.n_lagrange,) and np.all(d > 0)
     assert len(lean._tables64) == len(stored._tables64)
+
+
+def test_lean_blocks_end_to_end_solve(monkeypatch):
+    """IterativeSaddleSolver in forced lean mode solves to the same answer."""
+    import jax
+
+    from mfv2d_tpu.config import config
+
+    disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup(2, 2)
+    direct = FrozenSaddleSolver(
+        evaluator.matrices_per_leaf(matrices), lagrange_mat
+    )
+    rhs = np.concatenate([forcing, lagrange_vec])
+    x_direct = direct.solve(rhs)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(config, "lean_blocks", "1")
+    solver = IterativeSaddleSolver(
+        disc,
+        matrices,
+        lagrange_mat,
+        ConvergenceSettings(5000, 1e-11, 0.0),
+        method="schur",
+    )
+    assert solver.system.blocks is None
+    x_lean = solver.solve(rhs)
+    monkeypatch.undo()
+    assert np.allclose(
+        x_lean[: disc.n_dofs], x_direct[: disc.n_dofs], atol=1e-6
+    )
