@@ -51,9 +51,13 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
     # inverse in element chunks end-to-end instead: each chunk pays the
     # same per-element cost, and the peak is one chunk's working set plus
     # the accumulated output.  ~5 f64 arrays of the chunk live at once.
-    if blocks.ndim > 2 and batch * n * n * 8 * 5 > _BUILD_CHUNK_BYTES:
-        chunk = max(1, int(_BUILD_CHUNK_BYTES / (n * n * 8 * 5 * 2)))
-        chunk = 1 << (chunk.bit_length() - 1)  # shape-stable chunks
+    chunk = max(1, int(_BUILD_CHUNK_BYTES / (n * n * 8 * 5 * 2)))
+    chunk = 1 << (chunk.bit_length() - 1)  # shape-stable chunks
+    if (
+        blocks.ndim > 2
+        and chunk < batch  # a lone over-budget block cannot split further
+        and batch * n * n * 8 * 5 > _BUILD_CHUNK_BYTES
+    ):
         flat = blocks.reshape(batch, n, n)
         parts = []
         seed_err = 0.0
