@@ -472,18 +472,23 @@ def non_linear_solve_run(
     max_residual = 0.0
     unresolved_scales = fine_scales
 
+    from mfv2d_tpu.tracing import tracer
+
     while iter_cnt < max_iterations:
-        main_value = evaluator.residual_value(solution)
+        with tracer.stage("picard-residual"):
+            main_value = evaluator.residual_value(solution)
         if lagrange_mat is not None:
             main_value = main_value + lagrange_mat.T @ global_lagrange
             main_value = np.concatenate((main_value, lagrange_mat @ solution))
 
         residual = base_vec - main_value
         if sg_operator is not None:
-            sg_operator.update_nonlinear_advection(solution)
-            unresolved_scales = sg_operator.compute_unresolved_contributions(
-                solution, unresolved_scales
-            )
+            with tracer.stage("picard-vms-advection"):
+                sg_operator.update_nonlinear_advection(solution)
+            with tracer.stage("picard-vms-unresolved"):
+                unresolved_scales = sg_operator.compute_unresolved_contributions(
+                    solution, unresolved_scales
+                )
             residual -= sg_operator.fine_results_to_coarse_dofs(
                 unresolved_scales, dual=True
             )
@@ -533,7 +538,8 @@ def non_linear_solve_run(
                 )
                 d_solution = solver.solve(residual)
         else:
-            d_solution = solver.solve(residual)
+            with tracer.stage("picard-solve"):
+                d_solution = solver.solve(residual)
         if len(global_lagrange):
             solution = solution + relax * d_solution[: -global_lagrange.size]
             global_lagrange = global_lagrange + relax * d_solution[-global_lagrange.size :]

@@ -37,6 +37,7 @@ from mfv2d_tpu.solver.solve import (
     compute_element_rhs_bucket,
 )
 from mfv2d_tpu.system import KFormSystem
+from mfv2d_tpu.tracing import tracer
 
 
 import jax
@@ -397,6 +398,10 @@ class SuyashGreenOperator:
 
     def _apply_fine_advection(self, v):
         """F v (fine advection, linear + current nonlinear part)."""
+        with tracer.stage("vms-advection-apply"):
+            return self._apply_fine_advection_inner(v)
+
+    def _apply_fine_advection_inner(self, v):
         if self._dev_ops:
             chunks = self._fine_adv_chunks
             e = sum(c.shape[0] for c in chunks)
@@ -435,16 +440,18 @@ class SuyashGreenOperator:
             # fine saddle matrix never materializes.
             from mfv2d_tpu.solver.iterative import solve_schur_direct
 
-            u_f, _, _, _ = solve_schur_direct(
-                self.fine_saddle,
-                jnp.asarray(x),
-                jnp.zeros(self.fine_saddle.n_lagrange),
-            )
-            u_c, _, _, _ = solve_schur_direct(
-                self.coarse_saddle,
-                jnp.asarray(self._project_to_coarse(x)),
-                jnp.zeros(self.coarse_saddle.n_lagrange),
-            )
+            with tracer.stage("greens-fine-schur"):
+                u_f, _, _, _ = solve_schur_direct(
+                    self.fine_saddle,
+                    jnp.asarray(x),
+                    jnp.zeros(self.fine_saddle.n_lagrange),
+                )
+            with tracer.stage("greens-coarse-schur"):
+                u_c, _, _, _ = solve_schur_direct(
+                    self.coarse_saddle,
+                    jnp.asarray(self._project_to_coarse(x)),
+                    jnp.zeros(self.coarse_saddle.n_lagrange),
+                )
             return np.asarray(u_f) - self._prolong_to_fine(np.asarray(u_c))
         result_fine = self.fine_decomp.solve(np.pad(x, (0, self.fine_padding)))[
             : x.size
