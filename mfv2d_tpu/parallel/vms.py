@@ -1,0 +1,531 @@
+"""Element-sharded VMS fine-scale estimation (config-5 scale-out path).
+
+The single-chip VMS operator (:mod:`mfv2d_tpu.solver.vms`) is capacity-bound:
+BASELINE config 5 (64x64 p=8, +2 fine orders) just fits one v5e after the
+round-3 residency work.  Past that, every VMS object partitions cleanly over
+elements — the fine/coarse saddle systems are hybridized (block-diagonal A +
+trace constraints, one psum per Krylov matvec), the fine advection operator
+and the coarse<->fine transfers are element-local, and the only replicated
+state is the trace vectors.  This module composes those pieces from
+:mod:`mfv2d_tpu.parallel.sharding` into a sharded Suyash-Green operator and a
+sharded VMS-stabilized nonlinear steady solve.
+
+Reference: python/mfv2d/solve_system.py:654-961 (the VMS formulation); the
+element partitioning is the distributed seam of docs/modules/solving.rst.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mfv2d_tpu.compiler import CompiledSystem, collect_fields
+from mfv2d_tpu.evaluation import (
+    ElementBatch,
+    compute_element_matrices,
+    evaluate_static_fields,
+    reference_inclusion_matrix,
+)
+from mfv2d_tpu.parallel.sharding import (
+    ShardedBlockSystem,
+    _pad_to_multiple,
+    _sharded_saddle_solve,
+)
+from mfv2d_tpu.solver.discretization import Discretization
+from mfv2d_tpu.solver.solve import VMSSettings, compute_element_rhs_bucket
+from mfv2d_tpu.system import KFormSystem
+from mfv2d_tpu.tracing import tracer
+
+
+class _FineDisc:
+    """Discretization stand-in for the (rank-ordered) fine element batch."""
+
+    def __init__(self, batch: ElementBatch, form_spec) -> None:
+        self.buckets = [SimpleNamespace(batch=batch, orders=batch.orders)]
+        self.form_spec = form_spec
+
+
+def _assemble_blocks_sharded(
+    basis,
+    corners_padded,
+    form_spec,
+    blocks_ir,
+    mesh: Mesh,
+    dofs_padded=None,
+):
+    """Sharded element-matrix assembly: each device assembles its elements.
+
+    ``corners_padded`` is the sharded ``[E_pad, 4, 2]`` corner batch;
+    ``dofs_padded`` (optional) the sharded ``[E_pad, n]`` nonlinear field.
+    Returns the sharded ``[E_pad, n, n]`` matrix batch.  Static (callable)
+    fields are host-evaluated on the padded corners and sharded alongside.
+    """
+    field_keys = collect_fields(blocks_ir)
+    statics = evaluate_static_fields(
+        ElementBatch(basis, np.asarray(corners_padded)), field_keys
+    )
+    static_keys = tuple(statics.keys())
+    shard_by_rank = {
+        2: NamedSharding(mesh, P("e", None)),
+        3: NamedSharding(mesh, P("e", None, None)),
+    }
+    static_vals = tuple(
+        jax.device_put(
+            np.asarray(statics[k]), shard_by_rank[np.asarray(statics[k]).ndim]
+        )
+        for k in static_keys
+    )
+    n_dofs_args = 1 if dofs_padded is not None else 0
+    in_specs = (
+        (P("e", None, None),)
+        + (P("e", None),) * n_dofs_args
+        + tuple(
+            P("e", *([None] * (np.asarray(statics[k]).ndim - 1)))
+            for k in static_keys
+        )
+    )
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs,
+        out_specs=P("e", None, None),
+    )
+    def assemble(corners_local, *rest):
+        if n_dofs_args:
+            local_dofs, *sv = rest
+        else:
+            local_dofs, sv = None, list(rest)
+        batch = ElementBatch(basis, corners_local)
+        return compute_element_matrices(
+            form_spec,
+            blocks_ir,
+            batch,
+            dofs=local_dofs,
+            static_fields=dict(zip(static_keys, sv)),
+        )
+
+    args = (
+        (corners_padded,)
+        + ((dofs_padded,) if dofs_padded is not None else ())
+        + static_vals
+    )
+    return jax.jit(assemble)(*args)
+
+
+class ShardedSuyashGreen:
+    """Element-sharded fine-scale Green's operator ``G' = A_f^-1 - P A_c^-1 P^T``.
+
+    Mirrors :class:`mfv2d_tpu.solver.vms.SuyashGreenOperator` (dev mode) with
+    every element-sized object sharded over the device mesh:
+
+    - fine/coarse symmetric saddle systems are :class:`ShardedBlockSystem`s
+      (sharded assembly, sharded explicit inverses, one psum per trace
+      matvec); the coarse operator is the Galerkin product ``C^T A_f C``
+      computed shard-locally with the replicated inclusion matrix ``C``,
+    - the fine advection operator is one sharded ``[E, n_f, n_f]`` sum
+      (linear + nonlinear), re-assembled shard-locally per nonlinear update,
+    - coarse<->fine transfers are element-local GEMMs against ``C``.
+
+    Uniform-order (single-bucket) meshes only — the single-chip operator
+    covers hp meshes until they outgrow one chip.
+    """
+
+    def __init__(
+        self,
+        system: KFormSystem,
+        settings: VMSSettings,
+        disc: Discretization,
+        device_mesh: Mesh,
+        constrained_forms=(),
+        strong_boundary_conditions=(),
+    ) -> None:
+        from mfv2d_tpu.continuity import add_system_constraints
+
+        if len(disc.buckets) != 1:
+            raise NotImplementedError(
+                "ShardedSuyashGreen expects a uniform-order mesh."
+            )
+        self.disc = disc
+        self.mesh = device_mesh
+        self.convergence = settings.fine_scale_convergence
+        self.iteration = settings.iteration
+        self.relaxation = settings.relaxation
+        self.compiled_advection = CompiledSystem(settings.nonsymmetric_system)
+        compiled_sym = CompiledSystem(settings.symmetric_system)
+        dk = settings.order_increase
+        form_spec = disc.form_spec
+        nd = device_mesh.devices.size
+
+        bucket = disc.buckets[0]
+        p1, p2 = bucket.orders
+        ranks = np.asarray(bucket.leaf_ranks)
+        perm = np.argsort(ranks)
+        corners_rk = np.asarray(bucket.batch.corners)[perm]
+        e_real = corners_rk.shape[0]
+        fine_basis = disc.basis_cache.get_basis2d(
+            p1 + dk, p2 + dk, *bucket.batch.basis.integration_orders
+        )
+        self.fine_batch = ElementBatch(fine_basis, corners_rk)
+        self.n_c = form_spec.total_size(p1, p2)
+        self.n_f = form_spec.total_size(p1 + dk, p2 + dk)
+        self.e_real = e_real
+
+        incl = reference_inclusion_matrix(
+            form_spec, (p1, p2), (p1 + dk, p2 + dk)
+        )
+        self._incl_np = incl
+        self._incl_dev = jnp.asarray(incl)
+
+        # Padded sharded corner batch shared by every assembly.
+        corners_p = _pad_to_multiple(corners_rk, nd)
+        if corners_p.shape[0] > e_real:
+            corners_p[e_real:] = np.array(
+                [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+            )
+        self.e_padded = corners_p.shape[0]
+        self._corners_dev = jax.device_put(
+            corners_p, NamedSharding(device_mesh, P("e", None, None))
+        )
+
+        # Fine forcing (rank order) + constraints on the p-raised mesh.
+        fine_view = SimpleNamespace(
+            batch=self.fine_batch, orders=self.fine_batch.orders
+        )
+        forcing = np.asarray(compute_element_rhs_bucket(system, fine_view))
+        forcing_list = [forcing[i] for i in range(e_real)]
+        self.fine_offsets = np.arange(e_real + 1, dtype=np.int64) * self.n_f
+        mesh2d = disc.mesh
+        mesh2d.uniform_p_change(dk, dk)
+        try:
+            fine_lag_mat, fine_lag_vec = add_system_constraints(
+                system,
+                mesh2d,
+                disc.basis_cache,
+                list(constrained_forms),
+                list(strong_boundary_conditions),
+                disc.leaf_indices,
+                self.fine_offsets,
+                forcing_list,
+            )
+        finally:
+            mesh2d.uniform_p_change(-dk, -dk)
+        self.fine_forcing = np.concatenate(forcing_list)
+
+        # Fine symmetric saddle system: sharded assembly + trace tables.
+        fine_disc = _FineDisc(self.fine_batch, form_spec)
+        with tracer.stage("svms-fine-saddle"):
+            self.fine_saddle = ShardedBlockSystem.from_assembly(
+                fine_disc, compiled_sym.lhs_blocks, fine_lag_mat, device_mesh
+            )
+
+        # Coarse Galerkin operator C^T A_f C, shard-local (padding elements
+        # become C^T C — invertible, never referenced by constraints).
+        coarse_lag_mat, _ = add_system_constraints(
+            system,
+            mesh2d,
+            disc.basis_cache,
+            list(constrained_forms),
+            list(strong_boundary_conditions),
+            disc.leaf_indices,
+            disc.element_offsets,
+            None,
+        )
+
+        @partial(
+            jax.shard_map, mesh=device_mesh,
+            in_specs=(P("e", None, None), P(None, None)),
+            out_specs=P("e", None, None),
+        )
+        def galerkin(blocks_local, c):
+            return jnp.einsum("ji,ejk,kl->eil", c, blocks_local, c)
+
+        with tracer.stage("svms-coarse-saddle"):
+            coarse_blocks = jax.jit(galerkin)(
+                self.fine_saddle.blocks, self._incl_dev
+            )
+            self.coarse_saddle = ShardedBlockSystem(
+                disc, coarse_blocks, coarse_lag_mat, device_mesh,
+                _prepadded_device=True,
+            )
+
+        # Fine advection: one sharded linear+nonlinear sum.
+        self._adv_blocks = None
+        with tracer.stage("svms-advection"):
+            self._rebuild_advection(None)
+
+    # -- operator pieces ------------------------------------------------
+
+    def _rebuild_advection(self, fine_dofs: np.ndarray | None) -> None:
+        """(Re)assemble the sharded advection sum at the current solution."""
+        dofs_p = None
+        if (
+            fine_dofs is not None
+            and self.compiled_advection.nonlin_blocks is not None
+        ):
+            d = np.asarray(fine_dofs).reshape(self.e_real, self.n_f)
+            dofs_p = jax.device_put(
+                _pad_to_multiple(d, self.mesh.devices.size),
+                NamedSharding(self.mesh, P("e", None)),
+            )
+        self._adv_blocks = None  # free before re-assembly
+        blocks = _assemble_blocks_sharded(
+            self.fine_batch.basis,
+            self._corners_dev,
+            self.disc.form_spec,
+            self.compiled_advection.linear_blocks,
+            self.mesh,
+        )
+        if dofs_p is not None:
+            blocks = blocks + _assemble_blocks_sharded(
+                self.fine_batch.basis,
+                self._corners_dev,
+                self.disc.form_spec,
+                self.compiled_advection.nonlin_blocks,
+                self.mesh,
+                dofs_padded=dofs_p,
+            )
+        self._adv_blocks = blocks
+
+    def _apply_fine_advection(self, v: np.ndarray) -> np.ndarray:
+        """F v: element-local sharded batched GEMV (no communication)."""
+        v2 = self.fine_saddle.shard_dofs(np.asarray(v))
+
+        @partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P("e", None, None), P("e", None)),
+            out_specs=P("e", None),
+        )
+        def gemv(blocks, x):
+            return jnp.einsum("eij,ej->ei", blocks, x)
+
+        return self.fine_saddle.unshard_dofs(jax.jit(gemv)(self._adv_blocks, v2))
+
+    def _prolong_to_fine(self, u: np.ndarray) -> np.ndarray:
+        """P u: coarse DoFs -> fine space (element-local GEMM vs C)."""
+        out = np.asarray(u).reshape(self.e_real, self.n_c) @ self._incl_np.T
+        return out.ravel()
+
+    def _project_to_coarse(self, x: np.ndarray) -> np.ndarray:
+        """P^T x: dual projection to coarse DoFs."""
+        out = np.asarray(x).reshape(self.e_real, self.n_f) @ self._incl_np
+        return out.ravel()
+
+    def fine_scale_greens_function(self, x: np.ndarray) -> np.ndarray:
+        """G' x via two sharded saddle solves (trace CG, one psum/matvec)."""
+        tol = max(self.convergence.absolute_tolerance * 1e-2, 1e-13)
+        with tracer.stage("svms-greens-fine"):
+            u_f, _, _, _ = _sharded_saddle_solve(
+                self.fine_saddle,
+                self.fine_saddle.shard_dofs(np.asarray(x)),
+                jnp.zeros(max(self.fine_saddle.n_lagrange, 1))[
+                    : self.fine_saddle.n_lagrange
+                ],
+                4000,
+                tol,
+                "cg",
+            )
+        with tracer.stage("svms-greens-coarse"):
+            u_c, _, _, _ = _sharded_saddle_solve(
+                self.coarse_saddle,
+                self.coarse_saddle.shard_dofs(self._project_to_coarse(x)),
+                jnp.zeros(max(self.coarse_saddle.n_lagrange, 1))[
+                    : self.coarse_saddle.n_lagrange
+                ],
+                4000,
+                tol,
+                "cg",
+            )
+        return self.fine_saddle.unshard_dofs(u_f) - self._prolong_to_fine(
+            self.coarse_saddle.unshard_dofs(u_c)
+        )
+
+    # -- VMS iteration (mirrors solver.vms) ------------------------------
+
+    def update_nonlinear_advection(self, coarse_dofs: np.ndarray) -> None:
+        if self.compiled_advection.nonlin_blocks is None:
+            return
+        n_coarse = self.e_real * self.n_c
+        self._rebuild_advection(self._prolong_to_fine(coarse_dofs[:n_coarse]))
+
+    def compute_unresolved_contributions(
+        self, coarse_solution: np.ndarray, initial_guess: np.ndarray | None
+    ) -> np.ndarray:
+        residual = self.fine_forcing - self._apply_fine_advection(
+            self._prolong_to_fine(coarse_solution)
+        )
+        agr = self._apply_fine_advection(self.fine_scale_greens_function(residual))
+        u = np.array(agr) if initial_guess is None else np.array(initial_guess)
+
+        if self.iteration == "gmres":
+            import scipy.sparse.linalg as _sla
+
+            def op(w):
+                return w + self._apply_fine_advection(
+                    self.fine_scale_greens_function(w)
+                )
+
+            linop = _sla.LinearOperator(
+                (agr.size, agr.size), matvec=op, dtype=np.float64
+            )
+            out, info = _sla.gmres(
+                linop,
+                agr,
+                x0=u,
+                rtol=self.convergence.relative_tolerance,
+                atol=self.convergence.absolute_tolerance,
+                maxiter=self.convergence.maximum_iterations,
+            )
+            if info == 0:
+                return np.asarray(out)
+            u = np.asarray(out)
+
+        for _ in range(self.convergence.maximum_iterations):
+            u_new = agr - self._apply_fine_advection(
+                self.fine_scale_greens_function(u)
+            )
+            max_du = np.abs(u - u_new).max()
+            max_u = np.abs(u_new).max()
+            u = (
+                u_new
+                if self.relaxation == 1.0
+                else (1 - self.relaxation) * u + self.relaxation * u_new
+            )
+            if (
+                max_u == 0
+                or max_du < max_u * self.convergence.relative_tolerance
+                or max_du < self.convergence.absolute_tolerance
+            ):
+                break
+        return u
+
+    def recover_unresolved(
+        self, coarse_solution: np.ndarray, unresolved_contribution: np.ndarray
+    ) -> np.ndarray:
+        residual = (
+            self.fine_forcing
+            - self._apply_fine_advection(self._prolong_to_fine(coarse_solution))
+            - unresolved_contribution
+        )
+        return self.fine_scale_greens_function(residual)
+
+
+def sharded_vms_steady_solve(
+    system: KFormSystem,
+    vms_settings: VMSSettings,
+    disc: Discretization,
+    device_mesh: Mesh,
+    *,
+    boundary_conditions=(),
+    constrained_forms=(),
+    maximum_iterations: int = 40,
+    relax: float = 1.0,
+    absolute_tolerance: float = 1e-9,
+    relative_tolerance: float = 0.0,
+    cg_maximum_iterations: int = 4000,
+    cg_tolerance: float = 1e-12,
+):
+    """Fully sharded VMS-stabilized nonlinear steady solve (config 5 shape).
+
+    One Picard iteration does: sharded residual of the frozen saddle system,
+    sharded nonlinear advection re-assembly, the unresolved-scale GMRES
+    (every matvec = one sharded fine + one sharded coarse saddle solve and
+    one sharded advection GEMV), and the frozen sharded Schur correction.
+    Replicated state: trace vectors and the host-driven outer loops.
+
+    Returns ``(solution_flat, lam, residual_history, fine_scales)`` where
+    ``fine_scales`` are the recovered unresolved-scale fine DoFs.
+    """
+    from mfv2d_tpu.continuity import add_system_constraints
+    from mfv2d_tpu.parallel.sharding import _trace_krylov
+    from mfv2d_tpu.solver.solve import compute_forcing_vector
+
+    if len(disc.buckets) != 1:
+        raise NotImplementedError(
+            "sharded_vms_steady_solve expects a uniform-order mesh."
+        )
+    compiled = CompiledSystem(system)
+    form_spec = system.unknown_forms
+
+    forcing = compute_forcing_vector(disc, system)
+    linear_vectors = [
+        forcing[disc.element_offsets[i] : disc.element_offsets[i + 1]]
+        for i in range(disc.n_leaves)
+    ]
+    lagrange_mat, lagrange_vec = add_system_constraints(
+        system,
+        disc.mesh,
+        disc.basis_cache,
+        list(constrained_forms),
+        list(boundary_conditions),
+        disc.leaf_indices,
+        disc.element_offsets,
+        linear_vectors,
+    )
+
+    from mfv2d_tpu.parallel.sharding import MultiBucketShardedSystem
+
+    msys = MultiBucketShardedSystem.from_assembly(
+        disc, compiled.linear_blocks, lagrange_mat, device_mesh
+    )
+    bucket, sub = msys.subsystems[0]
+    residual_fn = sub.make_picard_residual(
+        form_spec, compiled.lhs_blocks, compiled.rhs_blocks
+    )
+    krylov = _trace_krylov(msys, "cg", cg_maximum_iterations)
+
+    sg = ShardedSuyashGreen(
+        system,
+        vms_settings,
+        disc,
+        device_mesh,
+        constrained_forms,
+        boundary_conditions,
+    )
+
+    b = sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))
+    u = jnp.zeros_like(b)
+    lam = jnp.zeros(msys.n_lagrange)
+    c_vec = jnp.asarray(lagrange_vec)
+    unresolved = None
+
+    # The main sharded system's element axis follows the bucket's BATCH
+    # order while the global (and VMS) DoF layout is leaf-RANK contiguous;
+    # bucket.gather converts between them (identity on regular meshes).
+    gather_flat = np.asarray(bucket.gather).reshape(-1)
+
+    residuals = []
+    max_mag = float(jnp.abs(b).max())
+    for _ in range(maximum_iterations):
+        r_elem, g_u = residual_fn(u, lam, b)
+        u_global = np.zeros(disc.n_dofs)
+        u_global[gather_flat] = sub.unshard_dofs(u)
+        with tracer.stage("svms-advection-update"):
+            sg.update_nonlinear_advection(u_global)
+        with tracer.stage("svms-unresolved"):
+            unresolved = sg.compute_unresolved_contributions(u_global, unresolved)
+        vms_coarse = sg._project_to_coarse(unresolved)
+        r_elem = r_elem - sub.shard_dofs(vms_coarse[gather_flat])
+        r_trace = c_vec - g_u
+
+        max_res = float(jnp.abs(r_elem[: sub.e_real]).max())
+        if msys.n_lagrange:
+            max_res = max(max_res, float(jnp.abs(r_trace).max()))
+        residuals.append(max_res)
+        if max_res <= absolute_tolerance or max_res <= max_mag * relative_tolerance:
+            break
+
+        a_r = sub.block_solve_sharded(r_elem)
+        trace_rhs = -r_trace + sub.trace_of(a_r)
+        dlam, _, _ = krylov(trace_rhs, cg_tolerance)
+        u = u + relax * sub.block_solve_sharded(r_elem - sub.trace_t_of(dlam))
+        lam = lam + relax * dlam
+
+    out = np.zeros(disc.n_dofs)
+    out[gather_flat] = sub.unshard_dofs(u)
+    fine_scales = sg.recover_unresolved(out, unresolved)
+    return out, np.asarray(lam), np.asarray(residuals), fine_scales
