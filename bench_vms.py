@@ -60,6 +60,19 @@ def main() -> None:
         NU * (v @ q.derivative) == -(v @ source_exact),
     )
     mesh = mf.examples.unit_square_mesh(nh, nh, p)
+    # Per-iteration Picard checkpointing: a relay crash hours into the
+    # config-5 run resumes from the last completed iteration instead of
+    # restarting (MFV2D_TPU_VMS_CKPT=/path.npz; retry harnesses pass the
+    # same path every attempt — a missing file just starts fresh).
+    ckpt_path = os.environ.get("MFV2D_TPU_VMS_CKPT")
+    ckpt = None
+    resumed_iters = 0
+    if ckpt_path:
+        from mfv2d_tpu.checkpoint import CheckpointSettings, load_steady_state
+
+        ckpt = CheckpointSettings(ckpt_path, every=1, resume_from=ckpt_path)
+        if os.path.exists(ckpt_path):
+            resumed_iters = load_steady_state(ckpt_path)["iteration"]
     t0 = time.time()
     sols, stats, _ = mf.solve_system_2d(
         mesh,
@@ -76,6 +89,7 @@ def main() -> None:
         ),
         recon_order=8,
         print_residual=True,  # per-Picard progress (stall detection)
+        checkpoint_settings=ckpt,
     )
     wall = time.time() - t0
     grid = sols[-1]
@@ -97,6 +111,7 @@ def main() -> None:
                     (p + dk) * (p + dk + 1) * 2 + (p + dk) ** 2
                 ),
                 "picard_iters": int(stats.iter_history[0]),
+                "resumed_from_iteration": resumed_iters,
             }
         ),
         flush=True,

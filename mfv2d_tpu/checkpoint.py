@@ -167,3 +167,53 @@ def load_march_state(path) -> dict:
         "time_index": int(d["time_index"]),
         "dt": float(d["dt"]),
     }
+
+
+def save_steady_state(
+    path,
+    solution: np.ndarray,
+    lagrange: np.ndarray,
+    fine_scales: np.ndarray | None,
+    iteration: int,
+    elapsed: float,
+) -> None:
+    """Checkpoint a steady Picard solve mid-iteration.
+
+    ``fine_scales`` carries the VMS unresolved-scale iterate (the other
+    cross-iteration carry besides the solution); ``elapsed`` accumulates
+    wall-clock across resumed attempts so interrupted long runs report an
+    honest cumulative time-to-solution.
+    """
+    tmp = str(path) + ".tmp.npz"
+    np.savez(
+        tmp,
+        steady=np.int64(1),
+        solution=np.asarray(solution),
+        lagrange=np.asarray(lagrange),
+        fine_scales=(
+            np.zeros(0) if fine_scales is None else np.asarray(fine_scales)
+        ),
+        has_fine=np.int64(fine_scales is not None),
+        iteration=np.int64(iteration),
+        elapsed=np.float64(elapsed),
+    )
+    # np.savez appends .npz; atomic replace so a crash mid-write never
+    # corrupts the previous good checkpoint.
+    import os
+
+    os.replace(tmp, str(path))
+
+
+def load_steady_state(path) -> dict:
+    """Load a steady-solve checkpoint written by :func:`save_steady_state`."""
+    with np.load(path) as d:
+        d = dict(d)
+    if "steady" not in d:
+        raise ValueError(f"{path} is not a steady-solve checkpoint.")
+    return {
+        "solution": d["solution"],
+        "lagrange": d["lagrange"],
+        "fine_scales": d["fine_scales"] if int(d["has_fine"]) else None,
+        "iteration": int(d["iteration"]),
+        "elapsed": float(d["elapsed"]),
+    }

@@ -302,13 +302,37 @@ def solve_system_2d(
     fine_scales = None
 
     # Resume a checkpointed march: restore solution + carry state and skip
-    # the already-completed steps (mfv2d_tpu/checkpoint.py).
+    # the already-completed steps (mfv2d_tpu/checkpoint.py).  Steady solves
+    # resume their Picard iterate the same way (solution + lagrange + VMS
+    # unresolved scales) — long config-5-scale runs survive crashes.
     start_index = 0
-    if checkpoint_settings is not None and checkpoint_settings.resume_from:
+    _steady_ckpt_prior = (0, 0.0)  # (completed iterations, elapsed seconds)
+    if (
+        checkpoint_settings is not None
+        and checkpoint_settings.resume_from
+        and time_settings is None
+    ):
+        import os as _os
+
+        from mfv2d_tpu.checkpoint import load_steady_state
+
+        if _os.path.exists(checkpoint_settings.resume_from):
+            state = load_steady_state(checkpoint_settings.resume_from)
+            solution = state["solution"]
+            if solution.size != disc.n_dofs:
+                raise ValueError(
+                    "Checkpoint DoF count does not match the mesh/system:"
+                    f" {solution.size} != {disc.n_dofs}."
+                )
+            global_lagrange = state["lagrange"]
+            fine_scales = state["fine_scales"]
+            _steady_ckpt_prior = (state["iteration"], state["elapsed"])
+        # A missing file means "first attempt": start fresh and begin
+        # checkpointing — retry harnesses can pass resume_from
+        # unconditionally.
+    elif checkpoint_settings is not None and checkpoint_settings.resume_from:
         from mfv2d_tpu.checkpoint import load_march_state
 
-        if time_settings is None:
-            raise ValueError("Checkpoint resume requires time_settings.")
         state = load_march_state(checkpoint_settings.resume_from)
         if state["solution"].size != disc.n_dofs:
             raise ValueError(
@@ -563,6 +587,28 @@ def solve_system_2d(
         grid = reconstruct_mesh_from_solution(disc, recon_order, solution)
         resulting_grids.append(grid)
     else:
+        ckpt_cb = None
+        if checkpoint_settings is not None:
+            from mfv2d_tpu.checkpoint import save_steady_state
+
+            _prior_iters, _prior_elapsed = _steady_ckpt_prior
+            _t_ckpt0 = __import__("time").perf_counter()
+            _cs = checkpoint_settings
+
+            def ckpt_cb(it, sol, lag, unres):
+                if it % max(1, _cs.every) != 0:
+                    return
+                save_steady_state(
+                    _cs.path,
+                    sol,
+                    lag,
+                    unres,
+                    _prior_iters + it,
+                    _prior_elapsed
+                    + __import__("time").perf_counter()
+                    - _t_ckpt0,
+                )
+
         solution, global_lagrange, iter_cnt, all_residuals, fine_scales = (
             non_linear_solve_run(
                 max_iterations,
@@ -583,6 +629,7 @@ def solve_system_2d(
                 sg_operator,
                 True,
                 newton=solver_settings.method == "newton",
+                checkpoint_cb=ckpt_cb,
             )
         )
         changes = np.asarray(all_residuals)[:iter_cnt]

@@ -456,6 +456,7 @@ def non_linear_solve_run(
     sg_operator=None,
     return_all_residuals: bool = False,
     newton: bool = False,
+    checkpoint_cb=None,
 ):
     """Picard / defect-correction iteration (reference solve_system.py:354).
 
@@ -546,6 +547,8 @@ def non_linear_solve_run(
         else:
             solution = solution + relax * d_solution
         iter_cnt += 1
+        if checkpoint_cb is not None:
+            checkpoint_cb(iter_cnt, solution, global_lagrange, unresolved_scales)
 
     if not return_all_residuals:
         return (

@@ -130,3 +130,84 @@ def test_resume_rejects_wrong_mesh(tmp_path):
                 str(ckpt), resume_from=str(ckpt)
             ),
         )
+
+
+def test_steady_checkpoint_resume_vms(tmp_path):
+    """An interrupted steady VMS Picard solve resumes to the same answer.
+
+    Run A: full solve.  Run B: capped at 4 Picard iterations with
+    per-iteration checkpointing, then resumed from the checkpoint with the
+    full budget.  The resumed iterate sequence replays the uninterrupted
+    one, so the final solutions must agree to solver tolerance.
+    """
+    from mfv2d_tpu.checkpoint import CheckpointSettings, load_steady_state
+
+    def u_exact(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def q_exact(x, y):
+        return np.stack(
+            (
+                -np.pi / 2 * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y),
+                -np.pi / 2 * np.cos(np.pi / 2 * x) * np.sin(np.pi / 2 * y),
+            ),
+            axis=-1,
+        )
+
+    nu = -1.0
+
+    def source_exact(x, y):
+        return np.sum(q_exact(x, y) ** 2, axis=-1) - nu * np.pi**2 * u_exact(
+            x, y
+        ) / 2
+
+    model = transport.nonlinear_flow(nu, u_exact, source_exact)
+    u, q = model.u, model.q
+    v, pw = u.weight, q.weight
+    symmetric = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        nu * (v @ q.derivative) == -(v @ source_exact),
+    )
+
+    def run(max_iters, ckpt):
+        mesh = mf.examples.unit_square_mesh(3, 3, 3)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, over_integration_order=3),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(max_iters, 1e-9, 0),
+                linear_solver="schur_direct",
+            ),
+            vms_settings=mf.VMSSettings(
+                symmetric_system=symmetric,
+                nonsymmetric_system=model.system,
+                order_increase=2,
+                fine_scale_convergence=mf.ConvergenceSettings(10, 1e-10, 1e-8),
+                matrix_free=True,
+            ),
+            recon_order=4,
+            checkpoint_settings=ckpt,
+        )
+        grid = sols[-1]
+        return (
+            np.asarray(grid.point_data["u"]),
+            np.asarray(grid.point_data["vms-u"]),
+            int(stats.iter_history[0]),
+        )
+
+    u_full, vms_full, iters_full = run(40, None)
+    assert iters_full > 4  # the interruption below really cuts it short
+
+    path = str(tmp_path / "steady.npz")
+    ckpt = CheckpointSettings(path, every=1, resume_from=path)
+    run(4, ckpt)  # "crash" after 4 iterations
+    st = load_steady_state(path)
+    assert st["iteration"] == 4 and st["fine_scales"] is not None
+
+    u_res, vms_res, iters_res = run(40, ckpt)  # resume to convergence
+    assert iters_res < iters_full  # picked up mid-way, not from scratch
+    assert np.allclose(u_res, u_full, atol=1e-9)
+    assert np.allclose(vms_res, vms_full, atol=1e-10)
+    # Cumulative bookkeeping spans both attempts.
+    st = load_steady_state(path)
+    assert st["iteration"] == 4 + iters_res
