@@ -84,6 +84,12 @@ class _Config:
         # ("auto"), always ("1"), or never ("0").  Device HBM then holds
         # only the explicit inverses + condensed tables.
         self.lean_blocks = os.environ.get("MFV2D_TPU_LEAN_BLOCKS", "auto")
+        # Route the fused-assembly f64 GEMMs through the Ozaki bf16-slice
+        # scheme on TPU (ops/ozaki.py, ~1e-12 relative vs the ~3 GFLOP/s
+        # XLA f64 emulation).  "0" (default) keeps exact f64 assembly;
+        # flip to "1" after validating accuracy on the target config —
+        # the element operators feed 1e-12-level solution errors.
+        self.ozaki_assembly = os.environ.get("MFV2D_TPU_OZAKI_ASSEMBLY", "0")
 
 
 config = _Config()

@@ -32,6 +32,7 @@ from dataclasses import dataclass, replace
 from functools import lru_cache
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -438,6 +439,28 @@ def _covering_concat(groups, pieces, n_rows, n_cols, e, dtype):
     return jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
 
 
+def _assembly_gemm(k, table):
+    """The fused-assembly GEMM ``k_all @ pair_table``.
+
+    On TPU, f64 matmuls software-emulate at ~3 GFLOP/s; with
+    ``MFV2D_TPU_OZAKI_ASSEMBLY=1`` the product routes through the Ozaki
+    bf16-slice scheme instead (ops/ozaki.py: exact slice GEMMs on the MXU,
+    ~1e-12 relative) — opt-in because the element operators bound the
+    attainable solution accuracy.
+    """
+    from mfv2d_tpu.config import config as _cfg
+
+    if (
+        _cfg.ozaki_assembly == "1"
+        and k.dtype == jnp.float64
+        and jax.default_backend() == "tpu"
+    ):
+        from mfv2d_tpu.ops.ozaki import matmul64
+
+        return matmul64(k, table)
+    return k @ table
+
+
 def evaluate_block_fused(plan: BlockPlan, batch, fields: dict, k_cache: dict):
     """Evaluate one block from its fused plan: one GEMM per group."""
     e = batch.n_elements
@@ -452,7 +475,7 @@ def evaluate_block_fused(plan: BlockPlan, batch, fields: dict, k_cache: dict):
             ks.append(k_cache[spec])
         k = ks[0] if len(ks) == 1 else jnp.concatenate(ks, axis=1)
         table = jnp.asarray(g.table, dtype)
-        pieces.append((k @ table).reshape(e, g.row_cnt, g.col_cnt))
+        pieces.append(_assembly_gemm(k, table).reshape(e, g.row_cnt, g.col_cnt))
 
     out = _covering_concat(plan.groups, pieces, plan.n_rows, plan.n_cols, e, dtype)
     if out is None:
