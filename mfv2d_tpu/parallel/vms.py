@@ -35,10 +35,10 @@ from mfv2d_tpu.evaluation import (
 from mfv2d_tpu.parallel.sharding import (
     ShardedBlockSystem,
     _pad_to_multiple,
-    _sharded_saddle_solve,
 )
 from mfv2d_tpu.solver.discretization import Discretization
 from mfv2d_tpu.solver.solve import VMSSettings, compute_element_rhs_bucket
+from mfv2d_tpu.solver.vms import iterate_unresolved_contributions
 from mfv2d_tpu.system import KFormSystem
 from mfv2d_tpu.tracing import tracer
 
@@ -51,20 +51,17 @@ class _FineDisc:
         self.form_spec = form_spec
 
 
-def _assemble_blocks_sharded(
-    basis,
-    corners_padded,
-    form_spec,
-    blocks_ir,
-    mesh: Mesh,
-    dofs_padded=None,
+def _make_sharded_assembler(
+    basis, corners_padded, form_spec, blocks_ir, mesh: Mesh, with_dofs: bool
 ):
-    """Sharded element-matrix assembly: each device assembles its elements.
+    """Reusable jitted sharded element-matrix assembler.
 
-    ``corners_padded`` is the sharded ``[E_pad, 4, 2]`` corner batch;
-    ``dofs_padded`` (optional) the sharded ``[E_pad, n]`` nonlinear field.
-    Returns the sharded ``[E_pad, n, n]`` matrix batch.  Static (callable)
-    fields are host-evaluated on the padded corners and sharded alongside.
+    Statics (callable fields) are host-evaluated ONCE on the padded
+    corners; the returned closure re-dispatches the same jitted program
+    every call (re-jitting per call would retrace/recompile the assembly
+    in the hottest loop of the sharded VMS solve).  Call signature:
+    ``assemble(corners_padded[, dofs_padded])`` -> sharded
+    ``[E_pad, n, n]``.
     """
     field_keys = collect_fields(blocks_ir)
     statics = evaluate_static_fields(
@@ -81,10 +78,9 @@ def _assemble_blocks_sharded(
         )
         for k in static_keys
     )
-    n_dofs_args = 1 if dofs_padded is not None else 0
     in_specs = (
         (P("e", None, None),)
-        + (P("e", None),) * n_dofs_args
+        + ((P("e", None),) if with_dofs else ())
         + tuple(
             P("e", *([None] * (np.asarray(statics[k]).ndim - 1)))
             for k in static_keys
@@ -96,7 +92,7 @@ def _assemble_blocks_sharded(
         out_specs=P("e", None, None),
     )
     def assemble(corners_local, *rest):
-        if n_dofs_args:
+        if with_dofs:
             local_dofs, *sv = rest
         else:
             local_dofs, sv = None, list(rest)
@@ -109,12 +105,13 @@ def _assemble_blocks_sharded(
             static_fields=dict(zip(static_keys, sv)),
         )
 
-    args = (
-        (corners_padded,)
-        + ((dofs_padded,) if dofs_padded is not None else ())
-        + static_vals
-    )
-    return jax.jit(assemble)(*args)
+    jitted = jax.jit(assemble)
+
+    def run(corners, dofs=None):
+        args = (corners,) + ((dofs,) if with_dofs else ()) + static_vals
+        return jitted(*args)
+
+    return run
 
 
 class ShardedSuyashGreen:
@@ -143,8 +140,11 @@ class ShardedSuyashGreen:
         device_mesh: Mesh,
         constrained_forms=(),
         strong_boundary_conditions=(),
+        inner_max_iterations: int = 4000,
     ) -> None:
         from mfv2d_tpu.continuity import add_system_constraints
+
+        self.inner_max_iterations = int(inner_max_iterations)
 
         if len(disc.buckets) != 1:
             raise NotImplementedError(
@@ -253,57 +253,76 @@ class ShardedSuyashGreen:
                 _prepadded_device=True,
             )
 
-        # Fine advection: one sharded linear+nonlinear sum.
-        self._adv_blocks = None
+        # Fine advection: one sharded linear+nonlinear sum.  The linear
+        # blocks are geometry-only — assembled ONCE and reused; nonlinear
+        # updates re-run only the dofs-dependent assembly.  All jitted
+        # kernels (assemblers, GEMV, trace-Krylov runners) are built once
+        # here: rebuilding them per call would retrace/recompile in the
+        # hottest loop of the solve.
         with tracer.stage("svms-advection"):
-            self._rebuild_advection(None)
-
-    # -- operator pieces ------------------------------------------------
-
-    def _rebuild_advection(self, fine_dofs: np.ndarray | None) -> None:
-        """(Re)assemble the sharded advection sum at the current solution."""
-        dofs_p = None
-        if (
-            fine_dofs is not None
-            and self.compiled_advection.nonlin_blocks is not None
-        ):
-            d = np.asarray(fine_dofs).reshape(self.e_real, self.n_f)
-            dofs_p = jax.device_put(
-                _pad_to_multiple(d, self.mesh.devices.size),
-                NamedSharding(self.mesh, P("e", None)),
-            )
-        self._adv_blocks = None  # free before re-assembly
-        blocks = _assemble_blocks_sharded(
-            self.fine_batch.basis,
-            self._corners_dev,
-            self.disc.form_spec,
-            self.compiled_advection.linear_blocks,
-            self.mesh,
-        )
-        if dofs_p is not None:
-            blocks = blocks + _assemble_blocks_sharded(
+            self._lin_assemble = _make_sharded_assembler(
                 self.fine_batch.basis,
                 self._corners_dev,
-                self.disc.form_spec,
-                self.compiled_advection.nonlin_blocks,
-                self.mesh,
-                dofs_padded=dofs_p,
+                form_spec,
+                self.compiled_advection.linear_blocks,
+                device_mesh,
+                with_dofs=False,
             )
-        self._adv_blocks = blocks
-
-    def _apply_fine_advection(self, v: np.ndarray) -> np.ndarray:
-        """F v: element-local sharded batched GEMV (no communication)."""
-        v2 = self.fine_saddle.shard_dofs(np.asarray(v))
+            self._nonlin_assemble = (
+                None
+                if self.compiled_advection.nonlin_blocks is None
+                else _make_sharded_assembler(
+                    self.fine_batch.basis,
+                    self._corners_dev,
+                    form_spec,
+                    self.compiled_advection.nonlin_blocks,
+                    device_mesh,
+                    with_dofs=True,
+                )
+            )
+            self._adv_lin_blocks = self._lin_assemble(self._corners_dev)
+            self._adv_blocks = self._adv_lin_blocks
 
         @partial(
-            jax.shard_map, mesh=self.mesh,
+            jax.shard_map, mesh=device_mesh,
             in_specs=(P("e", None, None), P("e", None)),
             out_specs=P("e", None),
         )
         def gemv(blocks, x):
             return jnp.einsum("eij,ej->ei", blocks, x)
 
-        return self.fine_saddle.unshard_dofs(jax.jit(gemv)(self._adv_blocks, v2))
+        self._adv_gemv = jax.jit(gemv)
+
+        from mfv2d_tpu.parallel.sharding import _trace_krylov
+
+        self._fine_krylov = _trace_krylov(
+            self.fine_saddle, "cg", self.inner_max_iterations
+        )
+        self._coarse_krylov = _trace_krylov(
+            self.coarse_saddle, "cg", self.inner_max_iterations
+        )
+
+    # -- operator pieces ------------------------------------------------
+
+    def _rebuild_advection(self, fine_dofs: np.ndarray | None) -> None:
+        """(Re)build the sharded advection sum at the current solution."""
+        if fine_dofs is None or self._nonlin_assemble is None:
+            self._adv_blocks = self._adv_lin_blocks
+            return
+        d = np.asarray(fine_dofs).reshape(self.e_real, self.n_f)
+        dofs_p = jax.device_put(
+            _pad_to_multiple(d, self.mesh.devices.size),
+            NamedSharding(self.mesh, P("e", None)),
+        )
+        self._adv_blocks = None  # free the old sum before re-assembly
+        self._adv_blocks = self._adv_lin_blocks + self._nonlin_assemble(
+            self._corners_dev, dofs_p
+        )
+
+    def _apply_fine_advection(self, v: np.ndarray) -> np.ndarray:
+        """F v: element-local sharded batched GEMV (no communication)."""
+        v2 = self.fine_saddle.shard_dofs(np.asarray(v))
+        return self.fine_saddle.unshard_dofs(self._adv_gemv(self._adv_blocks, v2))
 
     def _prolong_to_fine(self, u: np.ndarray) -> np.ndarray:
         """P u: coarse DoFs -> fine space (element-local GEMM vs C)."""
@@ -315,30 +334,31 @@ class ShardedSuyashGreen:
         out = np.asarray(x).reshape(self.e_real, self.n_f) @ self._incl_np
         return out.ravel()
 
+    @staticmethod
+    def _saddle_solve(system, krylov, b_sharded, tol):
+        """Sharded saddle solve against the CACHED trace-Krylov runner
+        (zero constraint RHS — the Green's function sees homogeneous
+        multiplier data)."""
+        ainv_b = system.block_solve_sharded(b_sharded)
+        lam, _, _ = krylov(system.trace_of(ainv_b), tol)
+        return system.block_solve_sharded(b_sharded - system.trace_t_of(lam))
+
     def fine_scale_greens_function(self, x: np.ndarray) -> np.ndarray:
         """G' x via two sharded saddle solves (trace CG, one psum/matvec)."""
         tol = max(self.convergence.absolute_tolerance * 1e-2, 1e-13)
         with tracer.stage("svms-greens-fine"):
-            u_f, _, _, _ = _sharded_saddle_solve(
+            u_f = self._saddle_solve(
                 self.fine_saddle,
+                self._fine_krylov,
                 self.fine_saddle.shard_dofs(np.asarray(x)),
-                jnp.zeros(max(self.fine_saddle.n_lagrange, 1))[
-                    : self.fine_saddle.n_lagrange
-                ],
-                4000,
                 tol,
-                "cg",
             )
         with tracer.stage("svms-greens-coarse"):
-            u_c, _, _, _ = _sharded_saddle_solve(
+            u_c = self._saddle_solve(
                 self.coarse_saddle,
+                self._coarse_krylov,
                 self.coarse_saddle.shard_dofs(self._project_to_coarse(x)),
-                jnp.zeros(max(self.coarse_saddle.n_lagrange, 1))[
-                    : self.coarse_saddle.n_lagrange
-                ],
-                4000,
                 tol,
-                "cg",
             )
         return self.fine_saddle.unshard_dofs(u_f) - self._prolong_to_fine(
             self.coarse_saddle.unshard_dofs(u_c)
@@ -355,53 +375,17 @@ class ShardedSuyashGreen:
     def compute_unresolved_contributions(
         self, coarse_solution: np.ndarray, initial_guess: np.ndarray | None
     ) -> np.ndarray:
-        residual = self.fine_forcing - self._apply_fine_advection(
-            self._prolong_to_fine(coarse_solution)
+        return iterate_unresolved_contributions(
+            self._apply_fine_advection,
+            self.fine_scale_greens_function,
+            self._prolong_to_fine,
+            self.fine_forcing,
+            self.convergence,
+            self.iteration,
+            self.relaxation,
+            coarse_solution,
+            initial_guess,
         )
-        agr = self._apply_fine_advection(self.fine_scale_greens_function(residual))
-        u = np.array(agr) if initial_guess is None else np.array(initial_guess)
-
-        if self.iteration == "gmres":
-            import scipy.sparse.linalg as _sla
-
-            def op(w):
-                return w + self._apply_fine_advection(
-                    self.fine_scale_greens_function(w)
-                )
-
-            linop = _sla.LinearOperator(
-                (agr.size, agr.size), matvec=op, dtype=np.float64
-            )
-            out, info = _sla.gmres(
-                linop,
-                agr,
-                x0=u,
-                rtol=self.convergence.relative_tolerance,
-                atol=self.convergence.absolute_tolerance,
-                maxiter=self.convergence.maximum_iterations,
-            )
-            if info == 0:
-                return np.asarray(out)
-            u = np.asarray(out)
-
-        for _ in range(self.convergence.maximum_iterations):
-            u_new = agr - self._apply_fine_advection(
-                self.fine_scale_greens_function(u)
-            )
-            max_du = np.abs(u - u_new).max()
-            max_u = np.abs(u_new).max()
-            u = (
-                u_new
-                if self.relaxation == 1.0
-                else (1 - self.relaxation) * u + self.relaxation * u_new
-            )
-            if (
-                max_u == 0
-                or max_du < max_u * self.convergence.relative_tolerance
-                or max_du < self.convergence.absolute_tolerance
-            ):
-                break
-        return u
 
     def recover_unresolved(
         self, coarse_solution: np.ndarray, unresolved_contribution: np.ndarray
@@ -485,6 +469,7 @@ def sharded_vms_steady_solve(
         device_mesh,
         constrained_forms,
         boundary_conditions,
+        inner_max_iterations=cg_maximum_iterations,
     )
 
     b = sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))

@@ -560,6 +560,7 @@ def solve_system_2d(
         solver_settings.linear_solver == "dense"
         and sg_operator is None
         and not print_residual
+        and checkpoint_settings is None  # fused loop can't checkpoint
     ):
         # Steady solve fully on device (solver/fused.py): Picard with the
         # frozen LU, or exact-Newton with in-trace Jacobian refactorization.
@@ -632,6 +633,18 @@ def solve_system_2d(
                 checkpoint_cb=ckpt_cb,
             )
         )
+        if ckpt_cb is not None and iter_cnt % max(1, _cs.every) != 0:
+            # Always persist the final (converged) iterate, like the march
+            # path does for its last step — a crash between here and the
+            # caller otherwise replays up to every-1 iterations.
+            save_steady_state(
+                _cs.path,
+                solution,
+                global_lagrange,
+                fine_scales,
+                _prior_iters + iter_cnt,
+                _prior_elapsed + __import__("time").perf_counter() - _t_ckpt0,
+            )
         changes = np.asarray(all_residuals)[:iter_cnt]
         iters = np.array((iter_cnt,), np.uint32)
         grid = reconstruct_mesh_from_solution(

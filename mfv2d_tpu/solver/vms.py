@@ -73,6 +73,75 @@ class _BucketsOnly:
         self.buckets = [_GatherBucket(g) for g in gathers]
 
 
+def iterate_unresolved_contributions(
+    apply_advection,
+    greens_function,
+    prolong_to_fine,
+    fine_forcing: np.ndarray,
+    convergence,
+    iteration: str,
+    relaxation: float,
+    coarse_solution: np.ndarray,
+    initial_guess: np.ndarray | None,
+) -> np.ndarray:
+    """Fixed-point / GMRES driver for the unresolved-scale forcing.
+
+    Shared by the single-chip and element-sharded VMS operators (the only
+    difference between them is HOW ``apply_advection`` and
+    ``greens_function`` execute) so the iteration policy cannot drift
+    between the two paths.  Solves ``(I + F G') u = F G' r`` where
+    ``r = forcing - F P u_coarse`` (reference solve_system.py:904-961).
+    """
+    residual = fine_forcing - apply_advection(prolong_to_fine(coarse_solution))
+    agr = apply_advection(greens_function(residual))
+    u = np.array(agr) if initial_guess is None else np.array(initial_guess)
+
+    if iteration == "gmres":
+        # The unresolved-scale map u -> agr - F G' u is LINEAR, so the
+        # fixed point solves (I + F G') u = agr; GMRES reaches the same
+        # tolerance in far fewer Green's-function applications than the
+        # stationary iteration (each matvec costs one G').
+        import scipy.sparse.linalg as _sla
+
+        def op(w):
+            return w + apply_advection(greens_function(w))
+
+        # dtype must be declared: scipy otherwise probes the matvec with
+        # an int8 vector, which the jitted Green's-function path rejects.
+        linop = _sla.LinearOperator(
+            (agr.size, agr.size), matvec=op, dtype=np.float64
+        )
+        out, info = _sla.gmres(
+            linop,
+            agr,
+            x0=u,
+            rtol=convergence.relative_tolerance,
+            atol=convergence.absolute_tolerance,
+            maxiter=convergence.maximum_iterations,
+        )
+        if info == 0:
+            return np.asarray(out)
+        # Krylov stall: fall through to the stationary iteration.
+        u = np.asarray(out)
+
+    for _ in range(convergence.maximum_iterations):
+        u_new = agr - apply_advection(greens_function(u))
+        max_du = np.abs(u - u_new).max()
+        max_u = np.abs(u_new).max()
+        u = (
+            u_new
+            if relaxation == 1.0
+            else (1 - relaxation) * u + relaxation * u_new
+        )
+        if (
+            max_u == 0
+            or max_du < max_u * convergence.relative_tolerance
+            or max_du < convergence.absolute_tolerance
+        ):
+            break
+    return u
+
+
 class SuyashGreenOperator:
     """Fine-scale Green's-function operator for VMS stabilization."""
 
@@ -470,59 +539,17 @@ class SuyashGreenOperator:
         initial_guess: np.ndarray | None,
     ) -> np.ndarray:
         """Fixed-point iteration for the unresolved-scale forcing."""
-        residual = self.fine_forcing - self._apply_fine_advection(
-            self._prolong_to_fine(coarse_solution)
+        return iterate_unresolved_contributions(
+            self._apply_fine_advection,
+            self.fine_scale_greens_function,
+            self._prolong_to_fine,
+            self.fine_forcing,
+            self.convergence,
+            self.iteration,
+            self.relaxation,
+            coarse_solution,
+            initial_guess,
         )
-        agr = self._apply_fine_advection(self.fine_scale_greens_function(residual))
-        u = np.array(agr) if initial_guess is None else np.array(initial_guess)
-
-        if self.iteration == "gmres":
-            # The unresolved-scale map u -> agr - F G' u is LINEAR, so the
-            # fixed point solves (I + F G') u = agr; GMRES reaches the same
-            # tolerance in far fewer Green's-function applications than the
-            # stationary iteration (each matvec costs one G').
-            import scipy.sparse.linalg as _sla
-
-            n_u = agr.size
-
-            def op(w):
-                return w + self._apply_fine_advection(
-                    self.fine_scale_greens_function(w)
-                )
-
-            # dtype must be declared: scipy otherwise probes the matvec with
-            # an int8 vector, which the jitted Green's-function path rejects.
-            linop = _sla.LinearOperator((n_u, n_u), matvec=op, dtype=np.float64)
-            out, info = _sla.gmres(
-                linop,
-                agr,
-                x0=u,
-                rtol=self.convergence.relative_tolerance,
-                atol=self.convergence.absolute_tolerance,
-                maxiter=self.convergence.maximum_iterations,
-            )
-            if info == 0:
-                return np.asarray(out)
-            # Krylov stall: fall through to the stationary iteration.
-            u = np.asarray(out)
-
-        for _ in range(self.convergence.maximum_iterations):
-            u_new = agr - self._apply_fine_advection(
-                self.fine_scale_greens_function(u)
-            )
-            max_du = np.abs(u - u_new).max()
-            max_u = np.abs(u_new).max()
-            if self.relaxation == 1.0:
-                u = u_new
-            else:
-                u = (1 - self.relaxation) * u + self.relaxation * u_new
-            if (
-                max_u == 0
-                or max_du < max_u * self.convergence.relative_tolerance
-                or max_du < self.convergence.absolute_tolerance
-            ):
-                break
-        return u
 
     def recover_unresolved(
         self, coarse_solution: np.ndarray, unresolved_contribution: np.ndarray
@@ -548,8 +575,14 @@ class SuyashGreenOperator:
         """Rebuild the advection operator with the current nonlinear field."""
         if self.compiled_advection.nonlin_blocks is None:
             return
-        # coarse_dofs may carry lagrange padding; strip it.
-        n_coarse = self.projector_c2f.shape[1]
+        # coarse_dofs may carry lagrange padding; strip it.  (Dev mode must
+        # not touch projector_c2f here: its lazy CSR build is ~270M nnz at
+        # config-5 scale and exists only for host consumers.)
+        n_coarse = (
+            self.disc.n_leaves * self._incl_np.shape[1]
+            if self._dev_ops
+            else self.projector_c2f.shape[1]
+        )
         fine_dofs = self._prolong_to_fine(coarse_dofs[:n_coarse])
 
         if self._dev_ops:

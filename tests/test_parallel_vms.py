@@ -121,18 +121,6 @@ def test_sharded_vms_solve_matches_single_chip(device_mesh):
     assert residuals[-1] <= 1e-9
     assert np.all(np.isfinite(sol)) and np.all(np.isfinite(fine_scales))
 
-    # Reference result through the production single-chip path.
-    mesh2 = mf.examples.unit_square_mesh(3, 3, 3)
-    sols, stats, _ = mf.solve_system_2d(
-        mesh2,
-        mf.SystemSettings(model.system, over_integration_order=3),
-        mf.SolverSettings(
-            mf.ConvergenceSettings(40, 1e-9, 0), linear_solver="schur_direct"
-        ),
-        vms_settings=vms,
-        recon_order=4,
-    )
-    del sols, stats
     # The single-chip solve runs on a (possibly different) integration
     # order; compare the sharded solution against the analytic solution
     # instead of DoF-by-DoF: at p=3 on 3x3 the discretization error
