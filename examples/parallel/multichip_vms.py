@@ -19,7 +19,7 @@ _here = Path(__file__).resolve()
 sys.path.insert(0, str(_here.parents[1]))  # examples/ for common
 sys.path.insert(0, str(_here.parents[2]))  # repo root for mfv2d_tpu
 import numpy as np
-from common import report
+from common import report, save_field_figure
 
 import jax
 from jax.sharding import Mesh
@@ -71,6 +71,7 @@ def main():
         absolute_tolerance=1e-9,
     )
     grid = reconstruct_mesh_from_solution(disc, 6, sol)
+    save_field_figure(grid, "u", __file__, title="sharded VMS solution u")
     x, y = grid.points[:, 0], grid.points[:, 1]
     err = float(np.sqrt(np.mean((grid.point_data["u"] - u_exact(x, y)) ** 2)))
     report(
