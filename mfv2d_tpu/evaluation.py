@@ -635,6 +635,7 @@ def _cached_element_fn(
     static_keys,
     mode: str,
     fused: bool = True,
+    chunk_cap: int | None = None,
 ):
     import jax
 
@@ -687,14 +688,17 @@ def _cached_element_fn(
     if mode != "matrix":
         return dispatch
 
-    # Matrix outputs at VMS scale ([4096, 320, 320] f64 = 8.4 GB before
+    # Matrix outputs at VMS scale ([4096, 320, 320] f64 = 3.4 GB before
     # quadrature intermediates) overflow single-chip HBM as one dispatch;
     # cap each dispatch so the live working set stays ~0.5 GB (matching
     # the projector and explicit-inverse build budgets).  Chunks share one
     # compiled shape (every chunk, tail included, pads to the cap).
-    n_total = form_spec.total_size(*orders)
-    cap = max(1, int(5e8 / (n_total * n_total * 8)))
-    cap = 1 << (cap.bit_length() - 1)
+    if chunk_cap is None:
+        n_total = form_spec.total_size(*orders)
+        cap = max(1, int(5e8 / (n_total * n_total * 8)))
+        cap = 1 << (cap.bit_length() - 1)
+    else:
+        cap = int(chunk_cap)  # tests exercise the chunked path at small n
 
     def padded(corners, dofs, static_vals):
         e = corners.shape[0]

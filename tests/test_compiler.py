@@ -237,3 +237,45 @@ def test_form_spec_offsets():
     assert spec.form_offsets(2, 3) == (0, 12, 29, 35)
     assert spec.total_size(2, 3) == 35
     assert spec.index(("b", UnknownFormOrder.FORM_ORDER_1)) == 1
+
+
+def test_chunked_matrix_dispatch_matches_one_piece():
+    """The element-capped matrix dispatch equals the single dispatch.
+
+    At VMS scale ([4096, 320, 320]) matrix assemblies chunk to bound HBM;
+    force a tiny cap here so the chunked path (uniform chunks + tail
+    padding + concatenation) is exercised at test size.
+    """
+    import numpy as np
+
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.evaluation import ElementBatch, _cached_element_fn
+    from mfv2d_tpu.ops.basis import FemCache
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    system = mf.KFormSystem(
+        q.weight.derivative @ u - q.weight @ q == 0,
+        u.weight @ q.derivative == 0,
+    )
+    compiled = CompiledSystem(system)
+    spec = system.unknown_forms
+    basis = FemCache(2).get_basis2d(3, 3)
+    rng = np.random.default_rng(0)
+    base = np.array([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)])
+    corners = np.tile(base, (11, 1, 1)) + 0.05 * rng.normal(size=(11, 4, 2))
+    batch = ElementBatch(basis, corners)
+
+    key = (
+        batch.orders,
+        batch.basis.integration_orders,
+        compiled.lhs_blocks,
+        tuple((n, int(o)) for n, o in spec),
+        (),
+        "matrix",
+        True,
+    )
+    one = _cached_element_fn(*key)(batch.corners, None, ())
+    chunked = _cached_element_fn(*key, chunk_cap=4)(batch.corners, None, ())
+    assert np.abs(np.asarray(chunked) - np.asarray(one)).max() < 1e-13
