@@ -78,7 +78,11 @@ def main() -> None:
         mesh,
         mf.SystemSettings(model.system, over_integration_order=3),
         mf.SolverSettings(
-            mf.ConvergenceSettings(40, 1e-9, 0), linear_solver="schur_direct"
+            mf.ConvergenceSettings(40, 1e-9, 0),
+            linear_solver="schur_direct",
+            # Anderson window (0 = plain Picard): measured 17 -> 12
+            # iterations at identical error on the 8x8 p=5 shape.
+            anderson_m=int(os.environ.get("MFV2D_TPU_VMS_ANDERSON", "0")),
         ),
         vms_settings=mf.VMSSettings(
             symmetric_system=symmetric,

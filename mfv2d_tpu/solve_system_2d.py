@@ -515,6 +515,7 @@ def solve_system_2d(
                     sg_operator,
                     False,
                     newton=solver_settings.method == "newton",
+                    anderson_m=solver_settings.anderson_m,
                 )
             )
             changes[time_index] = float(max_residual)
@@ -631,6 +632,7 @@ def solve_system_2d(
                 True,
                 newton=solver_settings.method == "newton",
                 checkpoint_cb=ckpt_cb,
+                anderson_m=solver_settings.anderson_m,
             )
         )
         if ckpt_cb is not None and iter_cnt % max(1, _cs.every) != 0:

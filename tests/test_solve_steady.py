@@ -182,3 +182,54 @@ def test_nonlinear_flow_spectral_convergence():
         x, y = grid.points[:, 0], grid.points[:, 1]
         errs.append(float(np.sqrt(np.mean((grid.point_data["u"] - nl_u(x, y)) ** 2))))
     assert errs[0] < 5e-3 and errs[1] < 1e-5, errs
+
+
+def test_anderson_acceleration_cuts_picard_iterations():
+    """anderson_m > 0 converges in fewer Picard iterations, same answer.
+
+    Measured on the nonlinear-flow family: 17 -> 12-13 iterations at
+    identical final error.  The guard (gamma cap + residual-growth window
+    restart) keeps the accelerated path from diverging.
+    """
+    from mfv2d_tpu.models import transport
+
+    nu = -1.0
+
+    def ue(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def qe(x, y):
+        return np.stack(
+            (
+                -np.pi / 2 * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y),
+                -np.pi / 2 * np.cos(np.pi / 2 * x) * np.sin(np.pi / 2 * y),
+            ),
+            axis=-1,
+        )
+
+    def se(x, y):
+        return np.sum(qe(x, y) ** 2, axis=-1) - nu * np.pi**2 * ue(x, y) / 2
+
+    model = transport.nonlinear_flow(nu, ue, se)
+
+    def run(m):
+        mesh = mf.examples.unit_square_mesh(4, 4, 4)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, over_integration_order=2),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(60, 1e-9, 0),
+                linear_solver="schur_direct",
+                anderson_m=m,
+            ),
+            recon_order=4,
+        )
+        grid = sols[-1]
+        x, y = grid.points[:, 0], grid.points[:, 1]
+        err = float(np.sqrt(np.mean((grid.point_data["u"] - ue(x, y)) ** 2)))
+        return int(stats.iter_history[0]), err
+
+    it0, err0 = run(0)
+    it3, err3 = run(3)
+    assert it3 < it0
+    assert abs(err3 - err0) < 1e-8 * max(err0, 1e-30) + 1e-12
