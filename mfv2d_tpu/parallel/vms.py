@@ -412,6 +412,7 @@ def sharded_vms_steady_solve(
     relative_tolerance: float = 0.0,
     cg_maximum_iterations: int = 4000,
     cg_tolerance: float = 1e-12,
+    anderson_m: int = 0,
 ):
     """Fully sharded VMS-stabilized nonlinear steady solve (config 5 shape).
 
@@ -485,6 +486,8 @@ def sharded_vms_steady_solve(
 
     residuals = []
     max_mag = float(jnp.abs(b).max())
+    aa_x: list[np.ndarray] = []
+    aa_f: list[np.ndarray] = []
     for _ in range(maximum_iterations):
         r_elem, g_u = residual_fn(u, lam, b)
         u_global = np.zeros(disc.n_dofs)
@@ -507,8 +510,45 @@ def sharded_vms_steady_solve(
         a_r = sub.block_solve_sharded(r_elem)
         trace_rhs = -r_trace + sub.trace_of(a_r)
         dlam, _, _ = krylov(trace_rhs, cg_tolerance)
-        u = u + relax * sub.block_solve_sharded(r_elem - sub.trace_t_of(dlam))
-        lam = lam + relax * dlam
+        du = sub.block_solve_sharded(r_elem - sub.trace_t_of(dlam))
+        if anderson_m > 0:
+            # Same guarded type-II extrapolation as the single-chip loop
+            # (solver.solve non_linear_solve_run) over (u, lam).
+            x_k = np.concatenate(
+                (np.asarray(u).reshape(-1), np.asarray(lam))
+            )
+            f_k = relax * np.concatenate(
+                (np.asarray(du).reshape(-1), np.asarray(dlam))
+            )
+            if len(residuals) >= 2 and residuals[-1] > residuals[-2]:
+                aa_x.clear()
+                aa_f.clear()
+            aa_x.append(x_k)
+            aa_f.append(f_k)
+            if len(aa_x) > anderson_m + 1:
+                aa_x.pop(0)
+                aa_f.pop(0)
+            x_new = x_k + f_k
+            if len(aa_f) > 1:
+                df = np.stack(
+                    [aa_f[i + 1] - aa_f[i] for i in range(len(aa_f) - 1)],
+                    axis=1,
+                )
+                dx = np.stack(
+                    [aa_x[i + 1] - aa_x[i] for i in range(len(aa_x) - 1)],
+                    axis=1,
+                )
+                gamma, *_ = np.linalg.lstsq(df, f_k, rcond=1e-10)
+                if np.abs(gamma).max() <= 25.0:
+                    x_new = x_k + f_k - (dx + df) @ gamma
+            n_u = np.asarray(u).size
+            u = jax.device_put(
+                x_new[:n_u].reshape(np.asarray(u).shape), sub.dof_sharding
+            )
+            lam = jnp.asarray(x_new[n_u:])
+        else:
+            u = u + relax * du
+            lam = lam + relax * dlam
 
     out = np.zeros(disc.n_dofs)
     out[gather_flat] = sub.unshard_dofs(u)
