@@ -433,6 +433,11 @@ def solve_system_2d(
                 rtol,
                 max_mag,
                 time_settings.sample_rate,
+                **(
+                    {}
+                    if solver_settings.method == "newton"
+                    else {"anderson_m": solver_settings.anderson_m}
+                ),
             )
         )
         for s_i, time_index in enumerate(sample_steps):
@@ -570,6 +575,11 @@ def solve_system_2d(
         else:
             from mfv2d_tpu.solver.fused import fused_picard_solve as _fused
 
+        _fused_kwargs = (
+            {}
+            if solver_settings.method == "newton"
+            else {"anderson_m": solver_settings.anderson_m}
+        )
         solution, global_lagrange, iter_cnt, all_residuals, _ = _fused(
             disc,
             evaluator,
@@ -583,6 +593,7 @@ def solve_system_2d(
             atol,
             rtol,
             max_mag,
+            **_fused_kwargs,
         )
         changes = np.asarray(all_residuals)[:iter_cnt]
         iters = np.array((iter_cnt,), np.uint32)

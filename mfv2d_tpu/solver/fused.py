@@ -239,6 +239,52 @@ def fused_linear_time_march(
     return np.asarray(us), sample_steps, np.asarray(lam_f)
 
 
+def _anderson_init(m: int, n_tot: int):
+    """Carry buffers for the in-trace Anderson window (empty when m=0)."""
+    if m <= 0:
+        return jnp.zeros(0)
+    return (
+        jnp.zeros((m + 1, n_tot)),
+        jnp.zeros((m + 1, n_tot)),
+        jnp.int32(0),
+    )
+
+
+def _anderson_step(x_k, f_k, bufs, m: int, grew):
+    """One guarded type-II Anderson step inside a traced loop.
+
+    Mirrors the host loop's policy (solver.solve non_linear_solve_run):
+    window restart when the residual grew, gamma-magnitude cap of 25, and
+    the plain damped step until two pairs exist.  The small least-squares
+    problem solves ridge-regularized normal equations (m x m) in-trace.
+    """
+    xs, fs, count = bufs
+    count = jnp.where(grew, jnp.int32(0), count)
+    xs = jnp.roll(xs, -1, axis=0).at[-1].set(x_k)
+    fs = jnp.roll(fs, -1, axis=0).at[-1].set(f_k)
+    count = jnp.minimum(count + 1, m + 1)
+    dx = xs[1:] - xs[:-1]
+    df = fs[1:] - fs[:-1]
+    valid = jnp.arange(m) >= (m + 1 - count)
+    dxv = jnp.where(valid[:, None], dx, 0.0)
+    dfv = jnp.where(valid[:, None], df, 0.0)
+    gram = dfv @ dfv.T
+    # Ridge scaled to the Gram diagonal: masked (zero) rows then solve to
+    # exactly zero gamma, and near-collinear differences stay bounded.
+    ridge = 1e-12 * jnp.maximum(jnp.max(jnp.diag(gram)), 1e-300)
+    # f32 solve: TPU XLA has no f64 LuDecomposition, and the extrapolation
+    # weights only need a few digits (the guard bounds their effect).
+    gamma = jnp.linalg.solve(
+        (gram + ridge * jnp.eye(m)).astype(jnp.float32),
+        (dfv @ f_k).astype(jnp.float32),
+    ).astype(x_k.dtype)
+    gamma = jnp.where(valid, gamma, 0.0)
+    ok = jnp.logical_and(count >= 2, jnp.max(jnp.abs(gamma)) <= 25.0)
+    x_aa = x_k + f_k - (dxv + dfv).T @ gamma
+    x_new = jnp.where(ok, x_aa, x_k + f_k)
+    return x_new, (xs, fs, count)
+
+
 def fused_picard_solve(
     disc: Discretization,
     evaluator,
@@ -252,13 +298,17 @@ def fused_picard_solve(
     atol: float,
     rtol: float,
     max_mag: float,
+    anderson_m: int = 0,
 ):
     """The steady Picard loop as one on-device lax.while_loop.
 
     Residual evaluation (including in-trace nonlinear field reconstruction),
     the dense-LU solve, and the convergence test all run inside a single
     compiled computation; only the final state returns to the host.
-    Semantics match solver.solve.non_linear_solve_run.
+    Semantics match solver.solve.non_linear_solve_run, including the
+    guarded type-II Anderson extrapolation when ``anderson_m > 0`` (the
+    small least-squares solve runs in-trace via ridge-regularized normal
+    equations over the carried difference buffers).
     """
     from mfv2d_tpu.evaluation import compute_element_vectors
 
@@ -312,14 +362,17 @@ def fused_picard_solve(
             return out
         return out.at[g_cols].add(g_vals * lam[g_rows])
 
+    m_aa = int(anderson_m)
+    n_tot = n + n_lag
+
     @jax.jit
     def solve(u0, lam0, base_, lu_tabs):
         def cond(state):
-            _, _, it, _, converged, _ = state
+            it, converged = state[2], state[4]
             return jnp.logical_and(it < max_iterations, jnp.logical_not(converged))
 
         def body(state):
-            u, lam, it, residuals, _, _ = state
+            u, lam, it, residuals, _, prev_mres, aa_bufs = state
             value = residual_value(u) + trace_t_apply(lam)
             full = jnp.concatenate([value, trace_apply(u)])
             res_vec = base_ - full
@@ -329,10 +382,18 @@ def fused_picard_solve(
                 jnp.logical_and(mres > atol, mres > max_mag * rtol)
             )
             d = lu_solve_fn(res_vec, lu_tabs)
-            u_new = jnp.where(conv, u, u + relax * d[:n])
-            lam_new = jnp.where(conv, lam, lam + relax * d[n:])
+            if m_aa > 0:
+                x_k = jnp.concatenate([u, lam])
+                x_new, aa_bufs = _anderson_step(
+                    x_k, relax * d, aa_bufs, m_aa, mres > prev_mres
+                )
+                u_new = jnp.where(conv, u, x_new[:n])
+                lam_new = jnp.where(conv, lam, x_new[n:])
+            else:
+                u_new = jnp.where(conv, u, u + relax * d[:n])
+                lam_new = jnp.where(conv, lam, lam + relax * d[n:])
             it_new = jnp.where(conv, it, it + 1)
-            return (u_new, lam_new, it_new, residuals, conv, mres)
+            return (u_new, lam_new, it_new, residuals, conv, mres, aa_bufs)
 
         state = (
             u0,
@@ -341,8 +402,9 @@ def fused_picard_solve(
             jnp.zeros(max_iterations),
             jnp.bool_(False),
             jnp.inf,
+            _anderson_init(m_aa, n_tot),
         )
-        u, lam, it, residuals, _, mres = jax.lax.while_loop(cond, body, state)
+        u, lam, it, residuals, _, mres, _ = jax.lax.while_loop(cond, body, state)
         return u, lam, it, residuals, mres
 
     u, lam, it, residuals, mres = solve(
@@ -375,6 +437,7 @@ def fused_nonlinear_time_march(
     rtol: float,
     max_mag: float,
     sample_rate: int = 1,
+    anderson_m: int = 0,
 ):
     """Nonlinear trapezoidal march fully on device.
 
@@ -479,13 +542,13 @@ def fused_nonlinear_time_march(
             base = explicit_.at[carry_idx].add(current_carry)
 
             def cond(s):
-                _, _, it, converged, _ = s
+                it, converged = s[2], s[3]
                 return jnp.logical_and(
                     it < max_iterations, jnp.logical_not(converged)
                 )
 
             def body(s):
-                ui, lami, it, _, _ = s
+                ui, lami, it, _, prev_mres, aa_bufs = s
                 value = residual_value(ui) + trace_t_apply(lami)
                 full = jnp.concatenate([value, trace_apply(ui)])
                 res_vec = base - full
@@ -494,13 +557,23 @@ def fused_nonlinear_time_march(
                     jnp.logical_and(mres > atol, mres > max_mag * rtol)
                 )
                 d = lu_solve_fn(res_vec, tabs["lu"])
-                u_new = jnp.where(conv, ui, ui + relax * d[:n])
-                lam_new = jnp.where(conv, lami, lami + relax * d[n:])
+                if anderson_m > 0:
+                    x_new, aa_bufs = _anderson_step(
+                        jnp.concatenate([ui, lami]), relax * d, aa_bufs,
+                        anderson_m, mres > prev_mres,
+                    )
+                    u_new = jnp.where(conv, ui, x_new[:n])
+                    lam_new = jnp.where(conv, lami, x_new[n:])
+                else:
+                    u_new = jnp.where(conv, ui, ui + relax * d[:n])
+                    lam_new = jnp.where(conv, lami, lami + relax * d[n:])
                 it_new = jnp.where(conv, it, it + 1)
-                return (u_new, lam_new, it_new, conv, mres)
+                return (u_new, lam_new, it_new, conv, mres, aa_bufs)
 
-            u_new, lam_new, iters, _, mres = jax.lax.while_loop(
-                cond, body, (u, lam, jnp.int32(0), jnp.bool_(False), jnp.inf)
+            u_new, lam_new, iters, _, mres, _ = jax.lax.while_loop(
+                cond, body,
+                (u, lam, jnp.int32(0), jnp.bool_(False), jnp.inf,
+                 _anderson_init(anderson_m, n + n_lag)),
             )
             dual = dual_apply_(u_new)
             new_carry = dual[carry_idx]
@@ -823,7 +896,7 @@ def fused_newton_time_march(
             base = explicit_.at[carry_idx].add(current_carry)
 
             def cond(s):
-                _, _, it, converged, _ = s
+                it, converged = s[2], s[3]
                 return jnp.logical_and(
                     it < max_iterations, jnp.logical_not(converged)
                 )

@@ -558,3 +558,45 @@ def test_fused_march_sampling_matches_dense_steps():
     for g in sols_s3[1:]:
         ref = full_by_time[round(float(g.field_data["time"][0]), 9)]
         assert np.allclose(g.point_data["u"], ref.point_data["u"], atol=1e-13)
+
+
+def test_fused_march_anderson_converges_same():
+    """In-trace Anderson in the fused nonlinear march: same solutions,
+    no more iterations than plain Picard."""
+    from mfv2d_tpu.models import flow
+    from mfv2d_tpu.solver.solve import TimeSettings
+
+    def lid(x, y):
+        on = np.isclose(y, 1.0)
+        return np.stack((np.where(on, 1.0, 0.0), np.zeros_like(y)), axis=-1)
+
+    model = flow.cavity_flow(10.0, lid)
+
+    def run(m):
+        mesh = mf.examples.unit_square_mesh(2, 2, 3)
+        bc = mf.BoundaryCondition2DSteady(
+            model.velocity, mesh.boundary_indices, lid
+        )
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(
+                model.system,
+                boundary_conditions=[bc],
+                constrained_forms=[(0.0, model.pressure)],
+            ),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(30, 1e-9, 0),
+                linear_solver="dense",
+                anderson_m=m,
+            ),
+            time_settings=TimeSettings(
+                dt=0.25, nt=3, time_march_relations=model.time_march_relations
+            ),
+            recon_order=4,
+        )
+        return np.asarray(sols[-1].point_data["vel"]), stats.iter_history
+
+    u0, it0 = run(0)
+    u3, it3 = run(3)
+    assert int(np.sum(it3)) <= int(np.sum(it0))
+    assert np.allclose(u3, u0, atol=1e-8)
