@@ -15,13 +15,18 @@ def main():
 
     def figs_of(script):
         # Exact per-script figures: a stem can prefix a sibling stem
-        # (reaction vs reaction_mixed), so exclude files whose label
-        # continues into another known stem.
+        # (reaction vs reaction_mixed), so a figure belongs to the LONGEST
+        # stem that prefixes it — exclude it here only when a longer stem
+        # claims it (the old any-prefix rule also matched the script's own
+        # stem, so reaction_mixed's figures were counted for no script).
         out = []
         for f in figures_dir.glob(f"{script.stem}_*.png"):
-            rest = f.stem[len(script.stem) + 1 :]
-            if any(f"{script.stem}_{rest}".startswith(other + "_")
-                   for other in stems if other != script.stem):
+            if any(
+                other != script.stem
+                and len(other) > len(script.stem)
+                and f.stem.startswith(other + "_")
+                for other in stems
+            ):
                 continue
             out.append(f)
         return out
