@@ -42,6 +42,16 @@ def _pick_bits(k: int, t: int | None) -> int:
     f32 accumulation: ``k * 2^(2t) <= 2^24``."""
     if t is None:
         t = min(8, (24 - max(int(np.ceil(np.log2(max(k, 2)))), 1)) // 2)
+        if t < 1:
+            # k > 2^22: even 1-bit slices can't accumulate exactly in f32.
+            raise ValueError(
+                f"contraction length {k} too long for exact bf16-slice"
+                " accumulation; split the contraction first"
+            )
+    if not 1 <= t <= 8:
+        # bf16 has an 8-bit significand: wider slices round on the cast
+        # and silently break the error-free-transform contract.
+        raise ValueError(f"slice width t={t} outside the bf16-exact range [1, 8]")
     if k * (1 << (2 * t)) > (1 << 24):
         raise ValueError(
             f"contraction length {k} too long for exact {t}-bit slices"

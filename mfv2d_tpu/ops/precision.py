@@ -23,6 +23,28 @@ import numpy as np
 _BUILD_CHUNK_BYTES = 4e9
 
 
+# Module-level jits: defining these inside newton_schulz_inverse re-traced
+# (and re-lowered through the remote TPU compiler) the 56-GEMM Ozaki sweep
+# once per CHUNK of every chunked VMS-scale build.  Large arrays stay jit
+# ARGUMENTS (captured constants ship with the computation; the remote
+# compiler rejects them past ~100 MB — HTTP 413).
+@jax.jit
+def _probe_err_of(x_, applied_):
+    back = jnp.einsum("...ij,...j->...i", x_, applied_)
+    return jnp.abs(back - 1.0).max()
+
+
+@partial(jax.jit, static_argnames="use_ozaki")
+def _ns_step(x_, blocks_, use_ozaki: bool):
+    if use_ozaki:
+        from mfv2d_tpu.ops.ozaki import matmul64
+
+        ax = matmul64(blocks_, x_)
+        return 2.0 * x_ - matmul64(x_, ax)
+    ax = jnp.einsum("...ij,...jk->...ik", blocks_, x_)
+    return 2.0 * x_ - jnp.einsum("...ij,...jk->...ik", x_, ax)
+
+
 def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
     """Batched ``[..., n, n]`` f64 explicit inverse, built on device.
 
@@ -66,6 +88,11 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
             parts.append(inv_c)
             seed_err = max(seed_err, err_c)
         return jnp.concatenate(parts, axis=0).reshape(blocks.shape), seed_err
+    # Sweep chunking below slices the LEADING axis; flatten multi-axis
+    # batches so a chunk really is `chunk` matrices, not chunk * trailing.
+    orig_shape = blocks.shape
+    if blocks.ndim > 3:
+        blocks = blocks.reshape(batch, n, n)
     d = jnp.sqrt(jnp.maximum(jnp.abs(blocks).max(axis=-1), 1e-30))
     scaled = blocks / d[..., :, None] / d[..., None, :]
     from mfv2d_tpu.config import config
@@ -81,30 +108,16 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
     probe = jnp.ones(blocks.shape[:-1])
     applied = jnp.einsum("...ij,...j->...i", blocks, probe)
 
-    # Large arrays are jit ARGUMENTS, not closure captures: captured
-    # constants ship with the computation to the remote TPU compiler,
-    # which rejects them past ~100 MB (HTTP 413).
-    @jax.jit
-    def probe_err_of(x_, applied_):
-        back = jnp.einsum("...ij,...j->...i", x_, applied_)
-        return jnp.abs(back - 1.0).max()
-
     # On TPU the f64 sweep GEMMs run through the Ozaki-scheme slice
     # product (ops/ozaki.py): ~30 EXACT bf16 MXU GEMMs reproduce the f64
     # product to ~1e-12 relative, ~1000x the emulated-f64 rate that made
     # these builds the dominant cost of ill-conditioned trace systems
     # (~19 s per sweep at Navier-Stokes p=8 scale).
     use_ozaki = jax.default_backend() == "tpu"
+    probe_err_of = _probe_err_of
 
-    @jax.jit
     def ns_step(x_, blocks_):
-        if use_ozaki:
-            from mfv2d_tpu.ops.ozaki import matmul64
-
-            ax = matmul64(blocks_, x_)
-            return 2.0 * x_ - matmul64(x_, ax)
-        ax = jnp.einsum("...ij,...jk->...ik", blocks_, x_)
-        return 2.0 * x_ - jnp.einsum("...ij,...jk->...ik", x_, ax)
+        return _ns_step(x_, blocks_, use_ozaki)
 
     # Chunk each sweep so a dispatch stays under the TPU runtime watchdog
     # and the slice intermediates fit HBM (the Ozaki path materializes
@@ -144,7 +157,7 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
             x = jnp.asarray(np.linalg.inv(np.asarray(blocks)))
         except np.linalg.LinAlgError:
             pass
-    return x, seed_err
+    return x.reshape(orig_shape), seed_err
 
 
 def choose_refine_rounds(

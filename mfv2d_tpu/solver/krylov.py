@@ -53,12 +53,19 @@ def cg_chunk(matvec, carry, tol, max_iter):
     def body(c):
         (x, r, p, rs, x_best, rs_best), k = c
         ap = matvec(p)
-        alpha = rs / jnp.vdot(p, ap)
+        pap = jnp.vdot(p, ap)
+        # Zero-curvature breakdown (the defining hazard of CG on the
+        # indefinite operators this module targets): a division by ~0
+        # would NaN-poison the carry and silently end the loop looking
+        # converged.  Freeze the iterate instead — x_best survives and
+        # the caller's true-residual check reports the stall honestly.
+        broke = jnp.abs(pap) <= 1e-300
+        alpha = jnp.where(broke, 0.0, rs / jnp.where(broke, 1.0, pap))
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.vdot(r, r)
-        p = r + (rs_new / rs) * p
-        better = rs_new < rs_best
+        rs_new = jnp.where(broke, -1.0, jnp.vdot(r, r))
+        p = r + (jnp.abs(rs_new) / rs) * p
+        better = (rs_new < rs_best) & ~broke
         x_best = jnp.where(better, x, x_best)
         rs_best = jnp.where(better, rs_new, rs_best)
         return (x, r, p, rs_new, x_best, rs_best), k + 1
@@ -415,6 +422,15 @@ def auto_restart(
     Hessenberg/triangular-solve work.  Indefinite trace systems converge
     superlinearly only once the space is large enough to capture both
     spectral branches — see the module docstring measurements.
+
+    The basis allocates in ``_CGS_CHUNK``-row blocks (the chunked CGS2
+    projections read fixed-size tiles), so the memory-derived m aligns
+    ``m + 1`` to a chunk multiple — otherwise the padded allocation could
+    exceed the budget by up to a full chunk of rows.  Problems so large
+    that even one chunk of rows busts the budget still allocate that one
+    chunk (the floor of the storage scheme).
     """
-    by_memory = max(64, budget_bytes // (dtype_bytes * max(n, 1)) - 1)
+    rows_budget = budget_bytes // (dtype_bytes * max(n, 1))
+    by_memory = max(_CGS_CHUNK, (rows_budget // _CGS_CHUNK) * _CGS_CHUNK) - 1
+    by_memory = max(64, by_memory)
     return max(1, min(n, maximum_iterations, cap, by_memory))

@@ -88,8 +88,16 @@ def test_auto_restart_bounds():
     assert krylov.auto_restart(100, 10_000) == 100  # never beyond n
     assert krylov.auto_restart(100_000, 50) == 50  # never beyond the cap
     assert krylov.auto_restart(5_000, 10_000) == 4096  # hard cap
-    # Memory bound: 384 MiB of f32 rows of length 4e6 -> ~24 vectors.
-    assert krylov.auto_restart(4_000_000, 10_000) < 200
+    # Memory bound: m + 1 aligns to the _CGS_CHUNK basis-allocation
+    # granularity, so the PADDED [m_pad, n] basis is what meets the
+    # budget (the old -1-row bound allocated up to a full chunk more).
+    m = krylov.auto_restart(100_000, 10_000)
+    assert (m + 1) % krylov._CGS_CHUNK == 0
+    assert (m + 1) * 100_000 * 4 <= 384 * 2**20
+    # Rows so long that even one chunk busts the budget: the storage
+    # floor is one chunk; auto_restart returns it rather than pretending
+    # a smaller m would allocate less.
+    assert krylov.auto_restart(4_000_000, 10_000) == krylov._CGS_CHUNK - 1
 
 
 def _build_system(system, nh, p):

@@ -144,3 +144,33 @@ def test_newton_schulz_chunked_build_matches(monkeypatch):
     ).max()
     assert err < 1e-11, err
     assert np.isclose(seed_ch, seed_ref, rtol=1e-2)
+
+
+def test_pick_bits_rejects_invalid_widths():
+    """Out-of-range slice widths must fail loudly, not round silently."""
+    import pytest
+
+    from mfv2d_tpu.ops.ozaki import _pick_bits
+
+    assert _pick_bits(64, None) == 8
+    with pytest.raises(ValueError):
+        _pick_bits(64, 10)  # wider than bf16's significand
+    with pytest.raises(ValueError):
+        _pick_bits(64, 0)
+    with pytest.raises(ValueError):
+        _pick_bits(1 << 23, None)  # no exact accumulation possible
+
+
+def test_newton_schulz_multi_axis_batch():
+    """Multi-axis batches invert correctly (the sweep chunking flattens
+    the batch axes; slicing only axis 0 once over-sized every chunk)."""
+    import numpy as np
+
+    from mfv2d_tpu.ops.precision import newton_schulz_inverse
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(3, 4, 8, 8)) + 8.0 * np.eye(8)
+    inv, seed_err = newton_schulz_inverse(a)
+    assert inv.shape == a.shape
+    eye = np.einsum("...ij,...jk->...ik", np.asarray(inv), a)
+    assert np.abs(eye - np.eye(8)).max() < 1e-9
