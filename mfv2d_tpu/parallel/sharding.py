@@ -304,10 +304,14 @@ def _fused_mixed_factory(
 
             dx = krylov_project(state, r32)
             rp = r32 - matvec32(dx)
-            use = jnp.linalg.norm(rp) < nr32
+            nrp = jnp.linalg.norm(rp)
+            use = nrp < nr32
             dx = jnp.where(use, dx, jnp.zeros_like(dx))
             d32, _, it, state = gmres_loop_recycled(
-                matvec32, r32, t32, max_iter, m_, x0=dx, state=state
+                matvec32, r32, t32, max_iter, m_, x0=dx, state=state,
+                # |r - A dx| is the guard residual just computed — skip
+                # the redundant entry matvec (one psum collective each).
+                r0_norm=jnp.where(use, nrp, nr32),
             )
         else:
             d32, _, it = _cg_loop(matvec32, r32, t32, max_iter)

@@ -1168,10 +1168,14 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
             rp = r32 - matvec32(dx)
             # The stored basis is f32 spectral information from an earlier
             # residual; guard against a stale/noisy projection overshooting.
-            use = jnp.linalg.norm(rp) < nr32
+            nrp = jnp.linalg.norm(rp)
+            use = nrp < nr32
             dx = jnp.where(use, dx, jnp.zeros_like(dx))
             d32, _, it, state = gmres_loop_recycled(
-                matvec32, r32, t32, inner_cap, m, x0=dx, state=state
+                matvec32, r32, t32, inner_cap, m, x0=dx, state=state,
+                # |r - A dx| is exactly the guard residual — skip the
+                # redundant entry matvec of the trace operator.
+                r0_norm=jnp.where(use, nrp, nr32),
             )
         else:
             from mfv2d_tpu.solver.krylov import cg_loop

@@ -369,14 +369,19 @@ def gmres_loop(matvec, b, tol, max_iter, m):
     return x, rr, total
 
 
-def gmres_loop_recycled(matvec, b, tol, max_iter, m, x0=None, state=None):
+def gmres_loop_recycled(
+    matvec, b, tol, max_iter, m, x0=None, state=None, r0_norm=None
+):
     """Traceable restarted GMRES(m) that also returns its last cycle's
     recycle state ``(V, R, cs, sn, j)``.
 
     ``x0`` warm-starts the iteration (e.g. the :func:`krylov_project`
     correction from a previous sweep's state); ``state`` seeds the
     returned state so a zero-iteration exit (already-converged sweep)
-    passes the caller's basis through instead of wiping it.
+    passes the caller's basis through instead of wiping it.  Callers that
+    already hold ``|b - A x0|`` (the projection-guard residual of the
+    mixed-precision sweeps) pass it as ``r0_norm`` to skip the redundant
+    entry matvec of the dominant-cost trace operator.
 
     Returns ``(x, |r|^2, iterations, state)``.
     """
@@ -396,10 +401,12 @@ def gmres_loop_recycled(matvec, b, tol, max_iter, m, x0=None, state=None):
 
     if x0 is None:
         x_init = jnp.zeros_like(b)
-        r_init = jnp.linalg.norm(b)
+        r_init = jnp.linalg.norm(b) if r0_norm is None else r0_norm
     else:
         x_init = x0
-        r_init = jnp.linalg.norm(b - matvec(x0))
+        r_init = (
+            jnp.linalg.norm(b - matvec(x0)) if r0_norm is None else r0_norm
+        )
     (x, res, total), state = jax.lax.while_loop(
         outer_cond, outer_body, ((x_init, r_init, 0), state)
     )
