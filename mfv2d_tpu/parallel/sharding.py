@@ -351,10 +351,15 @@ def _fused_mixed_factory(
 
                 dx = krylov_project(state, r32)
                 rp = r32 - matvec32(dx)
-                use = jnp.linalg.norm(rp) < jnp.linalg.norm(r32)
+                nrp = jnp.linalg.norm(rp)
+                nr32 = jnp.linalg.norm(r32)
+                use = nrp < nr32
                 dx = jnp.where(use, dx, jnp.zeros_like(dx))
                 d32, _, it, state = gmres_loop_recycled(
-                    matvec32, r32, t32, inner_cap, m, x0=dx, state=state
+                    matvec32, r32, t32, inner_cap, m, x0=dx, state=state,
+                    # The guard residual IS the warm-start entry residual;
+                    # skip the redundant trace matvec (one psum each).
+                    r0_norm=jnp.where(use, nrp, nr32),
                 )
             else:
                 d32, _, it = _cg_loop(matvec32, r32, t32, inner_cap)
@@ -424,6 +429,9 @@ def _fused_mixed_factory(
                 stagnant = 0
             else:
                 stagnant += 1
+            # Count the sweep's inner iterations BEFORE any exit: the
+            # converging / stagnating / handoff sweeps did real matvecs.
+            total += int(it)
             if rr <= tol2 or stagnant >= 3:
                 if fast:
                     # Hand off to the exact chain: re-measure and finish
@@ -436,7 +444,6 @@ def _fused_mixed_factory(
                 break
             if k == max_outer:
                 break
-            total += int(it)
             lam = lam_new
         if best_rr == float("inf"):
             best_rr = float(rr_a)
@@ -1650,7 +1657,15 @@ def sharded_steady_solve(
     c_vec = jnp.asarray(lagrange_vec)
 
     residuals = []
-    max_mag = 0.0
+    # Hoisted: the forcing (and constraint data) never change, so the
+    # relative-tolerance scale is a constant — recomputing it inside the
+    # loop cost one device reduction + host sync per bucket per iteration.
+    max_mag = max(
+        (float(jnp.abs(b).max()) for b in bs),
+        default=0.0,
+    )
+    if msys.n_lagrange:
+        max_mag = max(max_mag, float(jnp.abs(c_vec).max()))
     for _ in range(maximum_iterations):
         r_elems = []
         r_trace = c_vec
@@ -1660,7 +1675,6 @@ def sharded_steady_solve(
             r_elems.append(r_elem)
             r_trace = r_trace - g_u
             max_res = max(max_res, float(jnp.abs(r_elem[: sub.e_real]).max()))
-            max_mag = max(max_mag, float(jnp.abs(b).max()))
         if msys.n_lagrange:
             max_res = max(max_res, float(jnp.abs(r_trace).max()))
         residuals.append(max_res)
@@ -2360,24 +2374,31 @@ def sharded_nonlinear_time_march(
                 conv = jnp.logical_not(
                     jnp.logical_and(mres > atol, mres > step_mag * rtol)
                 )
-                # Frozen-operator correction via the sharded Schur solve.
-                trace_rhs = -r_tr
-                for (_, sub), r in zip(subs, r_elems):
-                    trace_rhs = trace_rhs + sub.trace_of(
-                        sub.block_solve_sharded(r)
-                    )
-                dlam, _, _ = krylov(trace_rhs, cg_tol)
-                us_new = tuple(
-                    jnp.where(
-                        conv,
-                        u,
+                # Frozen-operator correction via the sharded Schur solve —
+                # under lax.cond so the converged exit iteration (which
+                # previously computed and DISCARDED a full inner Krylov
+                # solve, the dominant per-step cost) skips it.  The
+                # predicate is psum-replicated, so every device takes the
+                # same branch.
+                def corrected(_):
+                    trace_rhs = -r_tr
+                    for (_, sub), r in zip(subs, r_elems):
+                        trace_rhs = trace_rhs + sub.trace_of(
+                            sub.block_solve_sharded(r)
+                        )
+                    dlam, _, _ = krylov(trace_rhs, cg_tol)
+                    us_new = tuple(
                         u
                         + relax
-                        * sub.block_solve_sharded(r - sub.trace_t_of(dlam)),
+                        * sub.block_solve_sharded(r - sub.trace_t_of(dlam))
+                        for u, (_, sub), r in zip(us_i, subs, r_elems)
                     )
-                    for u, (_, sub), r in zip(us_i, subs, r_elems)
-                )
-                lam_new = jnp.where(conv, lami, lami + relax * dlam)
+                    return us_new, lami + relax * dlam
+
+                def unchanged(_):
+                    return tuple(us_i), lami
+
+                us_new, lam_new = jax.lax.cond(conv, unchanged, corrected, None)
                 return (us_new, lam_new, jnp.where(conv, it, it + 1), conv, mres)
 
             us_new, lam_new, iters, _, mres = jax.lax.while_loop(

@@ -988,6 +988,10 @@ def pcg_general(
     res_mag2 = float(jnp.vdot(res, res))
     rz = float(jnp.vdot(res, z))
     iter_cnt = 0
+    if res_mag2 <= tol * tol:
+        # Zero RHS / already-converged guess: without this the first
+        # alpha evaluates 0.0 / 0.0 (ZeroDivisionError on Python floats).
+        return x, float(np.sqrt(res_mag2)), 0
     for iter_cnt in range(convergence.maximum_iterations):
         ap = apply_system(p)
         apa = float(jnp.vdot(ap, p))
@@ -995,6 +999,8 @@ def pcg_general(
             raise RuntimeError(
                 "PCG breakdown: p'Ap was not positive - operator is not SPD."
             )
+        if apa == 0.0:
+            break
         alpha = rz / apa
         x = x + alpha * p
         res = res - alpha * ap
@@ -1071,7 +1077,12 @@ def gmres_general(
                 break
         else:
             k = m
-        # Solve the triangular system and update x.
+        # Solve the triangular system and update x.  A zero diagonal
+        # entry (lucky/singular breakdown: the operator annihilated the
+        # last direction) would make the triangular solve raise — shrink
+        # to the leading nonsingular block and keep the best iterate.
+        while k > 0 and h[k - 1, k - 1] == 0.0:
+            k -= 1
         if k > 0:
             y = np.linalg.solve(h[:k, :k], g[:k])
             for i in range(k):
@@ -1122,7 +1133,6 @@ def _mixed_sweep_factory(rounds, method, m, inner_cap, accurate=False,
       kept.  The projection is retained for its cheap guard-protected
       upside; the tolerance floor above is the load-bearing change.
     """
-    n64 = 5 + 3 * len(rounds)
     if condensed and accurate:
         apply32 = BlockSaddleSystem._schur_c32x2_apply
     elif condensed:
@@ -1281,6 +1291,9 @@ def _solve_schur_mixed_tpu(
             stagnant = 0
         else:
             stagnant += 1
+        # Count the sweep's inner iterations BEFORE any exit: the
+        # converging / stagnating / handoff sweeps did real matvecs.
+        total += int(it)
         if rr <= tol2 or stagnant >= 3:
             if fast:
                 fast = False
@@ -1291,7 +1304,6 @@ def _solve_schur_mixed_tpu(
             break
         if k == 60:
             break
-        total += int(it)
         lam = lam_new
     if best_rr == float("inf"):
         best_rr = rr
