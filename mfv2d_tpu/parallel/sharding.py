@@ -393,61 +393,34 @@ def _fused_mixed_factory(
             return _traced_outer(
                 trace_rhs, jnp.asarray(tolerance, trace_rhs.dtype)
             )
-        from mfv2d_tpu.tracing import tracer
-
-        from mfv2d_tpu.solver.krylov import empty_recycle_state
+        from mfv2d_tpu.solver.krylov import (
+            empty_recycle_state,
+            mixed_outer_drive,
+        )
 
         trace_rhs = jnp.asarray(trace_rhs)
-        tol2 = float(tolerance) ** 2
         tol_j = jnp.asarray(float(tolerance))
-        state = (
+        state0 = (
             empty_recycle_state(n_lag, m) if method == "gmres" else ()
         )
-        lam = jnp.zeros_like(trace_rhs)
-        best_lam, best_rr = lam, float("inf")
-        total = 0
-        stagnant = 0
-        # Intermediate sweeps measure the residual through the cheap
-        # condensed f64 operator (when built); once it reports
-        # convergence — or stalls — the loop switches to the exact
-        # refined chain, which both verifies and finishes the solve.
-        fast = bool(schurs_c64)
         all_tabs = tuple(tables64) + tuple(tables32) + tuple(tables_c64)
-        for k in range(max_outer + 1):
-            t0 = time.perf_counter()
-            lam_new, rr_a, it, state = sweep(
-                lam, trace_rhs, tol_j, state, inner_cap, m, fast, *all_tabs
+
+        def do_sweep(lam_k, state_k, fast):
+            return sweep(
+                lam_k, trace_rhs, tol_j, state_k, inner_cap, m, fast,
+                *all_tabs,
             )
-            rr = float(rr_a)
-            if tracer.enabled:
-                tracer.add(
-                    f"mixed_sweep[{method},m={m},{'c64' if fast else 'exact'}]",
-                    time.perf_counter() - t0,
-                )
-            if np.isfinite(rr) and rr < best_rr:
-                best_lam, best_rr = lam, rr
-                stagnant = 0
-            else:
-                stagnant += 1
-            # Count the sweep's inner iterations BEFORE any exit: the
-            # converging / stagnating / handoff sweeps did real matvecs.
-            total += int(it)
-            if rr <= tol2 or stagnant >= 3:
-                if fast:
-                    # Hand off to the exact chain: re-measure and finish
-                    # there (its first sweep both verifies and corrects).
-                    fast = False
-                    lam = best_lam if rr > tol2 else lam
-                    best_lam, best_rr = lam, float("inf")
-                    stagnant = 0
-                    continue
-                break
-            if k == max_outer:
-                break
-            lam = lam_new
-        if best_rr == float("inf"):
-            best_rr = float(rr_a)
-        return best_lam, jnp.asarray(best_rr), max(total, 1)
+
+        # Intermediate sweeps measure the residual through the cheap
+        # condensed f64 operator (when built); once it reports convergence
+        # — or stalls — the driver hands off to the exact refined chain,
+        # which both verifies and finishes the solve.
+        best_lam, best_rr, total = mixed_outer_drive(
+            do_sweep, jnp.zeros_like(trace_rhs), state0, float(tolerance),
+            max_outer=max_outer, start_fast=bool(schurs_c64),
+            label=f"{method},m={m}",
+        )
+        return best_lam, jnp.asarray(best_rr), total
 
     return run
 

@@ -1260,54 +1260,30 @@ def _solve_schur_mixed_tpu(
         tabs_fast = system._tables_c64 + tabs32
         n_fast = len(system._tables_c64)
 
-    tol2 = tol * tol
-    from mfv2d_tpu.solver.krylov import empty_recycle_state
+    from mfv2d_tpu.solver.krylov import empty_recycle_state, mixed_outer_drive
 
-    state = (
+    state0 = (
         empty_recycle_state(system.n_lagrange, m)
         if method == "gmres"
         else ()
     )
     tol_j = jnp.asarray(tol)
-    best_lam, best_rr = lam, float("inf")
-    total = 0
-    stagnant = 0
-    rr = float("inf")
+
+    def do_sweep(lam_k, state_k, fast):
+        if fast:
+            return sweep(
+                lam_k, trace_rhs, tol_j, state_k, n_fast, True, *tabs_fast
+            )
+        return sweep(
+            lam_k, trace_rhs, tol_j, state_k, n_exact, False, *tabs_exact
+        )
+
     # Intermediate sweeps measure the residual through the cheap condensed
     # f64 operator; the exact refined chain verifies and finishes.
-    fast = condensed
-    for k in range(61):
-        if fast:
-            lam_new, rr_a, it, state = sweep(
-                lam, trace_rhs, tol_j, state, n_fast, True, *tabs_fast
-            )
-        else:
-            lam_new, rr_a, it, state = sweep(
-                lam, trace_rhs, tol_j, state, n_exact, False, *tabs_exact
-            )
-        rr = float(rr_a)
-        if np.isfinite(rr) and rr < best_rr:
-            best_lam, best_rr = lam, rr
-            stagnant = 0
-        else:
-            stagnant += 1
-        # Count the sweep's inner iterations BEFORE any exit: the
-        # converging / stagnating / handoff sweeps did real matvecs.
-        total += int(it)
-        if rr <= tol2 or stagnant >= 3:
-            if fast:
-                fast = False
-                lam = best_lam if rr > tol2 else lam
-                best_lam, best_rr = lam, float("inf")
-                stagnant = 0
-                continue
-            break
-        if k == 60:
-            break
-        lam = lam_new
-    if best_rr == float("inf"):
-        best_rr = rr
-    lam = best_lam
+    lam, best_rr, total = mixed_outer_drive(
+        do_sweep, lam, state0, tol,
+        start_fast=condensed, label=f"{method},m={m}",
+    )
     u = inv_a_b - system.apply_diagonal_inverse(system.apply_trace_transpose(lam))
     return u, lam, float(np.sqrt(max(best_rr, 0.0))), max(total, 1)
 

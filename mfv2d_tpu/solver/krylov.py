@@ -31,8 +31,11 @@ plain batched GEMVs.
 
 from __future__ import annotations
 
+import time
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def cg_chunk(matvec, carry, tol, max_iter):
@@ -441,3 +444,81 @@ def auto_restart(
     by_memory = max(_CGS_CHUNK, (rows_budget // _CGS_CHUNK) * _CGS_CHUNK) - 1
     by_memory = max(64, by_memory)
     return max(1, min(n, maximum_iterations, cap, by_memory))
+
+
+def mixed_outer_drive(
+    sweep,
+    lam0,
+    state0,
+    tolerance: float,
+    *,
+    max_outer: int = 60,
+    start_fast: bool = False,
+    label: str = "",
+):
+    """Host-side outer loop of the mixed-precision defect correction.
+
+    Shared by the single-chip (``solver/iterative._solve_schur_mixed_tpu``)
+    and sharded (``parallel/sharding._fused_mixed_factory``) trace solvers —
+    the two copies had already drifted once (iteration caps, tracer hooks,
+    an iteration-undercount bug fixed twice).  The loop:
+
+    - calls ``sweep(lam, state, fast) -> (lam_new, rr, inner_iters, state)``
+      (one jitted dispatch: an accurate f64 residual ``r = b - S lam``,
+      ``rr = |r|^2``, then an all-f32 inner Krylov correction);
+    - tracks the best (lowest-``rr``) iterate, since the inner solve on a
+      near-``cond*eps_f32`` system can stall or regress;
+    - exits after three consecutive non-improving sweeps (stagnation) and
+      returns the best iterate, letting the caller's convergence check
+      decide;
+    - when ``start_fast`` (a cheap condensed-f64 outer operator exists),
+      intermediate sweeps measure the residual through it and, on
+      convergence or stall, hand off to the exact refined chain whose
+      first sweep both verifies and finishes the solve.
+
+    Returns ``(best_lam, best_rr, total_inner_iterations >= 1)`` with
+    ``best_rr`` the squared f64 residual as a Python float.
+    """
+    from mfv2d_tpu.tracing import tracer
+
+    tol2 = float(tolerance) ** 2
+    lam = lam0
+    state = state0
+    best_lam, best_rr = lam, float("inf")
+    total = 0
+    stagnant = 0
+    rr = float("inf")
+    fast = start_fast
+    for k in range(max_outer + 1):
+        t0 = time.perf_counter()
+        lam_new, rr_a, it, state = sweep(lam, state, fast)
+        rr = float(rr_a)
+        if tracer.enabled:
+            tracer.add(
+                f"mixed_sweep[{label},{'c64' if fast else 'exact'}]",
+                time.perf_counter() - t0,
+            )
+        if np.isfinite(rr) and rr < best_rr:
+            best_lam, best_rr = lam, rr
+            stagnant = 0
+        else:
+            stagnant += 1
+        # Count the sweep's inner iterations BEFORE any exit: the
+        # converging / stagnating / handoff sweeps did real matvecs.
+        total += int(it)
+        if rr <= tol2 or stagnant >= 3:
+            if fast:
+                # Hand off to the exact chain: re-measure and finish there
+                # (its first sweep both verifies and corrects).
+                fast = False
+                lam = best_lam if rr > tol2 else lam
+                best_lam, best_rr = lam, float("inf")
+                stagnant = 0
+                continue
+            break
+        if k == max_outer:
+            break
+        lam = lam_new
+    if best_rr == float("inf"):
+        best_rr = rr
+    return best_lam, best_rr, max(total, 1)

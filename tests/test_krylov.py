@@ -428,3 +428,57 @@ def test_single_chip_mixed_warm_start(stokes_system, monkeypatch):
         system, rhs, cons, conv, initial_lagrange=lam1
     )
     assert iters_warm <= max(iters_cold // 2, 2), (iters_cold, iters_warm)
+
+
+def test_mixed_outer_drive_contract():
+    """The shared outer driver (single-chip + sharded mixed solvers both
+    call it) converges, counts every sweep's inner iterations, exits on
+    stagnation with the best iterate, and hands off fast -> exact."""
+    from mfv2d_tpu.solver.krylov import mixed_outer_drive
+
+    # 1. Convergent chain: each sweep halves the error against x* = 7.
+    calls = []
+
+    def sweep_conv(lam, state, fast):
+        calls.append(fast)
+        new = lam + 0.5 * (7.0 - lam)
+        rr = float((7.0 - lam) ** 2)
+        return new, jnp.asarray(rr), 3, state
+
+    lam, rr, total = mixed_outer_drive(sweep_conv, jnp.asarray(0.0), (), 1e-6)
+    assert rr <= 1e-12
+    assert total == 3 * len(calls)  # every sweep's matvecs counted
+    assert not any(calls)  # start_fast=False => never fast
+
+    # 2. Stagnation: constant non-improving residual exits after 3 extra
+    # sweeps and returns the best (first) iterate.
+    seq = iter([4.0, 9.0, 9.0, 9.0, 9.0])
+
+    def sweep_stall(lam, state, fast):
+        return lam + 1.0, jnp.asarray(next(seq)), 1, state
+
+    lam, rr, total = mixed_outer_drive(
+        sweep_stall, jnp.asarray(0.0), (), 1e-9
+    )
+    assert rr == 4.0  # best residual kept
+    assert float(lam) == 0.0  # iterate paired with it, not the last one
+    assert total == 4
+
+    # 3. Fast handoff: the cheap chain reports convergence, then the exact
+    # chain must verify and finish.
+    modes = []
+
+    def sweep_fast(lam, state, fast):
+        modes.append(fast)
+        new = lam + 0.5 * (7.0 - lam)
+        # The fast chain flatters the residual by 1e6.
+        rr = float((7.0 - lam) ** 2) * (1e-6 if fast else 1.0)
+        return new, jnp.asarray(rr), 2, state
+
+    lam, rr, total = mixed_outer_drive(
+        sweep_fast, jnp.asarray(0.0), (), 1e-6, start_fast=True
+    )
+    assert modes[0] is True and modes[-1] is False  # handoff happened
+    assert rr <= 1e-12  # exact chain's residual, not the flattered one
+    assert float(lam) == pytest.approx(7.0, abs=1e-5)
+    assert total == 2 * len(modes)
