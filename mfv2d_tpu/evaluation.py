@@ -685,14 +685,15 @@ def _cached_element_fn(
         )
         return out[:e]
 
-    if mode != "matrix":
-        return dispatch
-
-    # Matrix outputs at VMS scale ([4096, 320, 320] f64 = 3.4 GB before
-    # quadrature intermediates) overflow single-chip HBM as one dispatch;
-    # cap each dispatch so the live working set stays ~0.5 GB (matching
-    # the projector and explicit-inverse build budgets).  Chunks share one
-    # compiled shape (every chunk, tail included, pads to the cap).
+    # Element dispatches at VMS scale overflow single-chip HBM as one
+    # program: matrix OUTPUTS materialize at [4096, 320, 320] f64 = 3.4 GB
+    # before quadrature intermediates, and vector dispatches build the
+    # same per-block [E, n, n] operands INTERNALLY before the GEMV (the
+    # first 64x64 p=8 residual_value died RESOURCE_EXHAUSTED with ~11 GB
+    # of VMS operators resident).  Cap each dispatch so the live working
+    # set stays ~0.5 GB (matching the projector and explicit-inverse
+    # build budgets).  Chunks share one compiled shape (every chunk, tail
+    # included, pads to the cap).
     if chunk_cap is None:
         n_total = form_spec.total_size(*orders)
         cap = max(1, int(5e8 / (n_total * n_total * 8)))

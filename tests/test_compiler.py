@@ -279,3 +279,15 @@ def test_chunked_matrix_dispatch_matches_one_piece():
     one = _cached_element_fn(*key)(batch.corners, None, ())
     chunked = _cached_element_fn(*key, chunk_cap=4)(batch.corners, None, ())
     assert np.abs(np.asarray(chunked) - np.asarray(one)).max() < 1e-13
+
+    # Vector dispatches chunk too (they build the same per-block [E, n, n]
+    # operands internally: the unchunked 64x64 p=8 residual evaluation
+    # OOMed on the TPU with the VMS operators resident).
+    vkey = key[:5] + ("vector",) + key[6:]
+    dofs = rng.normal(size=(11, spec.total_size(*batch.orders)))
+    v_one = _cached_element_fn(*vkey)(batch.corners, dofs, ())
+    v_chunked = _cached_element_fn(*vkey, chunk_cap=4)(
+        batch.corners, dofs, ()
+    )
+    assert v_chunked.shape == (11, spec.total_size(*batch.orders))
+    assert np.abs(np.asarray(v_chunked) - np.asarray(v_one)).max() < 1e-13
