@@ -217,6 +217,15 @@ class BlockSaddleSystem:
                 self.lu_factors.append(inv)
                 self._refine_rounds.append(rounds)
                 seed_errs.append(seed_err)
+                from mfv2d_tpu.tracing import tracer
+
+                if tracer.enabled:
+                    print(
+                        f"[trace] saddle bucket {i}: "
+                        f"lean={self.blocks is None} "
+                        f"rounds={rounds} seed_err={seed_err:.2e}",
+                        flush=True,
+                    )
             # Same gate as the sharded path: past ~5% seed probe error the
             # plain f32 inner operator is too biased to contract, and the
             # mixed path switches to the f32x2 (hi/lo) inner tables.
@@ -317,6 +326,20 @@ class BlockSaddleSystem:
             hi = min(lo + chunk, n_e)
             yield lo, hi, jnp.asarray(self._provider[i](lo, hi))
 
+    def _host_block_gemv(self, i: int, y: np.ndarray) -> np.ndarray:
+        """``A_i y`` on the host blocks (lean mode), no device transfers.
+
+        Batched BLAS over provider slices; 512-element steps bound the live
+        temporary while the slices themselves are RAM views."""
+        n_e, _ = self._bucket_shape(i)
+        out = np.empty_like(y)
+        step = 512
+        for lo in range(0, n_e, step):
+            hi = min(lo + step, n_e)
+            b = np.asarray(self._provider[i](lo, hi))
+            out[lo:hi] = np.matmul(b, y[lo:hi, :, None])[..., 0]
+        return out
+
     def _lean_inverse_build(self, i: int):
         """Explicit-inverse build without the full bucket ever resident."""
         from mfv2d_tpu.ops.precision import (
@@ -364,6 +387,19 @@ class BlockSaddleSystem:
                 ye = jax.scipy.linalg.lu_solve(fac, xe[..., None])[..., 0]
             elif self._refine_rounds[i] == 0:
                 ye = jnp.einsum("eij,ej->ei", fac, xe)
+            elif self.blocks is None and self._provider is not None:
+                # Lean mode: the residual GEMV of each refinement round runs
+                # on the HOST-resident blocks (numpy batched matmul, the
+                # provider slices are views into host RAM).  Re-streaming
+                # the multi-GB f64 block table through the device tunnel
+                # once per apply measured ~50 MB/s at VMS scale — it turned
+                # every fine Green's application into minutes; the host
+                # matmul plus two ~10 MB vector hops is sub-second.
+                ye = jnp.einsum("eij,ej->ei", fac, xe)
+                xe_h = np.asarray(xe)
+                for _ in range(self._refine_rounds[i]):
+                    r_h = xe_h - self._host_block_gemv(i, np.asarray(ye))
+                    ye = ye + jnp.einsum("eij,ej->ei", fac, jnp.asarray(r_h))
             else:
                 segs = []
                 for lo, hi, blocks in self._bucket_block_chunks(i):
@@ -1346,10 +1382,17 @@ def solve_schur_direct(
     LU-factored on the host and every subsequent solve is two triangular
     sweeps plus batched element solves.
     """
-    decomp = system.schur_decomposition()
-    inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
-    trace_rhs = np.asarray(system.apply_trace(inv_a_b)) - np.asarray(constraints)
-    lam_np = decomp.solve(trace_rhs)
+    from mfv2d_tpu.tracing import tracer
+
+    with tracer.stage("schur-factor"):
+        decomp = system.schur_decomposition()
+    with tracer.stage("inv-apply"):
+        inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
+        trace_rhs = np.asarray(system.apply_trace(inv_a_b)) - np.asarray(
+            constraints
+        )
+    with tracer.stage("trace-solve"):
+        lam_np = decomp.solve(trace_rhs)
     if (
         isinstance(decomp, DeviceSchurFactor)
         and decomp.last_rel_residual > 1e-9
@@ -1361,7 +1404,11 @@ def solve_schur_direct(
         system._schur_decomp = decomp
         lam_np = decomp.solve(trace_rhs)
     lam = jnp.asarray(lam_np)
-    u = inv_a_b - system.apply_diagonal_inverse(system.apply_trace_transpose(lam))
+    with tracer.stage("inv-apply"):
+        u = inv_a_b - system.apply_diagonal_inverse(
+            system.apply_trace_transpose(lam)
+        )
+        u.block_until_ready()
     return u, lam, 0.0, 1
 
 
