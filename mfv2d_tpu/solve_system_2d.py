@@ -277,14 +277,15 @@ def solve_system_2d(
     if vms_settings is not None:
         from mfv2d_tpu.solver.vms import SuyashGreenOperator
 
-        sg_operator = SuyashGreenOperator(
-            system,
-            vms_settings,
-            disc,
-            evaluator,
-            constrained_forms,
-            boundary_conditions,
-        )
+        with tracer.stage("vms-init"):
+            sg_operator = SuyashGreenOperator(
+                system,
+                vms_settings,
+                disc,
+                evaluator,
+                constrained_forms,
+                boundary_conditions,
+            )
     else:
         sg_operator = None
 

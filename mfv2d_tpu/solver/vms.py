@@ -245,25 +245,30 @@ class SuyashGreenOperator:
                     )
                 )
             statics_sym = evaluate_static_fields(fine_batch, compiled_sym.fields)
-            fine_sym = np.asarray(
-                jit_element_matrices(
-                    form_specs,
-                    compiled_sym.lhs_blocks,
-                    fine_batch,
-                    static_fields=statics_sym,
+            with tracer.stage("vms-init-fine-matrices"):
+                fine_sym = np.asarray(
+                    jit_element_matrices(
+                        form_specs,
+                        compiled_sym.lhs_blocks,
+                        fine_batch,
+                        static_fields=statics_sym,
+                    )
                 )
-            )
             # Galerkin coarse operator P^T A_f P (solve_system.py:750).
-            if self._dev_ops:
-                coarse_sym = np.matmul(big1.T, np.matmul(fine_sym, big1))
-            else:
-                coarse_sym = np.einsum("eij,eik,ekl->ejl", big, fine_sym, big)
+            with tracer.stage("vms-init-galerkin"):
+                if self._dev_ops:
+                    coarse_sym = np.matmul(big1.T, np.matmul(fine_sym, big1))
+                else:
+                    coarse_sym = np.einsum(
+                        "eij,eik,ekl->ejl", big, fine_sym, big
+                    )
             fine_sym_buckets.append(fine_sym)
             coarse_sym_buckets.append(coarse_sym)
 
-            forcing = compute_element_rhs_bucket(
-                system, _FineBucketView(fine_batch, bucket)
-            )
+            with tracer.stage("vms-init-forcing"):
+                forcing = compute_element_rhs_bucket(
+                    system, _FineBucketView(fine_batch, bucket)
+                )
 
             for j, rank in enumerate(bucket.leaf_ranks):
                 rank = int(rank)
@@ -321,16 +326,17 @@ class SuyashGreenOperator:
         mesh = disc.mesh
         mesh.uniform_p_change(dk, dk)
         try:
-            fine_lag_mat, fine_lag_vec = add_system_constraints(
-                system,
-                mesh,
-                disc.basis_cache,
-                constrained_forms,
-                strong_boundary_conditions,
-                disc.leaf_indices,
-                self.fine_offsets,
-                forcing_list,
-            )
+            with tracer.stage("vms-init-fine-constraints"):
+                fine_lag_mat, fine_lag_vec = add_system_constraints(
+                    system,
+                    mesh,
+                    disc.basis_cache,
+                    constrained_forms,
+                    strong_boundary_conditions,
+                    disc.leaf_indices,
+                    self.fine_offsets,
+                    forcing_list,
+                )
         finally:
             mesh.uniform_p_change(-dk, -dk)
 
@@ -371,12 +377,16 @@ class SuyashGreenOperator:
                     self.fine_offsets[np.asarray(bucket.leaf_ranks)][:, None]
                     + np.arange(n_f)[None, :]
                 )
-            self.fine_saddle = make_block_saddle_system(
-                _BucketsOnly(n_fine, fine_gathers), fine_sym_buckets, fine_lag_mat
-            )
-            self.coarse_saddle = make_block_saddle_system(
-                disc, coarse_sym_buckets, coarse_lag_mat
-            )
+            with tracer.stage("vms-init-fine-saddle"):
+                self.fine_saddle = make_block_saddle_system(
+                    _BucketsOnly(n_fine, fine_gathers),
+                    fine_sym_buckets,
+                    fine_lag_mat,
+                )
+            with tracer.stage("vms-init-coarse-saddle"):
+                self.coarse_saddle = make_block_saddle_system(
+                    disc, coarse_sym_buckets, coarse_lag_mat
+                )
             self.fine_decomp = None
             self.coarse_decomp = None
             self.fine_sym_mat = None
