@@ -160,6 +160,54 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
     return x.reshape(orig_shape), seed_err
 
 
+def host_explicit_inverse(
+    blocks_np, *, target: float = 1e-10, max_rounds: int = 6
+) -> tuple[np.ndarray, float, int]:
+    """Lean-mode explicit inverse built entirely on the host.
+
+    Contract matches ``(newton_schulz_inverse, choose_refine_rounds)``:
+    returns ``(inverse, seed_err, rounds)`` where ``seed_err`` is the
+    equilibrated f32-seed probe error (the cond*eps_f32 gate callers use
+    to pick the inner-iteration precision) and ``rounds`` the refinement
+    rounds the f64 inverse needs to solve to ``target``.
+
+    Host-resident blocks make one batched f64 LAPACK pass the cheapest
+    accurate build: at config-5 fine scale ([4096, 320, 320]) it is
+    ~28 s single-core, where the device path (streamed chunks through
+    the relay tunnel + Ozaki Newton-Schulz sweeps + probes) took minutes
+    and, seeded from an O(1)-error f32 inverse at cond ~ 2e7, still
+    returned rounds=6 inverses.
+    """
+    b = np.asarray(blocks_np)
+    ones = np.ones(b.shape[:-1])
+    applied = np.matmul(b, ones[..., None])[..., 0]
+
+    def mv(mats, v):
+        return np.matmul(mats, v[..., None])[..., 0]
+
+    # Equilibrated f32 seed probe (gate only — the seed is discarded).
+    d = np.sqrt(np.maximum(np.abs(b).max(axis=-1), 1e-30))
+    scaled = (b / d[..., :, None]) / d[..., None, :]
+    try:
+        inv32 = np.linalg.inv(scaled.astype(np.float32)).astype(np.float64)
+        x32 = (inv32 / d[..., :, None]) / d[..., None, :]
+        seed_err = float(np.abs(mv(x32, applied) - 1.0).max())
+    except np.linalg.LinAlgError:
+        seed_err = float("inf")
+
+    inv = np.linalg.inv(b)
+    err = float("inf")
+    for rounds in range(max_rounds + 1):
+        x = mv(inv, applied)
+        for _ in range(rounds):
+            r = applied - mv(b, x)
+            x = x + mv(inv, r)
+        err = float(np.abs(x - 1.0).max())
+        if np.isfinite(err) and err <= target:
+            return inv, seed_err, rounds
+    return inv, seed_err, max_rounds
+
+
 def choose_refine_rounds(
     blocks, inverse, *, target: float = 1e-10, max_rounds: int = 6
 ) -> tuple[int, float]:

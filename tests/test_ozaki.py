@@ -174,3 +174,44 @@ def test_newton_schulz_multi_axis_batch():
     assert inv.shape == a.shape
     eye = np.einsum("...ij,...jk->...ik", np.asarray(inv), a)
     assert np.abs(eye - np.eye(8)).max() < 1e-9
+
+
+def test_host_explicit_inverse_contract():
+    """host_explicit_inverse matches the (inverse, seed_err, rounds) contract.
+
+    Lean-mode saddle builds (BlockSaddleSystem._lean_inverse_build) consume
+    this in place of the device Newton-Schulz build; the returned rounds
+    must make `rounds` refinement steps solve A x = b to the 1e-10 target.
+    """
+    from mfv2d_tpu.ops.precision import host_explicit_inverse
+
+    rng = np.random.default_rng(3)
+
+    def refined_solve_err(a, inv, rounds, b):
+        x = np.matmul(inv, b[..., None])[..., 0]
+        for _ in range(rounds):
+            r = b - np.matmul(a, x[..., None])[..., 0]
+            x = x + np.matmul(inv, r[..., None])[..., 0]
+        ref = np.linalg.solve(a, b[..., None])[..., 0]
+        return float(
+            np.abs(x - ref).max() / max(np.abs(ref).max(), 1e-300)
+        )
+
+    # Well-conditioned: exact single-apply inverse, usable f32 seed.
+    a = rng.standard_normal((6, 24, 24)) + 24 * np.eye(24)
+    inv, seed_err, rounds = host_explicit_inverse(a)
+    assert rounds == 0
+    assert seed_err < 1e-4
+    assert np.abs(inv @ a - np.eye(24)).max() < 1e-12
+
+    # Ill-conditioned (cond ~ 1e7, the measured config-5 regime): the f32
+    # seed gate must trip (seed_err ~ cond * eps_f32 > 0.05) and the chosen
+    # rounds must deliver the target through refinement.
+    q, _ = np.linalg.qr(rng.standard_normal((24, 24)))
+    d = np.logspace(0, -7, 24)
+    a_ill = np.broadcast_to(q * d @ q.T, (4, 24, 24)).copy()
+    a_ill += 1e-9 * rng.standard_normal(a_ill.shape)
+    inv, seed_err, rounds = host_explicit_inverse(a_ill)
+    assert seed_err > 0.05
+    b = rng.standard_normal((4, 24))
+    assert refined_solve_err(a_ill, inv, rounds, b) < 1e-8
