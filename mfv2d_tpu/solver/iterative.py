@@ -353,17 +353,21 @@ class BlockSaddleSystem:
 
         n_e, n = self._bucket_shape(i)
         step = 512
-        inv_full = np.empty((n_e, n, n))
+        parts = []
         seed_err = 0.0
         rounds = 0
         for lo in range(0, n_e, step):
             hi = min(lo + step, n_e)
             b = np.asarray(self._provider[i](lo, hi))
             inv_c, se, rd = host_explicit_inverse(b)
-            inv_full[lo:hi] = inv_c
+            # Upload per chunk: multi-GB single transfers are untested
+            # against the relay tunnel (device-concat peak matches the
+            # previous device-side build).
+            parts.append(jnp.asarray(inv_c))
             seed_err = max(seed_err, se)
             rounds = max(rounds, rd)
-        return jnp.asarray(inv_full), seed_err, rounds
+        inv_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return inv_dev, seed_err, rounds
 
     # -- block-diagonal operators --------------------------------------
 
