@@ -817,13 +817,22 @@ class BlockSaddleSystem:
             if self._refine_inverse:
                 # Device: the explicit f64 inverse already exists — two
                 # batched GEMMs per chunk (plus the probe-chosen refine
-                # rounds) replace single-threaded host LAPACK solves,
-                # which dominated the VMS-scale setup on a 1-core host.
+                # rounds) replace single-threaded host LAPACK solves.
+                # EXCEPT lean buckets needing refinement: their residual
+                # GEMMs would re-stream the whole multi-GB host block
+                # table through the relay tunnel — a host direct solve of
+                # the k_max-column RHS is both cheaper and backward-stable
+                # (~1.6e11 flops for the config-5 fine bucket, ~15 s
+                # single-core, vs minutes of streaming).
                 inv_dev = self.lu_factors[i_bucket]
                 blocks_dev = (
                     self.blocks[i_bucket] if self.blocks is not None else None
                 )
                 rounds = self._refine_rounds[i_bucket]
+                use_device = blocks_dev is not None or rounds == 0
+            else:
+                use_device = False
+            if use_device:
                 ge_dev = jnp.asarray(ge)
                 # Ozaki-scheme f64 GEMMs (exact bf16 slice products) on
                 # TPU: ~1000x the emulated-f64 rate, so the chunk is
@@ -841,12 +850,10 @@ class BlockSaddleSystem:
             se_full = np.zeros((n_e, k_max, k_max))
             for c0 in range(0, n_e, chunk):
                 c1 = min(c0 + chunk, n_e)
-                if self._refine_inverse:
+                if use_device:
                     get = jnp.swapaxes(ge_dev[c0:c1], 1, 2)
                     if blocks_dev is not None:
                         bchunk = blocks_dev[c0:c1]
-                    elif rounds:
-                        bchunk = jnp.asarray(self._provider[i_bucket](c0, c1))
                     else:
                         # rounds == 0: _schur_rhs_solve never reads them.
                         bchunk = jnp.zeros((1, 1, 1))
@@ -863,9 +870,12 @@ class BlockSaddleSystem:
                             jnp.einsum("ekn,enj->ekj", ge_dev[c0:c1], sol)
                         )
                 else:
-                    sol = np.linalg.solve(
-                        blocks_np[c0:c1], np.swapaxes(ge[c0:c1], 1, 2)
+                    b_np = (
+                        blocks_np[c0:c1]
+                        if blocks_np is not None
+                        else np.asarray(self._provider[i_bucket](c0, c1))
                     )
+                    sol = np.linalg.solve(b_np, np.swapaxes(ge[c0:c1], 1, 2))
                     se = np.einsum("ekn,enj->ekj", ge[c0:c1], sol, optimize=True)
                 mask = valid[c0:c1, :, None] & valid[c0:c1, None, :]
                 se_full[c0:c1] = np.where(mask, se, 0.0)
