@@ -38,6 +38,32 @@ from mfv2d_tpu.solver.krylov import (
 from mfv2d_tpu.solver.solve import ConvergenceSettings
 
 
+def _gemv_chunk(n: int) -> int:
+    """Elements per dispatch for full-batch f64 block GEMVs.
+
+    The f64 dot_general emulation materializes ~8 f32 slice copies of the
+    matrix operand as HLO temps (~4x its f64 bytes — measured 22.6 GB for
+    ONE [4096, 320, 320] f64 GEMV, OOM on the 15.75 GB v5e); cap the
+    temps near 1.7 GB, the fine-advection path's proven chunk."""
+    c = max(1, int(1.7e9 / (32.0 * n * n)))
+    return 1 << (c.bit_length() - 1)
+
+
+def _block_gemv_chunked(mats: jnp.ndarray, vecs: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``[E, n, n] @ [E, n]`` in HBM-bounded element chunks."""
+    n_e, n = mats.shape[0], mats.shape[-1]
+    chunk = _gemv_chunk(n)
+    if n_e <= chunk:
+        return jnp.einsum("eij,ej->ei", mats, vecs)
+    parts = [
+        jnp.einsum(
+            "eij,ej->ei", mats[lo : lo + chunk], vecs[lo : lo + chunk]
+        )
+        for lo in range(0, n_e, chunk)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 class DeviceSchurFactor:
     """Device-resident factorization of the assembled trace Schur matrix.
 
@@ -396,7 +422,7 @@ class BlockSaddleSystem:
             if not self._refine_inverse:
                 ye = jax.scipy.linalg.lu_solve(fac, xe[..., None])[..., 0]
             elif self._refine_rounds[i] == 0:
-                ye = jnp.einsum("eij,ej->ei", fac, xe)
+                ye = _block_gemv_chunked(fac, xe)
             elif self.blocks is None and self._provider is not None:
                 # Lean mode: the residual GEMV of each refinement round runs
                 # on the HOST-resident blocks (numpy batched matmul, the
@@ -405,11 +431,11 @@ class BlockSaddleSystem:
                 # once per apply measured ~50 MB/s at VMS scale — it turned
                 # every fine Green's application into minutes; the host
                 # matmul plus two ~10 MB vector hops is sub-second.
-                ye = jnp.einsum("eij,ej->ei", fac, xe)
+                ye = _block_gemv_chunked(fac, xe)
                 xe_h = np.asarray(xe)
                 for _ in range(self._refine_rounds[i]):
                     r_h = xe_h - self._host_block_gemv(i, np.asarray(ye))
-                    ye = ye + jnp.einsum("eij,ej->ei", fac, jnp.asarray(r_h))
+                    ye = ye + _block_gemv_chunked(fac, jnp.asarray(r_h))
             else:
                 segs = []
                 for lo, hi, blocks in self._bucket_block_chunks(i):
