@@ -224,13 +224,24 @@ class BlockSaddleSystem:
         # equilibrated f32 seed; probe-chosen refinement rounds, normally
         # zero — see ops/precision.py).
         self._refine_inverse = jax.default_backend() == "tpu"
+        self._inv_np: list[np.ndarray] | None = None
         if self._refine_inverse:
             from mfv2d_tpu.ops.precision import (
                 choose_refine_rounds,
                 newton_schulz_inverse,
             )
 
-            self.lu_factors = []
+            dev_factors: list | None = [] if self.blocks is not None else None
+            if dev_factors is None:
+                # Lean mode: the f64 explicit inverse stays HOST-side (it
+                # is built there anyway) and apply_diagonal_inverse runs
+                # on host BLAS — an emulated-f64 device GEMV sweep over a
+                # [4096, 320, 320] table measured ~5 s vs ~0.3 s for the
+                # memory-bound host matmul, and skipping the upload saves
+                # the table's HBM (~6 GB for the three config-5 systems).
+                # The device copy (self.lu_factors) uploads lazily for the
+                # inner-Krylov table builds that need it.
+                self._inv_np = []
             self._refine_rounds = []
             seed_errs = []
             for i in range(len(disc.buckets)):
@@ -238,9 +249,10 @@ class BlockSaddleSystem:
                     b = self.blocks[i]
                     inv, seed_err = newton_schulz_inverse(b)
                     rounds, _ = choose_refine_rounds(b, inv)
+                    dev_factors.append(inv)
                 else:
-                    inv, seed_err, rounds = self._lean_inverse_build(i)
-                self.lu_factors.append(inv)
+                    inv_np, seed_err, rounds = self._lean_inverse_build(i)
+                    self._inv_np.append(inv_np)
                 self._refine_rounds.append(rounds)
                 seed_errs.append(seed_err)
                 from mfv2d_tpu.tracing import tracer
@@ -252,13 +264,14 @@ class BlockSaddleSystem:
                         f"rounds={rounds} seed_err={seed_err:.2e}",
                         flush=True,
                     )
+            self._lu_factors_dev = dev_factors
             # Same gate as the sharded path: past ~5% seed probe error the
             # plain f32 inner operator is too biased to contract, and the
             # mixed path switches to the f32x2 (hi/lo) inner tables.
             self._seed_err32 = max(seed_errs) if seed_errs else 0.0
             self._inner32_ok = self._seed_err32 <= 0.05
         else:
-            self.lu_factors = [
+            self._lu_factors_dev = [
                 jax.scipy.linalg.lu_factor(b) for b in self.blocks
             ]
         self.gathers = [jnp.asarray(b.gather) for b in disc.buckets]
@@ -272,6 +285,7 @@ class BlockSaddleSystem:
             g = np.asarray(b.gather).reshape(-1)
             inv_perm[g] = off + np.arange(g.size, dtype=np.int32)
             off += g.size
+        self._inv_perm_np = inv_perm
         self._inv_perm = jnp.asarray(inv_perm)
 
         if lagrange_mat is not None:
@@ -312,6 +326,35 @@ class BlockSaddleSystem:
             self.g_vals = jnp.zeros(0)
 
         self._jit_cache: dict[str, Callable] = {}
+
+    @property
+    def lu_factors(self):
+        """Per-bucket device factorizations (explicit f64 inverses on TPU).
+
+        In lean mode the inverse lives host-side (:attr:`_inv_np`) and the
+        device copy uploads lazily here — only the inner-Krylov table
+        builds and rounds-free condensed builds actually need it; the
+        direct-solve apply path never does."""
+        if self._lu_factors_dev is None:
+            dev = []
+            for inv_np in self._inv_np:
+                n_e = inv_np.shape[0]
+                step = 512
+                parts = [
+                    jnp.asarray(inv_np[lo : lo + step])
+                    for lo in range(0, n_e, step)
+                ]
+                dev.append(
+                    parts[0]
+                    if len(parts) == 1
+                    else jnp.concatenate(parts, axis=0)
+                )
+            self._lu_factors_dev = dev
+        return self._lu_factors_dev
+
+    @lu_factors.setter
+    def lu_factors(self, value):
+        self._lu_factors_dev = value
 
     # -- block-diagonal operator ---------------------------------------
 
@@ -379,21 +422,17 @@ class BlockSaddleSystem:
 
         n_e, n = self._bucket_shape(i)
         step = 512
-        parts = []
+        inv_full = np.empty((n_e, n, n))
         seed_err = 0.0
         rounds = 0
         for lo in range(0, n_e, step):
             hi = min(lo + step, n_e)
             b = np.asarray(self._provider[i](lo, hi))
             inv_c, se, rd = host_explicit_inverse(b)
-            # Upload per chunk: multi-GB single transfers are untested
-            # against the relay tunnel (device-concat peak matches the
-            # previous device-side build).
-            parts.append(jnp.asarray(inv_c))
+            inv_full[lo:hi] = inv_c
             seed_err = max(seed_err, se)
             rounds = max(rounds, rd)
-        inv_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        return inv_dev, seed_err, rounds
+        return inv_full, seed_err, rounds
 
     # -- block-diagonal operators --------------------------------------
 
@@ -415,7 +454,12 @@ class BlockSaddleSystem:
         """y = A^{-1} x: batched f64 LU solve, or on TPU one batched GEMV
         against the precomputed f64 explicit inverse (plus probe-chosen
         refinement rounds, normally zero; measured 23x faster than batched
-        triangular solves there)."""
+        triangular solves there).  Lean buckets solve on the HOST: the
+        inverse and the blocks are host-resident, a memory-bound host
+        matmul sweep is ~15x faster than the emulated-f64 device GEMV,
+        and only the ~n_dofs vector crosses the tunnel each way."""
+        if self._refine_inverse and self._inv_np is not None:
+            return jnp.asarray(self._apply_diagonal_inverse_host(np.asarray(x)))
         parts = []
         for i, (fac, gather) in enumerate(zip(self.lu_factors, self.gathers)):
             xe = x[gather]
@@ -423,19 +467,6 @@ class BlockSaddleSystem:
                 ye = jax.scipy.linalg.lu_solve(fac, xe[..., None])[..., 0]
             elif self._refine_rounds[i] == 0:
                 ye = _block_gemv_chunked(fac, xe)
-            elif self.blocks is None and self._provider is not None:
-                # Lean mode: the residual GEMV of each refinement round runs
-                # on the HOST-resident blocks (numpy batched matmul, the
-                # provider slices are views into host RAM).  Re-streaming
-                # the multi-GB f64 block table through the device tunnel
-                # once per apply measured ~50 MB/s at VMS scale — it turned
-                # every fine Green's application into minutes; the host
-                # matmul plus two ~10 MB vector hops is sub-second.
-                ye = _block_gemv_chunked(fac, xe)
-                xe_h = np.asarray(xe)
-                for _ in range(self._refine_rounds[i]):
-                    r_h = xe_h - self._host_block_gemv(i, np.asarray(ye))
-                    ye = ye + _block_gemv_chunked(fac, jnp.asarray(r_h))
             else:
                 segs = []
                 for lo, hi, blocks in self._bucket_block_chunks(i):
@@ -452,6 +483,24 @@ class BlockSaddleSystem:
                 )
             parts.append(ye)
         return self._assemble(parts)
+
+    def _apply_diagonal_inverse_host(self, x_h: np.ndarray) -> np.ndarray:
+        """Lean-mode y = A^{-1} x entirely on the host (numpy in/out)."""
+        parts = []
+        for i, bucket in enumerate(self.disc.buckets):
+            xe = x_h[np.asarray(bucket.gather)]
+            inv = self._inv_np[i]
+            ye = np.matmul(inv, xe[..., None])[..., 0]
+            for _ in range(self._refine_rounds[i]):
+                r = xe - self._host_block_gemv(i, ye)
+                ye = ye + np.matmul(inv, r[..., None])[..., 0]
+            parts.append(ye)
+        flat = (
+            parts[0].reshape(-1)
+            if len(parts) == 1
+            else np.concatenate([p.reshape(-1) for p in parts])
+        )
+        return flat[self._inv_perm_np]
 
     # -- trace (constraint) operator -----------------------------------
 
@@ -850,12 +899,15 @@ class BlockSaddleSystem:
                 # the k_max-column RHS is both cheaper and backward-stable
                 # (~1.6e11 flops for the config-5 fine bucket, ~15 s
                 # single-core, vs minutes of streaming).
-                inv_dev = self.lu_factors[i_bucket]
                 blocks_dev = (
                     self.blocks[i_bucket] if self.blocks is not None else None
                 )
                 rounds = self._refine_rounds[i_bucket]
-                use_device = blocks_dev is not None or rounds == 0
+                # Lean buckets always solve on the host (the blocks live
+                # there and the lazy device-inverse upload is expensive).
+                use_device = blocks_dev is not None
+                if use_device:
+                    inv_dev = self.lu_factors[i_bucket]
             else:
                 use_device = False
             if use_device:
