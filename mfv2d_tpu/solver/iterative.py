@@ -1484,6 +1484,26 @@ def solve_schur_direct(
 
     with tracer.stage("schur-factor"):
         decomp = system.schur_decomposition()
+    if (
+        getattr(system, "_inv_np", None) is not None
+        and system.lagrange_mat is not None
+    ):
+        # Lean system: the blocks, inverse, AND constraint CSR all live on
+        # the host — the whole solve runs there with ZERO device hops
+        # (each ~10 MB vector roundtrip costs seconds on a degraded relay
+        # tunnel; measured 9.8 s coarse inv-apply dominated by transfers).
+        # numpy outputs duck-type for every caller.
+        rhs_h = np.asarray(rhs)
+        with tracer.stage("inv-apply"):
+            inv_a_b = system._apply_diagonal_inverse_host(rhs_h)
+            trace_rhs = system.lagrange_mat @ inv_a_b - np.asarray(constraints)
+        with tracer.stage("trace-solve"):
+            lam_np = decomp.solve(trace_rhs)
+        with tracer.stage("inv-apply"):
+            u = inv_a_b - system._apply_diagonal_inverse_host(
+                system.lagrange_mat.T @ lam_np
+            )
+        return u, lam_np, 0.0, 1
     with tracer.stage("inv-apply"):
         inv_a_b = system.apply_diagonal_inverse(jnp.asarray(rhs))
         trace_rhs = np.asarray(system.apply_trace(inv_a_b)) - np.asarray(
@@ -1640,14 +1660,22 @@ class IterativeSaddleSolver:
         self.n_lagrange = self.system.n_lagrange
 
     def solve(self, rhs: np.ndarray) -> np.ndarray:
+        if self.method == "schur_direct":
+            # numpy in, duck-typed out: lean systems solve entirely on the
+            # host inside solve_schur_direct — pre-uploading rhs here would
+            # just add two tunnel hops.
+            u, lam, _, _ = solve_schur_direct(
+                self.system,
+                rhs[: self.system.n_dofs],
+                rhs[self.system.n_dofs :],
+            )
+            return np.concatenate([np.asarray(u), np.asarray(lam)])
         b = jnp.asarray(rhs[: self.system.n_dofs])
         c = jnp.asarray(rhs[self.system.n_dofs :])
         if self.method == "schur":
             u, lam, _, _ = solve_schur_iterative(
                 self.system, b, c, self.convergence
             )
-        elif self.method == "schur_direct":
-            u, lam, _, _ = solve_schur_direct(self.system, b, c)
         elif self.method == "gmres":
             u, lam, _, _ = solve_gmres_iterative(
                 self.system, b, c, self.convergence

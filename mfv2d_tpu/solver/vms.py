@@ -495,19 +495,21 @@ class SuyashGreenOperator:
         return self.fine_advection_operator @ np.asarray(v)
 
     def _project_to_coarse(self, x):
-        """P^T x (dual projection of a fine vector to coarse DoFs)."""
+        """P^T x (dual projection of a fine vector to coarse DoFs).
+
+        Host numpy in dev mode: the [E, n_f] @ [n_f, n_c] product is ~0.5
+        GFLOP and the Green's pipeline around it is host-resident — two
+        ~10 MB tunnel hops cost more than the host GEMM."""
         if self._dev_ops:
-            n_f = self._incl_dev.shape[0]
-            out = jnp.asarray(x).reshape(-1, n_f) @ self._incl_dev
-            return np.asarray(out).ravel()
+            n_f = self._incl_np.shape[0]
+            return (np.asarray(x).reshape(-1, n_f) @ self._incl_np).ravel()
         return np.asarray(x) @ self.projector_c2f
 
     def _prolong_to_fine(self, u):
         """P u (coarse DoFs to the fine space)."""
         if self._dev_ops:
-            n_c = self._incl_dev.shape[1]
-            out = jnp.asarray(u).reshape(-1, n_c) @ self._incl_dev.T
-            return np.asarray(out).ravel()
+            n_c = self._incl_np.shape[1]
+            return (np.asarray(u).reshape(-1, n_c) @ self._incl_np.T).ravel()
         return self.projector_c2f @ np.asarray(u)
 
     def fine_scale_greens_function(self, x: np.ndarray) -> np.ndarray:
@@ -519,17 +521,19 @@ class SuyashGreenOperator:
             # fine saddle matrix never materializes.
             from mfv2d_tpu.solver.iterative import solve_schur_direct
 
+            # Plain numpy in, duck-typed out: lean saddle systems solve
+            # entirely host-side inside solve_schur_direct (no tunnel hops).
             with tracer.stage("greens-fine-schur"):
                 u_f, _, _, _ = solve_schur_direct(
                     self.fine_saddle,
-                    jnp.asarray(x),
-                    jnp.zeros(self.fine_saddle.n_lagrange),
+                    x,
+                    np.zeros(self.fine_saddle.n_lagrange),
                 )
             with tracer.stage("greens-coarse-schur"):
                 u_c, _, _, _ = solve_schur_direct(
                     self.coarse_saddle,
-                    jnp.asarray(self._project_to_coarse(x)),
-                    jnp.zeros(self.coarse_saddle.n_lagrange),
+                    self._project_to_coarse(x),
+                    np.zeros(self.coarse_saddle.n_lagrange),
                 )
             return np.asarray(u_f) - self._prolong_to_fine(np.asarray(u_c))
         result_fine = self.fine_decomp.solve(np.pad(x, (0, self.fine_padding)))[
