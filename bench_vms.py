@@ -90,6 +90,9 @@ def main() -> None:
             order_increase=dk,
             fine_scale_convergence=mf.ConvergenceSettings(10, 1e-10, 1e-8),
             matrix_free=True,
+            # A/B knob for the adaptive unresolved-scale tolerance
+            # schedule (default on; 0 = fixed tolerance every iteration).
+            inexact_forcing=os.environ.get("MFV2D_TPU_VMS_INEXACT", "1") != "0",
         ),
         recon_order=8,
         print_residual=True,  # per-Picard progress (stall detection)

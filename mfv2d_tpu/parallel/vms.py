@@ -155,6 +155,7 @@ class ShardedSuyashGreen:
         self.convergence = settings.fine_scale_convergence
         self.iteration = settings.iteration
         self.relaxation = settings.relaxation
+        self.inexact_forcing = settings.inexact_forcing
         self.compiled_advection = CompiledSystem(settings.nonsymmetric_system)
         compiled_sym = CompiledSystem(settings.symmetric_system)
         dk = settings.order_increase
@@ -373,7 +374,11 @@ class ShardedSuyashGreen:
         self._rebuild_advection(self._prolong_to_fine(coarse_dofs[:n_coarse]))
 
     def compute_unresolved_contributions(
-        self, coarse_solution: np.ndarray, initial_guess: np.ndarray | None
+        self,
+        coarse_solution: np.ndarray,
+        initial_guess: np.ndarray | None,
+        rtol_override: float | None = None,
+        atol_override: float | None = None,
     ) -> np.ndarray:
         return iterate_unresolved_contributions(
             self._apply_fine_advection,
@@ -385,6 +390,8 @@ class ShardedSuyashGreen:
             self.relaxation,
             coarse_solution,
             initial_guess,
+            rtol_override=rtol_override,
+            atol_override=atol_override,
         )
 
     def recover_unresolved(

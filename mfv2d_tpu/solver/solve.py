@@ -130,6 +130,16 @@ class VMSSettings:
     # the reference's fixed-point iteration ("fixed-point", solve_system.py
     # :858-897), which remains available for parity.
     iteration: str = "gmres"
+    # Inexact-forcing schedule: while the outer Picard residual is still
+    # large, solve the unresolved-scale equation only as tightly as the
+    # iterate it feeds (each saved GMRES iteration is one fewer
+    # Green's-function application — the dominant per-Picard cost at
+    # BASELINE config-5 scale).  The converged answer is always re-solved
+    # at fine_scale_convergence's own tolerance before the Picard loop is
+    # allowed to exit, so the final solution and fine scales are
+    # unaffected.  Disable for strict per-iteration parity with the
+    # reference's fixed-tolerance iteration.
+    inexact_forcing: bool = True
 
 
 @dataclass(frozen=True)
@@ -488,6 +498,27 @@ def non_linear_solve_run(
     residuals = np.zeros(max_iterations)
     max_residual = 0.0
     unresolved_scales = fine_scales
+    # Inexact-forcing schedule (VMSSettings.inexact_forcing): solve the
+    # unresolved-scale equation only as accurately as the outer iterate
+    # needs — the u* error enters the Picard residual through an
+    # O(1)-norm dual projection, so an ABSOLUTE inner tolerance of
+    # 0.05 * r_{k-1} keeps the forcing error one decade under the outer
+    # residual it feeds.  Each saved GMRES iteration is one fewer
+    # Green's-function application, the dominant per-Picard cost at
+    # BASELINE config-5 scale (BENCH.md 4b: greens-fine-schur is 50% of
+    # the wall).  Correctness is guarded below: a convergence exit
+    # reached with a loosened tolerance first re-solves the scales at the
+    # configured tolerance and re-measures.
+    vms_inexact = (
+        sg_operator is not None
+        and getattr(sg_operator, "inexact_forcing", False)
+    )
+    vms_atol_final = (
+        float(sg_operator.convergence.absolute_tolerance)
+        if sg_operator is not None
+        else 0.0
+    )
+    vms_loosened = False
 
     from mfv2d_tpu.tracing import tracer
 
@@ -502,10 +533,22 @@ def non_linear_solve_run(
         if sg_operator is not None:
             with tracer.stage("picard-vms-advection"):
                 sg_operator.update_nonlinear_advection(solution)
+            eta_abs: float | None = None
+            if vms_inexact:
+                # Outer-residual scale this iteration will see: the
+                # previous measured residual, or the forcing magnitude
+                # before the first one exists.
+                r_scale = (
+                    residuals[iter_cnt - 1]
+                    if iter_cnt > 0
+                    else float(np.abs(base_vec).max())
+                )
+                eta_abs = max(vms_atol_final, 0.05 * r_scale)
             with tracer.stage("picard-vms-unresolved"):
                 unresolved_scales = sg_operator.compute_unresolved_contributions(
-                    solution, unresolved_scales
+                    solution, unresolved_scales, atol_override=eta_abs
                 )
+            vms_loosened = eta_abs is not None and eta_abs > vms_atol_final
             residual -= sg_operator.fine_results_to_coarse_dofs(
                 unresolved_scales, dual=True
             )
@@ -531,7 +574,31 @@ def non_linear_solve_run(
             )
 
         if not (max_residual > atol and max_residual > max_mag * rtol):
-            break
+            if vms_inexact and vms_loosened:
+                # The exit was measured through a loosened unresolved-scale
+                # solve; re-solve at the configured tolerance (warm-started,
+                # so typically 1-2 extra Green's applications) and
+                # re-measure before accepting convergence.
+                with tracer.stage("picard-vms-unresolved"):
+                    unresolved_scales = (
+                        sg_operator.compute_unresolved_contributions(
+                            solution, unresolved_scales
+                        )
+                    )
+                vms_loosened = False
+                residual = (
+                    base_vec
+                    - main_value
+                    - sg_operator.fine_results_to_coarse_dofs(
+                        unresolved_scales, dual=True
+                    )
+                )
+                max_residual = float(np.abs(residual).max())
+                residuals[iter_cnt] = max_residual
+                if not (max_residual > atol and max_residual > max_mag * rtol):
+                    break
+            else:
+                break
 
         if newton and iter_cnt > 0:
             # Exact-Newton step WITHOUT refactorizing: solve J_k d = r by

@@ -83,6 +83,8 @@ def iterate_unresolved_contributions(
     relaxation: float,
     coarse_solution: np.ndarray,
     initial_guess: np.ndarray | None,
+    rtol_override: float | None = None,
+    atol_override: float | None = None,
 ) -> np.ndarray:
     """Fixed-point / GMRES driver for the unresolved-scale forcing.
 
@@ -91,7 +93,24 @@ def iterate_unresolved_contributions(
     ``greens_function`` execute) so the iteration policy cannot drift
     between the two paths.  Solves ``(I + F G') u = F G' r`` where
     ``r = forcing - F P u_coarse`` (reference solve_system.py:904-961).
+
+    ``rtol_override``/``atol_override`` loosen (never tighten) the
+    tolerances for this one invocation — the Picard driver's
+    inexact-forcing schedule: while the outer residual is still large, the
+    unresolved-scale forcing only needs to be as accurate as the iterate
+    it feeds (its error maps ~1:1 into the outer residual through the
+    O(1)-norm dual projection), and each saved GMRES iteration is one
+    fewer Green's-function application — the dominant per-Picard cost at
+    BASELINE config-5 scale.  The absolute override is the one that
+    matters in practice: ``|b| = |F G' r|`` is fine-scale sized (1e-9 at
+    config 5), so the fixed absolute tolerance governs the stop.
     """
+    rtol = convergence.relative_tolerance
+    if rtol_override is not None:
+        rtol = max(rtol, float(rtol_override))
+    atol = convergence.absolute_tolerance
+    if atol_override is not None:
+        atol = max(atol, float(atol_override))
     residual = fine_forcing - apply_advection(prolong_to_fine(coarse_solution))
     agr = apply_advection(greens_function(residual))
     u = np.array(agr) if initial_guess is None else np.array(initial_guess)
@@ -115,8 +134,8 @@ def iterate_unresolved_contributions(
             linop,
             agr,
             x0=u,
-            rtol=convergence.relative_tolerance,
-            atol=convergence.absolute_tolerance,
+            rtol=rtol,
+            atol=atol,
             maxiter=convergence.maximum_iterations,
         )
         if info == 0:
@@ -133,11 +152,7 @@ def iterate_unresolved_contributions(
             if relaxation == 1.0
             else (1 - relaxation) * u + relaxation * u_new
         )
-        if (
-            max_u == 0
-            or max_du < max_u * convergence.relative_tolerance
-            or max_du < convergence.absolute_tolerance
-        ):
+        if max_u == 0 or max_du < max_u * rtol or max_du < atol:
             break
     return u
 
@@ -160,6 +175,7 @@ class SuyashGreenOperator:
         self.convergence = settings.fine_scale_convergence
         self.relaxation = settings.relaxation
         self.iteration = settings.iteration
+        self.inexact_forcing = settings.inexact_forcing
         self.unknown_forms = settings.symmetric_system.unknown_forms
         self.compiled_advection = CompiledSystem(settings.nonsymmetric_system)
         compiled_sym = CompiledSystem(settings.symmetric_system)
@@ -551,6 +567,8 @@ class SuyashGreenOperator:
         self,
         coarse_solution: np.ndarray,
         initial_guess: np.ndarray | None,
+        rtol_override: float | None = None,
+        atol_override: float | None = None,
     ) -> np.ndarray:
         """Fixed-point iteration for the unresolved-scale forcing."""
         return iterate_unresolved_contributions(
@@ -563,6 +581,8 @@ class SuyashGreenOperator:
             self.relaxation,
             coarse_solution,
             initial_guess,
+            rtol_override=rtol_override,
+            atol_override=atol_override,
         )
 
     def recover_unresolved(
