@@ -84,6 +84,19 @@ class _Config:
         # ("auto"), always ("1"), or never ("0").  Device HBM then holds
         # only the explicit inverses + condensed tables.
         self.lean_blocks = os.environ.get("MFV2D_TPU_LEAN_BLOCKS", "auto")
+        # Device-resident Green's-function applies for lean saddle systems
+        # (the VMS fine saddle opts in): keep the f64 explicit inverse AND
+        # the f64 blocks on-device and run each refined diagonal-inverse
+        # apply as ONE dispatch of Ozaki bf16-slice GEMV sweeps
+        # (ops/precision.ozaki_refined_solve).  HBM-resident applies are
+        # immune to the one-core host's RAM-bandwidth collapse (BENCH.md
+        # 4b: 12.3 s/apply under contention vs ~1.6 s on-device).
+        # "auto" enables when the tables fit MFV2D_TPU_DEV_GREENS_GB
+        # (default 9 GB); "0" disables; "1" forces (tests).
+        self.device_greens = os.environ.get("MFV2D_TPU_DEV_GREENS", "auto")
+        self.device_greens_gb = float(
+            os.environ.get("MFV2D_TPU_DEV_GREENS_GB", "9")
+        )
         # Route the fused-assembly f64 GEMMs through the Ozaki bf16-slice
         # scheme on TPU (ops/ozaki.py, ~1e-12 relative vs the ~3 GFLOP/s
         # XLA f64 emulation).  "0" (default) keeps exact f64 assembly;

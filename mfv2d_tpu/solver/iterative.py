@@ -190,10 +190,18 @@ class BlockSaddleSystem:
         element_matrices: list[np.ndarray] | None,
         lagrange_mat: sp.csr_array | None,
         block_provider: list | None = None,
+        device_greens: bool = False,
     ) -> None:
         self.disc = disc
         self.n_dofs = disc.n_dofs
         self.lagrange_mat = lagrange_mat
+        # Device-resident refined applies for lean systems (opt-in by the
+        # caller, e.g. the VMS fine saddle whose Green's-function applies
+        # dominate BASELINE config 5); gated by config.device_greens and
+        # the HBM budget, validated by a probe at first use.
+        self._dev_greens_req = bool(device_greens)
+        self._dev_greens_state: str | None = None  # None=unprobed
+        self._dev_blocks: list | None = None
         # Lean-blocks mode ("assembly is cheap, storage is expensive"):
         # with a per-bucket ``provider(lo, hi) -> [hi-lo, n, n]`` f64
         # callable, the element blocks are never held device-resident —
@@ -459,7 +467,7 @@ class BlockSaddleSystem:
         matmul sweep is ~15x faster than the emulated-f64 device GEMV,
         and only the ~n_dofs vector crosses the tunnel each way."""
         if self._refine_inverse and self._inv_np is not None:
-            return jnp.asarray(self._apply_diagonal_inverse_host(np.asarray(x)))
+            return jnp.asarray(self._apply_diagonal_inverse_lean(np.asarray(x)))
         parts = []
         for i, (fac, gather) in enumerate(zip(self.lu_factors, self.gathers)):
             xe = x[gather]
@@ -483,6 +491,178 @@ class BlockSaddleSystem:
                 )
             parts.append(ye)
         return self._assemble(parts)
+
+    # -- device-resident lean applies (Ozaki refined solves) -------------
+
+    @staticmethod
+    def _dev_greens_chunks(e: int, n: int) -> int:
+        """Power-of-two chunk count bounding the Ozaki slice scratch to
+        ~0.6 GB of f64 blocks per lax.map step (slices are ~2x that)."""
+        target = max(1, int(e * n * n * 8 / 6e8))
+        c = 1
+        while c < target and e % (c * 2) == 0:
+            c *= 2
+        return c
+
+    def _dev_greens_ready(self) -> bool:
+        """Upload the f64 inverse+block tables and probe the device apply.
+
+        Hard failures (HBM exhaustion, probe error past 3x the host
+        floor) permanently fall back to the host path; a skip for host
+        speed ("off-fast") re-probes when the host later degrades.
+        """
+        if self._dev_greens_state is not None and self._dev_greens_state != "retry":
+            return self._dev_greens_state == "on"
+        from mfv2d_tpu.config import config
+
+        ok = (
+            self._dev_greens_req
+            and config.device_greens != "0"
+            and self._inv_np is not None
+            and jax.default_backend() == "tpu"
+        )
+        if ok and config.device_greens != "1":
+            total = 2 * sum(inv.nbytes for inv in self._inv_np)
+            ok = total <= config.device_greens_gb * 1e9
+        if not ok:
+            self._dev_greens_state = "off"
+            return False
+        from mfv2d_tpu.ops.precision import ozaki_refined_solve
+        from mfv2d_tpu.tracing import tracer
+
+        if ok and config.device_greens != "1":
+            # The device path only pays off when the host's RAM bandwidth
+            # is the bottleneck (the one-core bench container degrades to
+            # ~1.4 GB/s under contention — 2.5 s per GEMV sweep at config-5
+            # scale — while uncontended it sweeps in ~0.4 s, beating the
+            # table upload's amortization).  Time one host sweep and only
+            # upload when the host is in the slow regime.
+            import time as _time
+
+            n_e, n = self._bucket_shape(0)
+            probe_v = np.ones((n_e, n))
+            t0 = _time.perf_counter()
+            self._host_block_gemv(0, probe_v)
+            t_sweep = _time.perf_counter() - t0
+            gb = n_e * n * n * 8 / 1e9
+            if t_sweep < max(0.25, gb / 3.0):  # >= ~3 GB/s: host is fine
+                if tracer.enabled:
+                    print(
+                        f"[trace] dev-greens skipped: host sweep "
+                        f"{t_sweep:.2f}s for {gb:.1f} GB (fast regime)",
+                        flush=True,
+                    )
+                # Revisitable: host RAM contention comes and goes on the
+                # shared bench machine; _apply_diagonal_inverse_lean
+                # re-probes if host applies later degrade.
+                self._dev_greens_state = "off-fast"
+                self._host_slow_count = 0
+                return False
+
+        try:
+            blocks_dev = []
+            for i, inv in enumerate(self._inv_np):
+                n_e, n = self._bucket_shape(i)
+                parts = [
+                    jnp.asarray(np.ascontiguousarray(self._provider[i](lo, min(lo + 512, n_e))))
+                    for lo in range(0, n_e, 512)
+                ]
+                blocks_dev.append(
+                    parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                )
+            self._dev_blocks = blocks_dev
+            # Probe: the device refined apply must match the host floor.
+            worst = 0.0
+            for i, inv in enumerate(self._inv_np):
+                n_e, n = self._bucket_shape(i)
+                ones = np.ones((n_e, n))
+                applied = self._host_block_gemv(i, ones)
+                y_h = np.matmul(inv, applied[..., None])[..., 0]
+                for _ in range(self._refine_rounds[i]):
+                    r = applied - self._host_block_gemv(i, y_h)
+                    y_h = y_h + np.matmul(inv, r[..., None])[..., 0]
+                err_host = float(np.abs(y_h - 1.0).max())
+                y_d = np.asarray(
+                    ozaki_refined_solve(
+                        self.lu_factors[i],
+                        self._dev_blocks[i],
+                        jnp.asarray(applied),
+                        rounds=self._refine_rounds[i],
+                        chunks=self._dev_greens_chunks(n_e, n),
+                    )
+                )
+                err_dev = float(np.abs(y_d - 1.0).max())
+                worst = max(worst, err_dev)
+                accept = err_dev <= max(1e-10, 3.0 * err_host)
+                if tracer.enabled:
+                    print(
+                        f"[trace] dev-greens bucket {i}: probe dev "
+                        f"{err_dev:.2e} host {err_host:.2e} "
+                        f"{'accept' if accept else 'REJECT'}",
+                        flush=True,
+                    )
+                if not accept:
+                    raise RuntimeError(
+                        f"device-greens probe error {err_dev:.2e} "
+                        f"(host floor {err_host:.2e})"
+                    )
+            self._dev_greens_state = "on"
+            return True
+        except Exception as exc:  # OOM, probe failure, compile error
+            if tracer.enabled:
+                print(f"[trace] dev-greens disabled: {exc}", flush=True)
+            self._dev_blocks = None
+            self._lu_factors_dev = None  # free the uploaded inverses
+            self._dev_greens_state = "off"
+            return False
+
+    def _apply_diagonal_inverse_dev(self, x_h: np.ndarray) -> np.ndarray:
+        """Lean y = A^{-1} x with device-resident Ozaki refined applies."""
+        from mfv2d_tpu.ops.precision import ozaki_refined_solve
+
+        parts = []
+        for i, bucket in enumerate(self.disc.buckets):
+            xe = x_h[np.asarray(bucket.gather)]
+            n_e, n = xe.shape
+            ye = ozaki_refined_solve(
+                self.lu_factors[i],
+                self._dev_blocks[i],
+                jnp.asarray(xe),
+                rounds=self._refine_rounds[i],
+                chunks=self._dev_greens_chunks(n_e, n),
+            )
+            parts.append(np.asarray(ye))
+        flat = (
+            parts[0].reshape(-1)
+            if len(parts) == 1
+            else np.concatenate([p.reshape(-1) for p in parts])
+        )
+        return flat[self._inv_perm_np]
+
+    def _apply_diagonal_inverse_lean(self, x_h: np.ndarray) -> np.ndarray:
+        """Lean-mode y = A^{-1} x: device Ozaki applies when enabled and
+        probed good, host numpy sweeps otherwise.  A speed-skip
+        ("off-fast") is revisited when host applies degrade — RAM
+        contention on the shared bench machine comes and goes."""
+        if self._dev_greens_ready():
+            return self._apply_diagonal_inverse_dev(x_h)
+        if self._dev_greens_state == "off-fast":
+            import time as _time
+
+            n_e, n = self._bucket_shape(0)
+            gb = n_e * n * n * 8 / 1e9
+            t0 = _time.perf_counter()
+            out = self._apply_diagonal_inverse_host(x_h)
+            sweeps = 1 + 2 * max(self._refine_rounds, default=0)
+            t_sweep = (_time.perf_counter() - t0) / max(sweeps, 1)
+            if t_sweep >= max(0.5, gb / 1.5):  # <= ~1.5 GB/s: slow regime
+                self._host_slow_count += 1
+                if self._host_slow_count >= 2:
+                    self._dev_greens_state = "retry"
+            else:
+                self._host_slow_count = 0
+            return out
+        return self._apply_diagonal_inverse_host(x_h)
 
     def _apply_diagonal_inverse_host(self, x_h: np.ndarray) -> np.ndarray:
         """Lean-mode y = A^{-1} x entirely on the host (numpy in/out)."""
@@ -1495,12 +1675,12 @@ def solve_schur_direct(
         # numpy outputs duck-type for every caller.
         rhs_h = np.asarray(rhs)
         with tracer.stage("inv-apply"):
-            inv_a_b = system._apply_diagonal_inverse_host(rhs_h)
+            inv_a_b = system._apply_diagonal_inverse_lean(rhs_h)
             trace_rhs = system.lagrange_mat @ inv_a_b - np.asarray(constraints)
         with tracer.stage("trace-solve"):
             lam_np = decomp.solve(trace_rhs)
         with tracer.stage("inv-apply"):
-            u = inv_a_b - system._apply_diagonal_inverse_host(
+            u = inv_a_b - system._apply_diagonal_inverse_lean(
                 system.lagrange_mat.T @ lam_np
             )
         return u, lam_np, 0.0, 1
@@ -1613,6 +1793,7 @@ def make_block_saddle_system(
     disc: Discretization,
     element_matrices: list,
     lagrange_mat: sp.csr_array | None,
+    device_greens: bool = False,
 ) -> BlockSaddleSystem:
     """BlockSaddleSystem, lean when storing the blocks would strain HBM.
 
@@ -1637,7 +1818,11 @@ def make_block_saddle_system(
     mats_np = [np.asarray(m) for m in element_matrices]
     providers = [lambda lo, hi, m=m: m[lo:hi] for m in mats_np]
     return BlockSaddleSystem(
-        disc, None, lagrange_mat, block_provider=providers
+        disc,
+        None,
+        lagrange_mat,
+        block_provider=providers,
+        device_greens=device_greens,
     )
 
 

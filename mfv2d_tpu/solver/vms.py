@@ -394,10 +394,15 @@ class SuyashGreenOperator:
                     + np.arange(n_f)[None, :]
                 )
             with tracer.stage("vms-init-fine-saddle"):
+                # device_greens: the fine-space diagonal-inverse applies
+                # are THE config-5 wall (BENCH.md 4b: 1,693 s of 3,810 on
+                # the contended one-core host); HBM-resident Ozaki
+                # refined applies are immune to host RAM contention.
                 self.fine_saddle = make_block_saddle_system(
                     _BucketsOnly(n_fine, fine_gathers),
                     fine_sym_buckets,
                     fine_lag_mat,
+                    device_greens=True,
                 )
             with tracer.stage("vms-init-coarse-saddle"):
                 self.coarse_saddle = make_block_saddle_system(

@@ -481,3 +481,53 @@ def test_lean_forced_refinement_rounds_apply(monkeypatch):
 
     assert residual(y2) < 1e-9
     assert residual(y2) <= residual(y0) * 1.001
+
+
+def test_ozaki_refined_solve_matches_lapack():
+    """Device refined solve (Ozaki GEMV sweeps) reaches LAPACK accuracy."""
+    from mfv2d_tpu.ops.precision import ozaki_refined_solve
+
+    rng = np.random.default_rng(11)
+    e, n = 8, 48
+    a = rng.standard_normal((e, n, n)) / np.sqrt(n)
+    a = a @ np.swapaxes(a, 1, 2) + 0.05 * np.eye(n)
+    x_true = rng.standard_normal((e, n))
+    b = np.matmul(a, x_true[..., None])[..., 0]
+    inv = np.linalg.inv(a)
+    for rounds in (0, 2):
+        y = np.asarray(
+            ozaki_refined_solve(
+                jnp.asarray(inv), jnp.asarray(a), jnp.asarray(b),
+                rounds=rounds, chunks=2,
+            )
+        )
+        err = np.abs(y - x_true).max() / np.abs(x_true).max()
+        assert err < 1e-11, (rounds, err)
+
+
+def test_device_greens_lean_apply_matches_host(monkeypatch):
+    """Lean-mode device (Ozaki) diagonal-inverse applies match the host
+    numpy sweeps, and the probe accepts them (forced on CPU; the same
+    construction runs on the accelerator in the TPU tier)."""
+    import jax
+
+    from mfv2d_tpu.config import config as cfg
+
+    disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup()
+    providers = [lambda lo, hi, m=np.asarray(m): m[lo:hi] for m in matrices]
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cfg, "device_greens", "1")
+    system = BlockSaddleSystem(
+        disc, None, lagrange_mat, block_provider=providers, device_greens=True
+    )
+    assert system._inv_np is not None  # lean
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=disc.n_dofs)
+    y_host = system._apply_diagonal_inverse_host(x)
+    assert system._dev_greens_ready()
+    monkeypatch.undo()
+    y_dev = system._apply_diagonal_inverse_dev(x)
+    assert np.allclose(y_dev, y_host, atol=1e-11), np.abs(y_dev - y_host).max()
+    # The lean dispatcher routes to the device path once probed.
+    y_lean = system._apply_diagonal_inverse_lean(x)
+    assert np.array_equal(y_lean, y_dev)

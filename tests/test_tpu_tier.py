@@ -285,3 +285,59 @@ def test_vms_solve_on_accelerator():
     # 1.005e-4); a lost f32 digit anywhere in the chain would push this up.
     assert err < 5e-4
     assert np.all(np.isfinite(grid.point_data["vms-u"]))
+
+
+@skip_unless_tpu
+def test_device_greens_apply_on_accelerator():
+    """Lean-mode Ozaki refined applies on the real chip match the host
+    f64 sweeps (the path behind MFV2D_TPU_DEV_GREENS for the VMS fine
+    saddle — BENCH.md 4b)."""
+    import jax.numpy as jnp
+
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.config import config as cfg
+    from mfv2d_tpu.ops.basis import FemCache
+    from mfv2d_tpu.solver.discretization import discretize_mesh
+    from mfv2d_tpu.solver.iterative import BlockSaddleSystem
+    from mfv2d_tpu.solver.solve import SystemEvaluator, compute_linear_system
+
+    def ue(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def se(x, y):
+        return -(np.pi**2) / 2 * ue(x, y)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ ue,
+        v @ q.derivative == -(v @ se),
+    )
+    mesh = mf.examples.unit_square_mesh(4, 4, 4)
+    disc = discretize_mesh(mesh, system.unknown_forms, FemCache(3))
+    evaluator = SystemEvaluator(
+        system.unknown_forms, CompiledSystem(system), disc
+    )
+    _, matrices, lagrange_mat, _ = compute_linear_system(
+        disc, system, evaluator, [], [], None
+    )
+    providers = [lambda lo, hi, m=np.asarray(m): m[lo:hi] for m in matrices]
+    old = cfg.device_greens
+    cfg.device_greens = "1"
+    try:
+        sysb = BlockSaddleSystem(
+            disc, None, lagrange_mat,
+            block_provider=providers, device_greens=True,
+        )
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=disc.n_dofs)
+        y_host = sysb._apply_diagonal_inverse_host(x)
+        assert sysb._dev_greens_ready()
+        y_dev = sysb._apply_diagonal_inverse_dev(x)
+    finally:
+        cfg.device_greens = old
+    err = np.abs(y_dev - y_host).max() / np.abs(y_host).max()
+    assert err < 1e-11, err
