@@ -535,15 +535,18 @@ class BlockSaddleSystem:
             # is the bottleneck (the one-core bench container degrades to
             # ~1.4 GB/s under contention — 2.5 s per GEMV sweep at config-5
             # scale — while uncontended it sweeps in ~0.4 s, beating the
-            # table upload's amortization).  Time one host sweep and only
-            # upload when the host is in the slow regime.
+            # table upload's amortization).  Time two host sweeps (the
+            # first pays page-faulting the fresh tables) and only upload
+            # when the host is in the slow regime.
             import time as _time
 
             n_e, n = self._bucket_shape(0)
             probe_v = np.ones((n_e, n))
-            t0 = _time.perf_counter()
-            self._host_block_gemv(0, probe_v)
-            t_sweep = _time.perf_counter() - t0
+            t_sweep = float("inf")
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                self._host_block_gemv(0, probe_v)
+                t_sweep = min(t_sweep, _time.perf_counter() - t0)
             gb = n_e * n * n * 8 / 1e9
             if t_sweep < max(0.25, gb / 3.0):  # >= ~3 GB/s: host is fine
                 if tracer.enabled:
@@ -557,6 +560,35 @@ class BlockSaddleSystem:
                 # re-probes if host applies later degrade.
                 self._dev_greens_state = "off-fast"
                 self._host_slow_count = 0
+                return False
+
+        if ok:
+            # The relay exposes no memory_stats, so HBM headroom is probed
+            # DIRECTLY: allocate (tables + apply transients) worth of
+            # scratch and free it.  A failed probe allocates nothing
+            # lasting — unlike a failed table upload or probe-solve
+            # compile, whose buffers measurably lingered long enough to
+            # OOM the NEXT unrelated dispatch (the 64x64 run where ~11 GB
+            # was already resident died in the advection apply after the
+            # dev-greens compile failed and fell back cleanly).
+            try:
+                need = 0
+                for i, inv in enumerate(self._inv_np):
+                    n_e, n = self._bucket_shape(i)
+                    chunks = self._dev_greens_chunks(n_e, n)
+                    chunk_bytes = n_e // chunks * n * n * 8
+                    need += 2 * inv.nbytes + 6 * chunk_bytes
+                scratch = jnp.zeros(need // 8)
+                scratch.block_until_ready()
+                del scratch
+            except Exception:
+                if tracer.enabled:
+                    print(
+                        f"[trace] dev-greens skipped: no HBM headroom for "
+                        f"{need/1e9:.1f} GB (tables + transients)",
+                        flush=True,
+                    )
+                self._dev_greens_state = "off"
                 return False
 
         try:
@@ -617,21 +649,35 @@ class BlockSaddleSystem:
             return False
 
     def _apply_diagonal_inverse_dev(self, x_h: np.ndarray) -> np.ndarray:
-        """Lean y = A^{-1} x with device-resident Ozaki refined applies."""
+        """Lean y = A^{-1} x with device-resident Ozaki refined applies.
+
+        A mid-run dispatch failure (e.g. transient HBM pressure from other
+        operators) frees the tables and permanently falls back to the
+        host sweeps rather than killing the solve."""
         from mfv2d_tpu.ops.precision import ozaki_refined_solve
 
-        parts = []
-        for i, bucket in enumerate(self.disc.buckets):
-            xe = x_h[np.asarray(bucket.gather)]
-            n_e, n = xe.shape
-            ye = ozaki_refined_solve(
-                self.lu_factors[i],
-                self._dev_blocks[i],
-                jnp.asarray(xe),
-                rounds=self._refine_rounds[i],
-                chunks=self._dev_greens_chunks(n_e, n),
-            )
-            parts.append(np.asarray(ye))
+        try:
+            parts = []
+            for i, bucket in enumerate(self.disc.buckets):
+                xe = x_h[np.asarray(bucket.gather)]
+                n_e, n = xe.shape
+                ye = ozaki_refined_solve(
+                    self.lu_factors[i],
+                    self._dev_blocks[i],
+                    jnp.asarray(xe),
+                    rounds=self._refine_rounds[i],
+                    chunks=self._dev_greens_chunks(n_e, n),
+                )
+                parts.append(np.asarray(ye))
+        except Exception as exc:
+            from mfv2d_tpu.tracing import tracer
+
+            if tracer.enabled:
+                print(f"[trace] dev-greens apply failed: {exc}", flush=True)
+            self._dev_blocks = None
+            self._lu_factors_dev = None
+            self._dev_greens_state = "off"
+            return self._apply_diagonal_inverse_host(x_h)
         flat = (
             parts[0].reshape(-1)
             if len(parts) == 1
