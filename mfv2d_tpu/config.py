@@ -97,6 +97,17 @@ class _Config:
         self.device_greens_gb = float(
             os.environ.get("MFV2D_TPU_DEV_GREENS_GB", "9")
         )
+        # Accelerator HBM capacity used for NON-ALLOCATING headroom
+        # accounting (live-array bytes vs capacity).  The relay exposes no
+        # memory_stats, and probing by actually allocating is destructive:
+        # a FAILED multi-GB allocation leaves the arena unable to serve
+        # the next unrelated ~10 MB upload (observed twice at config-5
+        # residency — both the dev-greens table upload and the
+        # alloc-probe variant killed the following advection apply).
+        # Default 15.5 GB = v5e HBM minus runtime reserve.
+        self.hbm_capacity_gb = float(
+            os.environ.get("MFV2D_TPU_HBM_GB", "15.5")
+        )
         # Route the fused-assembly f64 GEMMs through the Ozaki bf16-slice
         # scheme on TPU (ops/ozaki.py, ~1e-12 relative vs the ~3 GFLOP/s
         # XLA f64 emulation).  "0" (default) keeps exact f64 assembly;

@@ -563,29 +563,40 @@ class BlockSaddleSystem:
                 return False
 
         if ok:
-            # The relay exposes no memory_stats, so HBM headroom is probed
-            # DIRECTLY: allocate (tables + apply transients) worth of
-            # scratch and free it.  A failed probe allocates nothing
-            # lasting — unlike a failed table upload or probe-solve
-            # compile, whose buffers measurably lingered long enough to
-            # OOM the NEXT unrelated dispatch (the 64x64 run where ~11 GB
-            # was already resident died in the advection apply after the
-            # dev-greens compile failed and fell back cleanly).
+            # HBM headroom is ACCOUNTED, never probed by allocating: the
+            # relay exposes no memory_stats, and a FAILED multi-GB
+            # allocation poisons the arena — the next unrelated ~10 MB
+            # device_put OOMs (observed twice at config-5 residency: the
+            # dev-greens table-upload fallback and the alloc-probe variant
+            # both killed the following advection apply).  Live device
+            # arrays under-count transient compile scratch, so a fixed
+            # slack is reserved on top of the table + transient estimate.
+            need = 0
+            for i, inv in enumerate(self._inv_np):
+                n_e, n = self._bucket_shape(i)
+                chunks = self._dev_greens_chunks(n_e, n)
+                chunk_bytes = n_e // chunks * n * n * 8
+                need += 2 * inv.nbytes + 6 * chunk_bytes
+            backend = jax.default_backend()
             try:
-                need = 0
-                for i, inv in enumerate(self._inv_np):
-                    n_e, n = self._bucket_shape(i)
-                    chunks = self._dev_greens_chunks(n_e, n)
-                    chunk_bytes = n_e // chunks * n * n * 8
-                    need += 2 * inv.nbytes + 6 * chunk_bytes
-                scratch = jnp.zeros(need // 8)
-                scratch.block_until_ready()
-                del scratch
+                live = sum(
+                    a.nbytes
+                    for a in jax.live_arrays()
+                    if next(iter(a.devices())).platform == backend
+                )
             except Exception:
+                live = None
+            from mfv2d_tpu.config import config as _cfg
+
+            cap = _cfg.hbm_capacity_gb * 1e9
+            slack = 1.5e9
+            if live is None or need > cap - live - slack:
                 if tracer.enabled:
+                    live_s = "?" if live is None else f"{live/1e9:.1f}"
                     print(
                         f"[trace] dev-greens skipped: no HBM headroom for "
-                        f"{need/1e9:.1f} GB (tables + transients)",
+                        f"{need/1e9:.1f} GB (live {live_s} GB of "
+                        f"{cap/1e9:.1f} GB, slack {slack/1e9:.1f} GB)",
                         flush=True,
                     )
                 self._dev_greens_state = "off"

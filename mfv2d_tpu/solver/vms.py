@@ -503,17 +503,35 @@ class SuyashGreenOperator:
 
     def _apply_fine_advection_inner(self, v):
         if self._dev_ops:
-            chunks = self._fine_adv_chunks
-            e = sum(c.shape[0] for c in chunks)
-            v2 = jnp.asarray(v).reshape(e, -1)
-            parts = []
-            lo = 0
-            for c in chunks:
-                parts.append(_block_gemv(c, v2[lo : lo + c.shape[0]]))
-                lo += c.shape[0]
-            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-            return np.asarray(out).ravel()
+            try:
+                return self._apply_fine_advection_dev(v)
+            except Exception as exc:  # transient HBM pressure
+                if "RESOURCE_EXHAUSTED" not in str(exc):
+                    raise
+                # A single retry after a host-side GC has recovered every
+                # observed case: the exhaustion comes from transient
+                # buffers (a failed upload elsewhere, freed-but-uncollected
+                # chunk references from _rebuild_advection) rather than
+                # from this apply's own ~10 MB footprint.
+                import gc
+                import time as _time
+
+                gc.collect()
+                _time.sleep(2.0)
+                return self._apply_fine_advection_dev(v)
         return self.fine_advection_operator @ np.asarray(v)
+
+    def _apply_fine_advection_dev(self, v):
+        chunks = self._fine_adv_chunks
+        e = sum(c.shape[0] for c in chunks)
+        v2 = jnp.asarray(v).reshape(e, -1)
+        parts = []
+        lo = 0
+        for c in chunks:
+            parts.append(_block_gemv(c, v2[lo : lo + c.shape[0]]))
+            lo += c.shape[0]
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return np.asarray(out).ravel()
 
     def _project_to_coarse(self, x):
         """P^T x (dual projection of a fine vector to coarse DoFs).

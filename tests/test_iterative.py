@@ -531,3 +531,36 @@ def test_device_greens_lean_apply_matches_host(monkeypatch):
     # The lean dispatcher routes to the device path once probed.
     y_lean = system._apply_diagonal_inverse_lean(x)
     assert np.array_equal(y_lean, y_dev)
+
+
+def test_device_greens_headroom_gate_rejects_without_allocating(monkeypatch):
+    """The HBM headroom gate is pure accounting — no device allocation.
+
+    A failed multi-GB probe allocation poisons the relay arena (the next
+    unrelated ~10 MB upload OOMs — observed killing a config-5 run), so
+    the gate must reject by arithmetic on live-array bytes and never call
+    device_put when headroom is short."""
+    import jax
+
+    from mfv2d_tpu.config import config as cfg
+
+    disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup()
+    providers = [lambda lo, hi, m=np.asarray(m): m[lo:hi] for m in matrices]
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cfg, "device_greens", "1")
+    monkeypatch.setattr(cfg, "hbm_capacity_gb", 0.0)  # no headroom at all
+    calls = []
+    monkeypatch.setattr(jax, "device_put", lambda *a, **k: calls.append(a))
+    system = BlockSaddleSystem(
+        disc, None, lagrange_mat, block_provider=providers, device_greens=True
+    )
+    assert system._inv_np is not None  # lean
+    assert not system._dev_greens_ready()
+    assert system._dev_greens_state == "off"
+    assert not calls  # gate decided by accounting, not by allocating
+    # The lean dispatcher falls back to the host sweeps.
+    monkeypatch.undo()
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=disc.n_dofs)
+    y_lean = system._apply_diagonal_inverse_lean(x)
+    assert np.allclose(y_lean, system._apply_diagonal_inverse_host(x))
