@@ -217,37 +217,67 @@ def host_explicit_inverse(
     return inv, seed_err, int(np.argmin(errs))
 
 
-@partial(jax.jit, static_argnames=("rounds", "chunks", "cutoff"))
+@partial(jax.jit, static_argnames=("rounds", "cutoff"))
+def _ozaki_refined_chunk(inv_c, blk_c, x_c, rounds: int, cutoff: int):
+    """One element-chunk of the refined solve as ONE compiled program."""
+    from mfv2d_tpu.ops.ozaki import matmul64
+
+    y = matmul64(inv_c, x_c, cutoff=cutoff)
+    for _ in range(rounds):
+        r = x_c - matmul64(blk_c, y, cutoff=cutoff)
+        y = y + matmul64(inv_c, r, cutoff=cutoff)
+    return y
+
+
+def _chunk_list(a, chunks: int):
+    """``a`` as a list of leading-axis chunks (pass-through for lists)."""
+    if isinstance(a, (list, tuple)):
+        return list(a)
+    e = a.shape[0]
+    step = max(1, e // chunks)
+    return [a[lo : lo + step] for lo in range(0, e, step)]
+
+
 def ozaki_refined_solve(
     inverse, blocks, xe, rounds: int, chunks: int, cutoff: int = 8
 ):
     """Device refined solve ``y ~= A^{-1} x`` through Ozaki GEMV sweeps.
 
-    One dispatch computes ``y0 = X x`` plus ``rounds`` residual-refinement
-    sweeps ``y += X (x - A y)`` with every matrix product an exact
-    bf16-slice (Ozaki) GEMV — cutoff 8 measured 2.5e-15 relative at
-    [4096, 341, 341] on v5e, i.e. f64-GEMV-grade, at 274 ms/sweep while
-    the one-core host's numpy sweep degrades to 2.5 s under RAM
-    contention (BENCH.md 4b attempt-8).  ``chunks`` bounds the transient
-    slice scratch (lax.map processes E/chunks elements at a time); the
-    batch dimension must divide evenly.
+    Computes ``y0 = X x`` plus ``rounds`` residual-refinement sweeps
+    ``y += X (x - A y)`` with every matrix product an exact bf16-slice
+    (Ozaki) GEMV — cutoff 8 measured 2.5e-15 relative at [4096, 341, 341]
+    on v5e, i.e. f64-GEMV-grade, at 274 ms/sweep while the one-core
+    host's numpy sweep degrades to 2.5 s under RAM contention (BENCH.md
+    4b attempt-8).
+
+    The element batch is processed as ``chunks`` SEPARATE dispatches (the
+    per-element solves are independent, so per-chunk refinement is
+    exact).  A single program over the whole batch is not memory-safe:
+    XLA hoists the loop-invariant f64->slice conversions of ``inverse``
+    and ``blocks`` out of an in-program loop, materializing whole-table
+    f32 copies — measured 11.76 GB of HLO temps at [4096, 320, 320],
+    a compile-time OOM that killed a config-5 run.  Chunked dispatches
+    bound the live conversion scratch to one chunk's worth; dispatches
+    are enqueued without host syncs so the relay round-trip pipelines.
+
+    ``inverse``/``blocks`` may be arrays or pre-chunked LISTS of arrays
+    (the device-resident Green's path stores chunk lists so no
+    device-to-device slice copies happen per apply).
     """
-    from mfv2d_tpu.ops.ozaki import matmul64
-
+    inv_ch = _chunk_list(inverse, chunks)
+    blk_ch = _chunk_list(blocks, chunks)
     e, n = xe.shape
-    inv_r = inverse.reshape(chunks, e // chunks, n, n)
-    blk_r = blocks.reshape(chunks, e // chunks, n, n)
-    x_r = xe.reshape(chunks, e // chunks, n, 1)
-
-    def one(ops):
-        inv_c, blk_c, b_c = ops
-        y = matmul64(inv_c, b_c, cutoff=cutoff)
-        for _ in range(rounds):
-            r = b_c - matmul64(blk_c, y, cutoff=cutoff)
-            y = y + matmul64(inv_c, r, cutoff=cutoff)
-        return y
-
-    return jax.lax.map(one, (inv_r, blk_r, x_r)).reshape(e, n)
+    x_r = jnp.asarray(xe).reshape(e, n, 1)
+    outs = []
+    lo = 0
+    for inv_c, blk_c in zip(inv_ch, blk_ch):
+        hi = lo + inv_c.shape[0]
+        outs.append(
+            _ozaki_refined_chunk(inv_c, blk_c, x_r[lo:hi], rounds, cutoff)
+        )
+        lo = hi
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return out.reshape(e, n)
 
 
 def choose_refine_rounds(

@@ -202,6 +202,7 @@ class BlockSaddleSystem:
         self._dev_greens_req = bool(device_greens)
         self._dev_greens_state: str | None = None  # None=unprobed
         self._dev_blocks: list | None = None
+        self._dev_inv: list | None = None
         # Lean-blocks mode ("assembly is cheap, storage is expensive"):
         # with a per-bucket ``provider(lo, hi) -> [hi-lo, n, n]`` f64
         # callable, the element blocks are never held device-resident —
@@ -496,9 +497,10 @@ class BlockSaddleSystem:
 
     @staticmethod
     def _dev_greens_chunks(e: int, n: int) -> int:
-        """Power-of-two chunk count bounding the Ozaki slice scratch to
-        ~0.6 GB of f64 blocks per lax.map step (slices are ~2x that)."""
-        target = max(1, int(e * n * n * 8 / 6e8))
+        """Power-of-two chunk count bounding each dispatch's Ozaki slice
+        scratch to ~0.3 GB of f64 blocks (the in-program slice remats
+        measured ~5x the chunk bytes at [512, 320, 320])."""
+        target = max(1, int(e * n * n * 8 / 3e8))
         c = 1
         while c < target and e % (c * 2) == 0:
             c *= 2
@@ -603,17 +605,34 @@ class BlockSaddleSystem:
                 return False
 
         try:
+            # Tables live as CHUNK LISTS sized to the dispatch chunking:
+            # applies then pass resident buffers straight to the per-chunk
+            # programs — no whole-table device arrays (whose in-program
+            # f64->slice conversions XLA hoists into 11.76 GB of compile
+            # temps at config-5 scale) and no per-apply slice copies.
             blocks_dev = []
+            inv_dev = []
             for i, inv in enumerate(self._inv_np):
                 n_e, n = self._bucket_shape(i)
-                parts = [
-                    jnp.asarray(np.ascontiguousarray(self._provider[i](lo, min(lo + 512, n_e))))
-                    for lo in range(0, n_e, 512)
-                ]
+                step = n_e // self._dev_greens_chunks(n_e, n)
                 blocks_dev.append(
-                    parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                    [
+                        jnp.asarray(
+                            np.ascontiguousarray(
+                                self._provider[i](lo, min(lo + step, n_e))
+                            )
+                        )
+                        for lo in range(0, n_e, step)
+                    ]
+                )
+                inv_dev.append(
+                    [
+                        jnp.asarray(inv[lo : min(lo + step, n_e)])
+                        for lo in range(0, n_e, step)
+                    ]
                 )
             self._dev_blocks = blocks_dev
+            self._dev_inv = inv_dev
             # Probe: the device refined apply must match the host floor.
             worst = 0.0
             for i, inv in enumerate(self._inv_np):
@@ -627,11 +646,11 @@ class BlockSaddleSystem:
                 err_host = float(np.abs(y_h - 1.0).max())
                 y_d = np.asarray(
                     ozaki_refined_solve(
-                        self.lu_factors[i],
+                        self._dev_inv[i],
                         self._dev_blocks[i],
                         jnp.asarray(applied),
                         rounds=self._refine_rounds[i],
-                        chunks=self._dev_greens_chunks(n_e, n),
+                        chunks=len(self._dev_inv[i]),
                     )
                 )
                 err_dev = float(np.abs(y_d - 1.0).max())
@@ -655,6 +674,7 @@ class BlockSaddleSystem:
             if tracer.enabled:
                 print(f"[trace] dev-greens disabled: {exc}", flush=True)
             self._dev_blocks = None
+            self._dev_inv = None
             self._lu_factors_dev = None  # free the uploaded inverses
             self._dev_greens_state = "off"
             return False
@@ -671,13 +691,12 @@ class BlockSaddleSystem:
             parts = []
             for i, bucket in enumerate(self.disc.buckets):
                 xe = x_h[np.asarray(bucket.gather)]
-                n_e, n = xe.shape
                 ye = ozaki_refined_solve(
-                    self.lu_factors[i],
+                    self._dev_inv[i],
                     self._dev_blocks[i],
                     jnp.asarray(xe),
                     rounds=self._refine_rounds[i],
-                    chunks=self._dev_greens_chunks(n_e, n),
+                    chunks=len(self._dev_inv[i]),
                 )
                 parts.append(np.asarray(ye))
         except Exception as exc:
@@ -686,6 +705,7 @@ class BlockSaddleSystem:
             if tracer.enabled:
                 print(f"[trace] dev-greens apply failed: {exc}", flush=True)
             self._dev_blocks = None
+            self._dev_inv = None
             self._lu_factors_dev = None
             self._dev_greens_state = "off"
             return self._apply_diagonal_inverse_host(x_h)

@@ -503,22 +503,28 @@ class SuyashGreenOperator:
 
     def _apply_fine_advection_inner(self, v):
         if self._dev_ops:
-            try:
-                return self._apply_fine_advection_dev(v)
-            except Exception as exc:  # transient HBM pressure
-                if "RESOURCE_EXHAUSTED" not in str(exc):
-                    raise
-                # A single retry after a host-side GC has recovered every
-                # observed case: the exhaustion comes from transient
-                # buffers (a failed upload elsewhere, freed-but-uncollected
-                # chunk references from _rebuild_advection) rather than
-                # from this apply's own ~10 MB footprint.
-                import gc
-                import time as _time
+            # Retry ladder on transient HBM pressure: the exhaustion comes
+            # from buffers another path just dropped (a failed dev-greens
+            # upload/compile, freed-but-uncollected chunks from
+            # _rebuild_advection), not from this apply's own ~10 MB
+            # footprint — and the relay arena recovers on a timescale of
+            # seconds, so escalating waits (a 2 s GC retry was measured
+            # insufficient after a failed multi-GB compile) beat failing a
+            # multi-hour solve.
+            import gc
+            import time as _time
 
-                gc.collect()
-                _time.sleep(2.0)
-                return self._apply_fine_advection_dev(v)
+            for wait in (0.0, 2.0, 15.0, 60.0):
+                if wait:
+                    gc.collect()
+                    _time.sleep(wait)
+                try:
+                    return self._apply_fine_advection_dev(v)
+                except Exception as exc:
+                    if "RESOURCE_EXHAUSTED" not in str(exc):
+                        raise
+                    last = exc
+            raise last
         return self.fine_advection_operator @ np.asarray(v)
 
     def _apply_fine_advection_dev(self, v):
