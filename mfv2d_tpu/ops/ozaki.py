@@ -92,14 +92,23 @@ def _matmul_sliced(a, b, t: int, n_slices: int, cutoff: int, dims):
     slices_a, sig_a = _split(a, ca, t, n_slices)
     slices_b, sig_b = _split(b, cb, t, n_slices)
 
-    # Group pairs by level l = s + s': terms at one level share magnitude,
-    # so the f32 adds inside a level lose nothing that matters at the
-    # level below the cutoff; levels are combined in f64, smallest first.
+    # Group pairs by level l = s + s'.  Accumulation policy by output
+    # shape: GEMV-like outputs (a vector per batch element — the refined
+    # diagonal-inverse applies) are tiny next to the matrix slices, so
+    # EVERY pair product converts to f64 before summing: the f32
+    # level-add otherwise rounds the level-1 sum at ~2^-(t+24) relative
+    # (5e-10 at t=7 — measured as a 5x-worse-than-f64 refined-apply
+    # floor at config-5 conditioning, rejecting the device Green's
+    # path).  Square outputs keep the in-level f32 adds (terms at one
+    # level share magnitude, so those adds lose nothing below the
+    # cutoff) to avoid doubling the accumulation traffic.
     by_level: dict[int, list] = {}
     for s in range(n_slices):
         for sp in range(n_slices):
             if s + sp < cutoff:
                 by_level.setdefault(s + sp, []).append((s, sp))
+
+    vector_out = b.shape[-1] == 1 or a.shape[-2] == 1
 
     level_sums = []
     for level in sorted(by_level, reverse=True):
@@ -111,6 +120,8 @@ def _matmul_sliced(a, b, t: int, n_slices: int, cutoff: int, dims):
                 dimension_numbers=dims,
                 preferred_element_type=jnp.float32,
             )
+            if vector_out:
+                g = g.astype(jnp.float64)
             acc = g if acc is None else acc + g
         level_sums.append(acc.astype(jnp.float64))
     total = level_sums[0]

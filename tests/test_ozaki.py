@@ -146,6 +146,43 @@ def test_newton_schulz_chunked_build_matches(monkeypatch):
     assert np.isclose(seed_ch, seed_ref, rtol=1e-2)
 
 
+def test_ozaki_refined_solve_ill_conditioned_matches_host_floor():
+    """The device refined-apply floor must pass the dev-greens gate
+    (err_dev <= max(1e-10, 3 x host f64 floor)) at config-5-like
+    conditioning (cond ~ 1e7).
+
+    Regression: the in-level f32 accumulation of slice-pair GEMV products
+    rounded the level-1 sum at ~2^-(t+24) relative (5e-10 at t=7), a
+    5x-worse-than-f64 refined floor measured on the real config-5 fine
+    saddle — GEMV-shaped outputs now accumulate every pair in f64."""
+    from mfv2d_tpu.ops.precision import ozaki_refined_solve
+
+    rng = np.random.default_rng(9)
+    n, e = 64, 4
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.logspace(0, -7, n)
+    a = np.broadcast_to(q * d @ q.T, (e, n, n)).copy()
+    a += 1e-9 * rng.standard_normal(a.shape)
+    inv = np.linalg.inv(a)
+    rounds = 2
+    applied = np.matmul(a, np.ones((e, n, 1)))[..., 0]
+
+    y_h = np.matmul(inv, applied[..., None])[..., 0]
+    for _ in range(rounds):
+        r = applied - np.matmul(a, y_h[..., None])[..., 0]
+        y_h = y_h + np.matmul(inv, r[..., None])[..., 0]
+    err_host = np.abs(y_h - 1.0).max()
+
+    y_d = np.asarray(
+        ozaki_refined_solve(
+            jnp.asarray(inv), jnp.asarray(a), jnp.asarray(applied),
+            rounds=rounds, chunks=2,
+        )
+    )
+    err_dev = np.abs(y_d - 1.0).max()
+    assert err_dev <= max(1e-10, 3.0 * err_host), (err_dev, err_host)
+
+
 def test_pick_bits_rejects_invalid_widths():
     """Out-of-range slice widths must fail loudly, not round silently."""
     import pytest
