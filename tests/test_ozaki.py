@@ -182,6 +182,19 @@ def test_ozaki_refined_solve_ill_conditioned_matches_host_floor():
     err_dev = np.abs(y_d - 1.0).max()
     assert err_dev <= max(1e-10, 3.0 * err_host), (err_dev, err_host)
 
+    # Cutoff escalation (the dev-greens probe's 8 -> 10 retry): more
+    # slice pairs must never be less accurate — at cutoff 10 the dropped
+    # pairs sit at 2^-70, below f64 eps, so the refined floor must be at
+    # or below the cutoff-8 one (up to roundoff jitter).
+    y_10 = np.asarray(
+        ozaki_refined_solve(
+            jnp.asarray(inv), jnp.asarray(a), jnp.asarray(applied),
+            rounds=rounds, chunks=2, cutoff=10,
+        )
+    )
+    err_10 = np.abs(y_10 - 1.0).max()
+    assert err_10 <= 2.0 * max(err_dev, err_host), (err_10, err_dev)
+
 
 def test_pick_bits_rejects_invalid_widths():
     """Out-of-range slice widths must fail loudly, not round silently."""
