@@ -84,8 +84,8 @@ def _split(a, axis: int, t: int, n_slices: int):
     return slices, sigma
 
 
-@partial(jax.jit, static_argnames=("t", "n_slices", "cutoff", "dims"))
-def _matmul_sliced(a, b, t: int, n_slices: int, cutoff: int, dims):
+@partial(jax.jit, static_argnames=("t", "n_slices", "cutoff", "dims", "exact_sum"))
+def _matmul_sliced(a, b, t: int, n_slices: int, cutoff: int, dims, exact_sum: bool = False):
     """Core: slice both operands and sum the exact slice-pair GEMMs."""
     contract, batch = dims
     (ca,), (cb,) = contract
@@ -108,7 +108,7 @@ def _matmul_sliced(a, b, t: int, n_slices: int, cutoff: int, dims):
             if s + sp < cutoff:
                 by_level.setdefault(s + sp, []).append((s, sp))
 
-    vector_out = b.shape[-1] == 1 or a.shape[-2] == 1
+    vector_out = exact_sum or b.shape[-1] == 1 or a.shape[-2] == 1
 
     level_sums = []
     for level in sorted(by_level, reverse=True):
@@ -135,9 +135,24 @@ def _matmul_sliced(a, b, t: int, n_slices: int, cutoff: int, dims):
     return total * sig_a_out * sig_b_out
 
 
-def matmul64(a, b, t: int | None = None, cutoff: int | None = None):
+def matmul64(
+    a,
+    b,
+    t: int | None = None,
+    cutoff: int | None = None,
+    exact_sum: bool = False,
+):
     """``a @ b`` for batched ``[..., n, k] @ [..., k, m]`` f64 operands via
     exact bf16 slice GEMMs (~1e-12 relative; see module docstring).
+
+    ``exact_sum=True`` converts EVERY slice-pair product to f64 before
+    summing (GEMV-shaped outputs always do): with cutoff >= 10 at t=7 the
+    dropped-pair truncation sits at 2^-70 — the result is then at or
+    below native-f64-GEMM roundoff, at the cost of f64 accumulation
+    traffic over the full output per pair.  Use for square products that
+    feed consistency-critical operators (e.g. the VMS Galerkin triple
+    product, where an independent ~1e-12 perturbation of the coarse
+    operator is NOT admissible — BACKLOG seventh session).
 
     On backends with native f64 GEMMs (CPU/GPU) this is strictly worse
     than ``a @ b`` — callers gate on ``jax.default_backend() == "tpu"``.
@@ -155,4 +170,4 @@ def matmul64(a, b, t: int | None = None, cutoff: int | None = None):
     n_slices = cutoff
     nb = a.ndim - 2
     dims = (((a.ndim - 1,), (b.ndim - 2,)), (tuple(range(nb)), tuple(range(nb))))
-    return _matmul_sliced(a, b, t, n_slices, cutoff, dims)
+    return _matmul_sliced(a, b, t, n_slices, cutoff, dims, exact_sum)

@@ -49,6 +49,23 @@ def _block_gemv(blocks, v2d):
     return jnp.einsum("eij,ej->ei", blocks, v2d)
 
 
+@jax.jit
+def _galerkin_chunk(m_c, p):
+    """Per-chunk ``P^T M_e P`` via exact Ozaki GEMMs (cutoff 10 + f64
+    pair accumulation: dropped-pair truncation 2^-70, below f64-GEMM
+    roundoff).  The shared inclusion P turns both batched products into
+    single wide 2D GEMMs ([e*n, k] @ [k, m]) — ideal MXU shapes."""
+    from mfv2d_tpu.ops.ozaki import matmul64
+
+    e, n_f, _ = m_c.shape
+    n_c = p.shape[1]
+    mp = matmul64(m_c.reshape(e * n_f, n_f), p, cutoff=10, exact_sum=True)
+    mp_t = mp.reshape(e, n_f, n_c).transpose(0, 2, 1).reshape(e * n_c, n_f)
+    # (mp^T P) = (P^T M P)^T per element; transpose back at the end.
+    ptmp = matmul64(mp_t, p, cutoff=10, exact_sum=True)
+    return ptmp.reshape(e, n_c, n_c).transpose(0, 2, 1)
+
+
 class _FineBucketView:
     """Adapter pairing a fine batch with a coarse bucket's leaf ranks."""
 
@@ -262,22 +279,24 @@ class SuyashGreenOperator:
                 )
             statics_sym = evaluate_static_fields(fine_batch, compiled_sym.fields)
             with tracer.stage("vms-init-fine-matrices"):
-                fine_sym = np.asarray(
-                    jit_element_matrices(
-                        form_specs,
-                        compiled_sym.lhs_blocks,
-                        fine_batch,
-                        static_fields=statics_sym,
-                    )
+                fine_sym_dev = jit_element_matrices(
+                    form_specs,
+                    compiled_sym.lhs_blocks,
+                    fine_batch,
+                    static_fields=statics_sym,
                 )
+                fine_sym = np.asarray(fine_sym_dev)
             # Galerkin coarse operator P^T A_f P (solve_system.py:750).
             with tracer.stage("vms-init-galerkin"):
                 if self._dev_ops:
-                    coarse_sym = np.matmul(big1.T, np.matmul(fine_sym, big1))
+                    coarse_sym = self._galerkin_coarse(
+                        fine_sym_dev, big1, fine_sym
+                    )
                 else:
                     coarse_sym = np.einsum(
                         "eij,eik,ekl->ejl", big, fine_sym, big
                     )
+            del fine_sym_dev
             fine_sym_buckets.append(fine_sym)
             coarse_sym_buckets.append(coarse_sym)
 
@@ -495,6 +514,45 @@ class SuyashGreenOperator:
                 mats = mats + nonlin_fn(corners[lo:hi], dofs2[lo:hi], sv)
             chunks.append(mats)
         self._fine_adv_chunks = chunks
+
+    def _galerkin_coarse(
+        self, m_dev, p_np: np.ndarray, m_host: np.ndarray
+    ) -> np.ndarray:
+        """``P^T A_f P`` on the device via exact Ozaki GEMMs.
+
+        The seventh-session rejection of a device Galerkin build applied
+        to ~1e-12-relative schemes (an INDEPENDENT coarse-side
+        perturbation is inadmissible in ``G' = A_f^-1 - P A_c^-1 P^T``);
+        cutoff 10 with per-pair f64 accumulation puts the Ozaki
+        truncation at 2^-70 — at or below the host f64 GEMM's own
+        roundoff — so consistency with the downloaded fine blocks holds.
+        Replaces the single-threaded host triple product (187 s at
+        config-5 scale).  A per-run probe pins the first elements against
+        the host product; any failure falls back to the host path.
+        """
+        if jax.default_backend() != "tpu":
+            return np.matmul(p_np.T, np.matmul(m_host, p_np))
+        try:
+            e, n_f, _ = m_dev.shape
+            p_dev = jnp.asarray(p_np)
+            step = max(1, min(e, int(5e8 / (n_f * n_f * 8))))
+            outs = [
+                np.asarray(_galerkin_chunk(m_dev[lo : lo + step], p_dev))
+                for lo in range(0, e, step)
+            ]
+            coarse = outs[0] if len(outs) == 1 else np.concatenate(outs)
+            k = min(4, e)
+            ref = np.matmul(p_np.T, np.matmul(m_host[:k], p_np))
+            err = float(
+                np.abs(coarse[:k] - ref).max() / max(np.abs(ref).max(), 1e-300)
+            )
+            if not np.isfinite(err) or err > 1e-12:
+                raise RuntimeError(f"device Galerkin probe error {err:.2e}")
+            return coarse
+        except Exception as exc:
+            if tracer.enabled:
+                print(f"[trace] device galerkin fell back: {exc}", flush=True)
+            return np.matmul(p_np.T, np.matmul(m_host, p_np))
 
     def _apply_fine_advection(self, v):
         """F v (fine advection, linear + current nonlinear part)."""

@@ -363,3 +363,28 @@ def test_fine_green_annihilates_coarse_hp_mesh():
     res = op.coarse_decomp.solve(np.pad(fine_forcing, (0, op.coarse_padding)))
     res = res[: res.size - op.coarse_padding]
     assert np.max(np.abs(res)) < 1e-8 * max(1.0, np.max(np.abs(g)))
+
+
+def test_device_galerkin_matches_host_triple_product(monkeypatch):
+    """The exact-Ozaki device Galerkin build must match the host f64
+    triple product to f64-GEMM roundoff (consistency requirement: an
+    independent coarse-side perturbation is inadmissible in G')."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfv2d_tpu.solver.vms import SuyashGreenOperator
+
+    rng = np.random.default_rng(12)
+    e, n_f, n_c = 6, 40, 24
+    m = rng.standard_normal((e, n_f, n_f))
+    m = m + np.swapaxes(m, 1, 2)
+    p = np.zeros((n_f, n_c))
+    p[:n_c] = np.eye(n_c)
+    p += 0.01 * rng.standard_normal((n_f, n_c))
+
+    ref = np.matmul(p.T, np.matmul(m, p))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = SuyashGreenOperator._galerkin_coarse(None, jnp.asarray(m), p, m)
+    monkeypatch.undo()
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-13
