@@ -108,12 +108,14 @@ class _Config:
         self.hbm_capacity_gb = float(
             os.environ.get("MFV2D_TPU_HBM_GB", "15.5")
         )
-        # Route the fused-assembly f64 GEMMs through the Ozaki bf16-slice
-        # scheme on TPU (ops/ozaki.py, ~1e-12 relative vs the ~3 GFLOP/s
-        # XLA f64 emulation).  "0" (default) keeps exact f64 assembly;
-        # flip to "1" after validating accuracy on the target config —
-        # the element operators feed 1e-12-level solution errors.
-        self.ozaki_assembly = os.environ.get("MFV2D_TPU_OZAKI_ASSEMBLY", "0")
+        # Route the fused-assembly f64 GEMMs through the exact-sum Ozaki
+        # bf16-slice scheme on TPU (ops/ozaki.py: cutoff 10 + per-pair
+        # f64 accumulation — truncation ~K * 2^-70 of the envelope, at or
+        # below a native f64 GEMM's roundoff, vs the ~3 GFLOP/s XLA f64
+        # emulation it replaces).  On by default since the ninth-session
+        # exact_sum rework made it accuracy-neutral; "0" restores the
+        # emulated-f64 products.
+        self.ozaki_assembly = os.environ.get("MFV2D_TPU_OZAKI_ASSEMBLY", "1")
 
 
 config = _Config()

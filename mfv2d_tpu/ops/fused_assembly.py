@@ -442,22 +442,25 @@ def _covering_concat(groups, pieces, n_rows, n_cols, e, dtype):
 def _assembly_gemm(k, table):
     """The fused-assembly GEMM ``k_all @ pair_table``.
 
-    On TPU, f64 matmuls software-emulate at ~3 GFLOP/s; with
-    ``MFV2D_TPU_OZAKI_ASSEMBLY=1`` the product routes through the Ozaki
-    bf16-slice scheme instead (ops/ozaki.py: exact slice GEMMs on the MXU,
-    ~1e-12 relative) — opt-in because the element operators bound the
-    attainable solution accuracy.
+    On TPU, f64 matmuls software-emulate at ~3 GFLOP/s — measured ~250 s
+    of the config-5 fine-matrix assembly.  The default route is the
+    exact-sum Ozaki scheme (ops/ozaki.py: exact bf16 slice GEMMs on the
+    MXU, every slice-pair product accumulated in f64, cutoff 10): the
+    dropped-pair truncation is ~K * 2^-70 of the magnitude envelope —
+    at or below a native f64 GEMM's own roundoff — so unlike the earlier
+    ~1e-12-relative opt-in this is NOT an accuracy trade.
+    ``MFV2D_TPU_OZAKI_ASSEMBLY=0`` restores the emulated-f64 products.
     """
     from mfv2d_tpu.config import config as _cfg
 
     if (
-        _cfg.ozaki_assembly == "1"
+        _cfg.ozaki_assembly != "0"
         and k.dtype == jnp.float64
         and jax.default_backend() == "tpu"
     ):
         from mfv2d_tpu.ops.ozaki import matmul64
 
-        return matmul64(k, table)
+        return matmul64(k, table, cutoff=10, exact_sum=True)
     return k @ table
 
 

@@ -147,6 +147,42 @@ def test_fused_matches_fallback(name, orders, monkeypatch):
     assert np.abs(fused - ref).max() < 1e-12 * max(scale, 1.0)
 
 
+@pytest.mark.parametrize("name", ["mixed_poisson", "advection_static", "stokes"])
+def test_ozaki_assembly_route_is_f64_grade(name, monkeypatch):
+    """The exact-sum Ozaki assembly route (default on TPU) must match the
+    native-f64 GEMM assembly to f64-GEMM roundoff — it replaces the
+    ~3 GFLOP/s emulated products without an accuracy trade (the old
+    ~1e-12-relative opt-in bound no longer applies)."""
+    import jax
+
+    system = SYSTEMS[name]()
+    compiled = CompiledSystem(system)
+    basis = FemCache(2).get_basis2d(4, 4)
+    batch = ElementBatch(basis, _corners(5))
+    spec = system.unknown_forms
+    rng = np.random.default_rng(13)
+    dofs = rng.normal(size=(5, spec.total_size(4, 4)))
+    statics = evaluate_static_fields(batch, compiled.fields)
+
+    monkeypatch.setattr(config, "fused_assembly", True)
+    monkeypatch.setattr(config, "ozaki_assembly", "0")
+    ref = np.asarray(
+        compute_element_matrices(
+            spec, compiled.lhs_blocks, batch, dofs=dofs, static_fields=statics
+        )
+    )
+    monkeypatch.setattr(config, "ozaki_assembly", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    oz = np.asarray(
+        compute_element_matrices(
+            spec, compiled.lhs_blocks, batch, dofs=dofs, static_fields=statics
+        )
+    )
+    monkeypatch.undo()
+    scale = np.abs(ref).max()
+    assert np.abs(oz - ref).max() < 5e-14 * max(scale, 1.0)
+
+
 def test_fused_plans_cover_linear_blocks():
     """Every block of the linear test systems gets a fused plan."""
     system = _mixed_poisson()
