@@ -84,8 +84,28 @@ def _split(a, axis: int, t: int, n_slices: int):
     return slices, sigma
 
 
-@partial(jax.jit, static_argnames=("t", "n_slices", "cutoff", "dims", "exact_sum"))
-def _matmul_sliced(a, b, t: int, n_slices: int, cutoff: int, dims, exact_sum: bool = False):
+def _two_sum(a, b):
+    """Error-free transform: a + b = s + e exactly (Knuth TwoSum)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+@partial(
+    jax.jit,
+    static_argnames=("t", "n_slices", "cutoff", "dims", "exact_sum", "dd_out"),
+)
+def _matmul_sliced(
+    a,
+    b,
+    t: int,
+    n_slices: int,
+    cutoff: int,
+    dims,
+    exact_sum: bool = False,
+    dd_out: bool = False,
+):
     """Core: slice both operands and sum the exact slice-pair GEMMs."""
     contract, batch = dims
     (ca,), (cb,) = contract
@@ -110,28 +130,55 @@ def _matmul_sliced(a, b, t: int, n_slices: int, cutoff: int, dims, exact_sum: bo
 
     vector_out = exact_sum or b.shape[-1] == 1 or a.shape[-2] == 1
 
-    level_sums = []
-    for level in sorted(by_level, reverse=True):
-        acc = None
-        for s, sp in by_level[level]:
-            g = jax.lax.dot_general(
-                slices_a[s].astype(jnp.bfloat16),
-                slices_b[sp].astype(jnp.bfloat16),
-                dimension_numbers=dims,
-                preferred_element_type=jnp.float32,
-            )
-            if vector_out:
-                g = g.astype(jnp.float64)
-            acc = g if acc is None else acc + g
-        level_sums.append(acc.astype(jnp.float64))
-    total = level_sums[0]
-    for term in level_sums[1:]:
-        total = total + term
+    if vector_out or dd_out:
+        # Every pair product is EXACT (bf16 slices, bounded f32
+        # accumulation), so the summation of the ~cutoff^2/2 pair terms
+        # carries ALL the rounding.  TwoSum (error-free transform)
+        # accumulation keeps the running sum as an (s, e) double-double:
+        # plain f64 sums cost ~3-5 eps — measured as a flat
+        # 5.3x-the-host-floor refined apply on the real VMS fine saddle
+        # — while the dd pair exposes the GEMV to ~eps^2, which is what
+        # lets refinement residuals break the cond*eps barrier
+        # (``dd_out``).  Outputs are vectors, so the carry is cheap.
+        total = None
+        err = None
+        for level in sorted(by_level, reverse=True):
+            for s, sp in by_level[level]:
+                g = jax.lax.dot_general(
+                    slices_a[s].astype(jnp.bfloat16),
+                    slices_b[sp].astype(jnp.bfloat16),
+                    dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.float64)
+                if total is None:
+                    total, err = g, jnp.zeros_like(g)
+                else:
+                    total, e1 = _two_sum(total, g)
+                    err = err + e1
+    else:
+        level_sums = []
+        for level in sorted(by_level, reverse=True):
+            acc = None
+            for s, sp in by_level[level]:
+                g = jax.lax.dot_general(
+                    slices_a[s].astype(jnp.bfloat16),
+                    slices_b[sp].astype(jnp.bfloat16),
+                    dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                )
+                acc = g if acc is None else acc + g
+            level_sums.append(acc.astype(jnp.float64))
+        total = level_sums[0]
+        for term in level_sums[1:]:
+            total = total + term
 
-    # Undo the per-row / per-column scaling.  dot_general output layout is
-    # (batch dims..., lhs free dims..., rhs free dims...).
+    # Undo the per-row / per-column scaling (powers of two — EXACT
+    # multiplies, so the dd pair stays a faithful unevaluated sum).
+    # dot_general output layout is (batch..., lhs free..., rhs free...).
     sig_a_out = jnp.squeeze(sig_a, axis=ca)[..., :, None]
     sig_b_out = jnp.squeeze(sig_b, axis=cb)[..., None, :]
+    if dd_out:
+        return total * sig_a_out * sig_b_out, err * sig_a_out * sig_b_out
     return total * sig_a_out * sig_b_out
 
 
@@ -171,3 +218,30 @@ def matmul64(
     nb = a.ndim - 2
     dims = (((a.ndim - 1,), (b.ndim - 2,)), (tuple(range(nb)), tuple(range(nb))))
     return _matmul_sliced(a, b, t, n_slices, cutoff, dims, exact_sum)
+
+
+def matmul64_dd(a, b, t: int | None = None, cutoff: int | None = None):
+    """``a @ b`` as an unevaluated double-double ``(hi, lo)``.
+
+    The slice-pair products are exact, so TwoSum accumulation exposes the
+    product to ~eps^2 nearly free for GEMV-shaped outputs.  The consumer
+    that matters is iterative refinement: computing the residual
+    ``r = (b - hi) - lo`` instead of ``b - fl(A y)`` removes the
+    eps * |b| residual rounding that pins uniform-precision refinement at
+    a cond * eps forward-error floor (measured 5e-11 on the NH=8 VMS fine
+    saddle at cond 1.85e5, flat in cutoff AND rounds — the signature of
+    the residual barrier, not of slice truncation)."""
+    a = jnp.asarray(a, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    if a.ndim < 2 or b.ndim < 2 or a.ndim != b.ndim:
+        raise ValueError(f"batched matmul ranks {a.ndim} vs {b.ndim}")
+    k = a.shape[-1]
+    if b.shape[-2] != k:
+        raise ValueError(f"contraction mismatch {a.shape} @ {b.shape}")
+    t = _pick_bits(k, t)
+    if cutoff is None:
+        cutoff = max(2, int(np.ceil(42 / t)) + 1)
+    n_slices = cutoff
+    nb = a.ndim - 2
+    dims = (((a.ndim - 1,), (b.ndim - 2,)), (tuple(range(nb)), tuple(range(nb))))
+    return _matmul_sliced(a, b, t, n_slices, cutoff, dims, False, dd_out=True)

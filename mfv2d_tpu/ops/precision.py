@@ -219,12 +219,20 @@ def host_explicit_inverse(
 
 @partial(jax.jit, static_argnames=("rounds", "cutoff"))
 def _ozaki_refined_chunk(inv_c, blk_c, x_c, rounds: int, cutoff: int):
-    """One element-chunk of the refined solve as ONE compiled program."""
-    from mfv2d_tpu.ops.ozaki import matmul64
+    """One element-chunk of the refined solve as ONE compiled program.
+
+    The residual uses the double-double GEMV (``matmul64_dd``): with
+    ``r = (x - hi) - lo`` the refinement sees the residual to ~eps * |r|
+    instead of ~eps * |x|, breaking the cond * eps forward-error floor
+    that uniform-precision refinement is pinned at (measured: 5e-11 on
+    the NH=8 VMS fine saddle vs the host's 6e-12, flat in cutoff and
+    rounds until this change)."""
+    from mfv2d_tpu.ops.ozaki import matmul64, matmul64_dd
 
     y = matmul64(inv_c, x_c, cutoff=cutoff)
     for _ in range(rounds):
-        r = x_c - matmul64(blk_c, y, cutoff=cutoff)
+        hi, lo = matmul64_dd(blk_c, y, cutoff=cutoff)
+        r = (x_c - hi) - lo
         y = y + matmul64(inv_c, r, cutoff=cutoff)
     return y
 
