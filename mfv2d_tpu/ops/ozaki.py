@@ -151,10 +151,15 @@ def _matmul_sliced(
                     preferred_element_type=jnp.float32,
                 ).astype(jnp.float64)
                 if total is None:
-                    total, err = g, jnp.zeros_like(g)
-                else:
+                    total, err = g, (jnp.zeros_like(g) if dd_out else None)
+                elif dd_out:
                     total, e1 = _two_sum(total, g)
                     err = err + e1
+                else:
+                    # Smallest-first plain f64 adds (~3-5 eps envelope):
+                    # the dd carry is full-output-sized traffic, only
+                    # worth paying when the caller consumes it.
+                    total = total + g
     else:
         level_sums = []
         for level in sorted(by_level, reverse=True):
