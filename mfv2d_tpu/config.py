@@ -97,6 +97,18 @@ class _Config:
         self.device_greens_gb = float(
             os.environ.get("MFV2D_TPU_DEV_GREENS_GB", "9")
         )
+        # Acceptance multiplier for the dev-greens accuracy probe: the
+        # device refined-apply floor must be <= floor * (host floor).
+        # TPU's emulated f64 is not correctly rounded (adds ~32 ulps),
+        # pinning the device floor at ~3.3x the host's at config-5
+        # conditioning even with dd residuals — relax past 3 only with a
+        # measured A/B on the target config (the error chain enters the
+        # VMS answer scaled by the fine-residual magnitude, so the
+        # identity-probe floor overstates the effect; validate, don't
+        # assume).
+        self.device_greens_floor = float(
+            os.environ.get("MFV2D_TPU_DEV_GREENS_FLOOR", "3")
+        )
         # Accelerator HBM capacity used for NON-ALLOCATING headroom
         # accounting (live-array bytes vs capacity).  The relay exposes no
         # memory_stats, and probing by actually allocating is destructive:

@@ -664,7 +664,9 @@ class BlockSaddleSystem:
                         )
                     )
                     err_dev = float(np.abs(y_d - 1.0).max())
-                    accept = err_dev <= max(1e-10, 3.0 * err_host)
+                    accept = err_dev <= max(
+                        1e-10, config.device_greens_floor * err_host
+                    )
                     if tracer.enabled:
                         print(
                             f"[trace] dev-greens bucket {i}: probe dev "
