@@ -424,8 +424,13 @@ class SuyashGreenOperator:
                     device_greens=True,
                 )
             with tracer.stage("vms-init-coarse-saddle"):
+                # The coarse saddle opts into device Green's applies too:
+                # its host sweeps measured 311 s of a contended config-5
+                # run (70 applies over the 1.4 GB coarse table at
+                # degraded RAM bandwidth).
                 self.coarse_saddle = make_block_saddle_system(
-                    disc, coarse_sym_buckets, coarse_lag_mat
+                    disc, coarse_sym_buckets, coarse_lag_mat,
+                    device_greens=True,
                 )
             self.fine_decomp = None
             self.coarse_decomp = None
