@@ -439,6 +439,11 @@ def _covering_concat(groups, pieces, n_rows, n_cols, e, dtype):
     return jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
 
 
+# ~1 s of emulated-f64 GEMM at the measured 3 GFLOP/s: the cutover below
+# which the emulated product is cheaper than compiling an Ozaki program.
+_OZAKI_ASSEMBLY_MIN_FLOPS = 2e9
+
+
 def _assembly_gemm(k, table):
     """The fused-assembly GEMM ``k_all @ pair_table``.
 
@@ -453,10 +458,16 @@ def _assembly_gemm(k, table):
     """
     from mfv2d_tpu.config import config as _cfg
 
+    flops = 2 * k.shape[0] * k.shape[1] * table.shape[1]
     if (
         _cfg.ozaki_assembly != "0"
         and k.dtype == jnp.float64
         and jax.default_backend() == "tpu"
+        # Only when emulation actually hurts: below the threshold the
+        # emulated product costs <1 s while the 55-pair Ozaki program
+        # costs a heavy one-time compile per shape (gallery-scale
+        # problems would pay compiles to save microseconds).
+        and flops > _OZAKI_ASSEMBLY_MIN_FLOPS
     ):
         from mfv2d_tpu.ops.ozaki import matmul64
 

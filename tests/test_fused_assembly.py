@@ -155,6 +155,9 @@ def test_ozaki_assembly_route_is_f64_grade(name, monkeypatch):
     ~1e-12-relative opt-in bound no longer applies)."""
     import jax
 
+    from mfv2d_tpu.ops import fused_assembly as fa
+
+    monkeypatch.setattr(fa, "_OZAKI_ASSEMBLY_MIN_FLOPS", 0.0)
     system = SYSTEMS[name]()
     compiled = CompiledSystem(system)
     basis = FemCache(2).get_basis2d(4, 4)
