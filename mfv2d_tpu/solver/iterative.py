@@ -204,6 +204,7 @@ class BlockSaddleSystem:
         self._dev_blocks: list | None = None
         self._dev_inv: list | None = None
         self._dev_greens_cutoff: dict[int, int] = {}
+        self._dev_greens_rounds: dict[int, int] = {}
         # Lean-blocks mode ("assembly is cheap, storage is expensive"):
         # with a per-bucket ``provider(lo, hi) -> [hi-lo, n, n]`` f64
         # callable, the element blocks are never held device-resident —
@@ -574,12 +575,19 @@ class BlockSaddleSystem:
             # both killed the following advection apply).  Live device
             # arrays under-count transient compile scratch, so a fixed
             # slack is reserved on top of the table + transient estimate.
-            need = 0
+            # Two admission tiers: the inverse tables alone support
+            # rounds=0 applies (one exact-Ozaki GEMV — measured AT the
+            # device floor on the NH=8 fine saddle, where extra rounds
+            # were flat), while refinement rounds additionally need the
+            # block tables resident for the residual sweeps.
+            need_min = 0
+            need_blocks = 0
             for i, inv in enumerate(self._inv_np):
                 n_e, n = self._bucket_shape(i)
                 chunks = self._dev_greens_chunks(n_e, n)
                 chunk_bytes = n_e // chunks * n * n * 8
-                need += 2 * inv.nbytes + 6 * chunk_bytes
+                need_min += inv.nbytes + 6 * chunk_bytes
+                need_blocks += inv.nbytes
             backend = jax.default_backend()
             try:
                 live = sum(
@@ -593,17 +601,18 @@ class BlockSaddleSystem:
 
             cap = _cfg.hbm_capacity_gb * 1e9
             slack = 1.5e9
-            if live is None or need > cap - live - slack:
+            if live is None or need_min > cap - live - slack:
                 if tracer.enabled:
                     live_s = "?" if live is None else f"{live/1e9:.1f}"
                     print(
                         f"[trace] dev-greens skipped: no HBM headroom for "
-                        f"{need/1e9:.1f} GB (live {live_s} GB of "
+                        f"{need_min/1e9:.1f} GB (live {live_s} GB of "
                         f"{cap/1e9:.1f} GB, slack {slack/1e9:.1f} GB)",
                         flush=True,
                     )
                 self._dev_greens_state = "off"
                 return False
+            blocks_fit = need_min + need_blocks <= cap - live - slack
 
         try:
             # Tables live as CHUNK LISTS sized to the dispatch chunking:
@@ -611,37 +620,27 @@ class BlockSaddleSystem:
             # programs — no whole-table device arrays (whose in-program
             # f64->slice conversions XLA hoists into 11.76 GB of compile
             # temps at config-5 scale) and no per-apply slice copies.
-            blocks_dev = []
             inv_dev = []
             for i, inv in enumerate(self._inv_np):
                 n_e, n = self._bucket_shape(i)
                 step = n_e // self._dev_greens_chunks(n_e, n)
-                blocks_dev.append(
-                    [
-                        jnp.asarray(
-                            np.ascontiguousarray(
-                                self._provider[i](lo, min(lo + step, n_e))
-                            )
-                        )
-                        for lo in range(0, n_e, step)
-                    ]
-                )
                 inv_dev.append(
                     [
                         jnp.asarray(inv[lo : min(lo + step, n_e)])
                         for lo in range(0, n_e, step)
                     ]
                 )
-            self._dev_blocks = blocks_dev
             self._dev_inv = inv_dev
+            self._dev_blocks = [None] * len(inv_dev)
             self._dev_greens_cutoff = {}
-            # Probe: the device refined apply must match the host floor.
-            # Cutoff escalates 8 -> 10 on a miss: the dominant device
-            # error at config-5 conditioning is the DROPPED slice pairs
-            # (s + s' >= cutoff, ~k * 2^-56 residual eps at cutoff 8 —
-            # measured 2.31e-9 vs the 4.54e-10 host floor, unchanged by
-            # accumulation precision); cutoff 10 puts the truncation at
-            # 2^-70, below f64 eps, for 55/36 = 1.5x the GEMV count.
+            self._dev_greens_rounds = {}
+            # Probe ladder, cheapest accepted wins.  rounds=0 (one exact
+            # Ozaki GEMV off the f64 inverse — no block tables resident,
+            # 5x fewer table sweeps per apply) measured AT the device
+            # floor on the NH=8 fine saddle, where extra rounds were
+            # flat; refinement rounds and the cutoff-10 escalation are
+            # fallbacks (the floor itself is pinned by TPU's
+            # non-correctly-rounded emulated f64 at ~3.3x the host's).
             for i, inv in enumerate(self._inv_np):
                 n_e, n = self._bucket_shape(i)
                 ones = np.ones((n_e, n))
@@ -651,32 +650,51 @@ class BlockSaddleSystem:
                     r = applied - self._host_block_gemv(i, y_h)
                     y_h = y_h + np.matmul(inv, r[..., None])[..., 0]
                 err_host = float(np.abs(y_h - 1.0).max())
+                gate = max(1e-10, config.device_greens_floor * err_host)
+                host_rounds = max(1, self._refine_rounds[i])
+                ladder = [(0, 8), (1, 8), (host_rounds, 8), (host_rounds, 10)]
+                ladder = list(dict.fromkeys(ladder))
                 accept = False
-                for cutoff in (8, 10):
+                for rounds, cutoff in ladder:
+                    if rounds > 0 and self._dev_blocks[i] is None:
+                        if not blocks_fit:
+                            break
+                        step = n_e // self._dev_greens_chunks(n_e, n)
+                        self._dev_blocks[i] = [
+                            jnp.asarray(
+                                np.ascontiguousarray(
+                                    self._provider[i](lo, min(lo + step, n_e))
+                                )
+                            )
+                            for lo in range(0, n_e, step)
+                        ]
                     y_d = np.asarray(
                         ozaki_refined_solve(
                             self._dev_inv[i],
-                            self._dev_blocks[i],
+                            # rounds=0 traces no block product; the
+                            # inverse chunks stand in as placeholders.
+                            self._dev_blocks[i] or self._dev_inv[i],
                             jnp.asarray(applied),
-                            rounds=self._refine_rounds[i],
+                            rounds=rounds,
                             chunks=len(self._dev_inv[i]),
                             cutoff=cutoff,
                         )
                     )
                     err_dev = float(np.abs(y_d - 1.0).max())
-                    accept = err_dev <= max(
-                        1e-10, config.device_greens_floor * err_host
-                    )
+                    accept = err_dev <= gate
                     if tracer.enabled:
                         print(
                             f"[trace] dev-greens bucket {i}: probe dev "
                             f"{err_dev:.2e} host {err_host:.2e} "
-                            f"cutoff {cutoff} "
+                            f"rounds {rounds} cutoff {cutoff} "
                             f"{'accept' if accept else 'REJECT'}",
                             flush=True,
                         )
                     if accept:
                         self._dev_greens_cutoff[i] = cutoff
+                        self._dev_greens_rounds[i] = rounds
+                        if rounds == 0:
+                            self._dev_blocks[i] = None  # free if uploaded
                         break
                 if not accept:
                     raise RuntimeError(
@@ -708,9 +726,14 @@ class BlockSaddleSystem:
                 xe = x_h[np.asarray(bucket.gather)]
                 ye = ozaki_refined_solve(
                     self._dev_inv[i],
-                    self._dev_blocks[i],
+                    # rounds=0 buckets keep no block table; the inverse
+                    # chunks stand in (the traced program never reads
+                    # them).
+                    self._dev_blocks[i] or self._dev_inv[i],
                     jnp.asarray(xe),
-                    rounds=self._refine_rounds[i],
+                    rounds=self._dev_greens_rounds.get(
+                        i, self._refine_rounds[i]
+                    ),
                     chunks=len(self._dev_inv[i]),
                     cutoff=self._dev_greens_cutoff.get(i, 8),
                 )
