@@ -205,6 +205,17 @@ class BlockSaddleSystem:
         self._dev_inv: list | None = None
         self._dev_greens_cutoff: dict[int, int] = {}
         self._dev_greens_rounds: dict[int, int] = {}
+        # Accuracy tier for the lean diagonal-inverse applies: "strict"
+        # (default) only uses the device when its probed floor is within
+        # device_greens_floor of the host's; "loose" additionally admits
+        # the "on-loose" state (<= 10x that gate).  The VMS Picard driver
+        # sets "loose" for in-loop Green's applications — fixed-point
+        # iterations self-correct, so only the FINAL unresolved-scale
+        # solve's accuracy reaches the answer (measured: loose applies
+        # everywhere cost 4x on rms err; loose in-loop + strict final
+        # re-solve keeps the host-floor answer) — and restores "strict"
+        # for the convergence re-solve.
+        self.dev_greens_accuracy: str = "strict"
         # Lean-blocks mode ("assembly is cheap, storage is expensive"):
         # with a per-bucket ``provider(lo, hi) -> [hi-lo, n, n]`` f64
         # callable, the element blocks are never held device-resident —
@@ -509,14 +520,17 @@ class BlockSaddleSystem:
         return c
 
     def _dev_greens_ready(self) -> bool:
-        """Upload the f64 inverse+block tables and probe the device apply.
+        """Upload the f64 inverse(+block) tables and probe the device apply.
 
-        Hard failures (HBM exhaustion, probe error past 3x the host
-        floor) permanently fall back to the host path; a skip for host
-        speed ("off-fast") re-probes when the host later degrades.
+        Returns True when the device path is usable at SOME tier ("on" =
+        within the strict accuracy gate; "on-loose" = within 10x of it,
+        admitted only for opted-in self-correcting consumers).  Hard
+        failures (HBM exhaustion, probe error past the loose tier)
+        permanently fall back to the host path; a skip for host speed
+        ("off-fast") re-probes when the host later degrades.
         """
         if self._dev_greens_state is not None and self._dev_greens_state != "retry":
-            return self._dev_greens_state == "on"
+            return self._dev_greens_state in ("on", "on-loose")
         from mfv2d_tpu.config import config
 
         ok = (
@@ -634,6 +648,7 @@ class BlockSaddleSystem:
             self._dev_blocks = [None] * len(inv_dev)
             self._dev_greens_cutoff = {}
             self._dev_greens_rounds = {}
+            loose_buckets = False
             # Probe ladder, cheapest accepted wins.  rounds=0 (one exact
             # Ozaki GEMV off the f64 inverse — no block tables resident,
             # 5x fewer table sweeps per apply) measured AT the device
@@ -655,6 +670,7 @@ class BlockSaddleSystem:
                 ladder = [(0, 8), (1, 8), (host_rounds, 8), (host_rounds, 10)]
                 ladder = list(dict.fromkeys(ladder))
                 accept = False
+                loose_cfg = None  # first config within 10x the gate
                 for rounds, cutoff in ladder:
                     if rounds > 0 and self._dev_blocks[i] is None:
                         if not blocks_fit:
@@ -682,6 +698,8 @@ class BlockSaddleSystem:
                     )
                     err_dev = float(np.abs(y_d - 1.0).max())
                     accept = err_dev <= gate
+                    if loose_cfg is None and err_dev <= 10.0 * gate:
+                        loose_cfg = (rounds, cutoff)
                     if tracer.enabled:
                         print(
                             f"[trace] dev-greens bucket {i}: probe dev "
@@ -697,11 +715,27 @@ class BlockSaddleSystem:
                             self._dev_blocks[i] = None  # free if uploaded
                         break
                 if not accept:
-                    raise RuntimeError(
-                        f"device-greens probe error {err_dev:.2e} "
-                        f"(host floor {err_host:.2e})"
-                    )
-            self._dev_greens_state = "on"
+                    if loose_cfg is None:
+                        raise RuntimeError(
+                            f"device-greens probe error {err_dev:.2e} "
+                            f"(host floor {err_host:.2e})"
+                        )
+                    # Loose tier: good enough for self-correcting
+                    # fixed-point iterations (the VMS driver opts in
+                    # per apply), never for strict consumers.
+                    rounds, cutoff = loose_cfg
+                    self._dev_greens_cutoff[i] = cutoff
+                    self._dev_greens_rounds[i] = rounds
+                    if rounds == 0:
+                        self._dev_blocks[i] = None
+                    loose_buckets = True
+                    if tracer.enabled:
+                        print(
+                            f"[trace] dev-greens bucket {i}: LOOSE tier "
+                            f"(rounds {rounds} cutoff {cutoff})",
+                            flush=True,
+                        )
+            self._dev_greens_state = "on-loose" if loose_buckets else "on"
             return True
         except Exception as exc:  # OOM, probe failure, compile error
             if tracer.enabled:
@@ -760,7 +794,10 @@ class BlockSaddleSystem:
         probed good, host numpy sweeps otherwise.  A speed-skip
         ("off-fast") is revisited when host applies degrade — RAM
         contention on the shared bench machine comes and goes."""
-        if self._dev_greens_ready():
+        if self._dev_greens_ready() and (
+            self._dev_greens_state == "on"
+            or self.dev_greens_accuracy == "loose"
+        ):
             return self._apply_diagonal_inverse_dev(x_h)
         if self._dev_greens_state == "off-fast":
             import time as _time

@@ -455,6 +455,21 @@ def _preconditioned_newton_solve(
     return d, False
 
 
+def _sg_loose_applies_active(sg_operator) -> bool:
+    """Whether any Green's saddle system serves LOOSE-tier device applies.
+
+    When true, the in-loop unresolved scales carry up-to-10x-host-floor
+    apply errors, so the convergence exit must re-solve at the strict
+    tier even if the inner tolerance was never loosened."""
+    for s in (
+        getattr(sg_operator, "fine_saddle", None),
+        getattr(sg_operator, "coarse_saddle", None),
+    ):
+        if s is not None and getattr(s, "_dev_greens_state", None) == "on-loose":
+            return True
+    return False
+
+
 def non_linear_solve_run(
     max_iterations: int,
     relax: float,
@@ -545,10 +560,31 @@ def non_linear_solve_run(
                 )
                 eta_abs = max(vms_atol_final, 0.05 * r_scale)
             with tracer.stage("picard-vms-unresolved"):
-                unresolved_scales = sg_operator.compute_unresolved_contributions(
-                    solution, unresolved_scales, atol_override=eta_abs
+                # In-loop unresolved solves run at the "loose" apply
+                # tier: Picard self-corrects, so only the final
+                # (re-)solve's Green's accuracy reaches the answer —
+                # measured: loose applies EVERYWHERE cost 4x on rms err,
+                # loose in-loop with a strict final re-solve does not.
+                # Only when the guarded convergence re-solve exists
+                # (vms_inexact) — without it nothing would restore the
+                # strict-tier scales before they reach the answer.
+                loose_ok = vms_inexact and hasattr(
+                    sg_operator, "set_apply_accuracy"
                 )
-            vms_loosened = eta_abs is not None and eta_abs > vms_atol_final
+                if loose_ok:
+                    sg_operator.set_apply_accuracy("loose")
+                try:
+                    unresolved_scales = (
+                        sg_operator.compute_unresolved_contributions(
+                            solution, unresolved_scales, atol_override=eta_abs
+                        )
+                    )
+                finally:
+                    if loose_ok:
+                        sg_operator.set_apply_accuracy("strict")
+            vms_loosened = (
+                eta_abs is not None and eta_abs > vms_atol_final
+            ) or (loose_ok and _sg_loose_applies_active(sg_operator))
             residual -= sg_operator.fine_results_to_coarse_dofs(
                 unresolved_scales, dual=True
             )

@@ -655,6 +655,21 @@ class SuyashGreenOperator:
         )
         return result_fine - result_coarse
 
+    def set_apply_accuracy(self, tier: str) -> None:
+        """Accuracy tier ("strict"/"loose") for the Green's saddle applies.
+
+        The Picard driver runs in-loop unresolved-scale solves at the
+        "loose" tier (fixed-point iterations self-correct, so loose
+        device applies cost nothing in the final answer) and restores
+        "strict" for the guarded convergence re-solve whose scales DO
+        reach the answer."""
+        for s in (
+            getattr(self, "fine_saddle", None),
+            getattr(self, "coarse_saddle", None),
+        ):
+            if s is not None and hasattr(s, "dev_greens_accuracy"):
+                s.dev_greens_accuracy = tier
+
     def compute_unresolved_contributions(
         self,
         coarse_solution: np.ndarray,

@@ -533,6 +533,49 @@ def test_device_greens_lean_apply_matches_host(monkeypatch):
     assert np.array_equal(y_lean, y_dev)
 
 
+def test_device_greens_loose_tier_routes_by_accuracy(monkeypatch):
+    """A probe inside 10x-the-gate (but not the gate) lands in the
+    "on-loose" state: strict consumers stay on the host sweeps, while a
+    consumer that opts into the loose tier (the VMS in-loop Green's
+    applications) gets the device applies."""
+    import jax
+
+    from mfv2d_tpu.config import config as cfg
+
+    disc, evaluator, forcing, matrices, lagrange_mat, lagrange_vec = _setup()
+    providers = [lambda lo, hi, m=np.asarray(m): m[lo:hi] for m in matrices]
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cfg, "device_greens", "1")
+    # Inject a 3e-10 device-apply offset: past the strict gate (1e-10
+    # absolute floor here — the host error is at machine level) but
+    # inside the 10x loose tier.
+    from mfv2d_tpu.ops import precision as prec
+
+    real_solve = prec.ozaki_refined_solve
+    monkeypatch.setattr(
+        prec,
+        "ozaki_refined_solve",
+        lambda *a, **k: real_solve(*a, **k) + 3e-10,
+    )
+    system = BlockSaddleSystem(
+        disc, None, lagrange_mat, block_provider=providers, device_greens=True
+    )
+    assert system._dev_greens_ready()
+    assert system._dev_greens_state == "on-loose"
+    monkeypatch.undo()
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=disc.n_dofs)
+    y_host = system._apply_diagonal_inverse_host(x)
+    # Strict (default): loose device state must NOT serve the apply.
+    y_strict = system._apply_diagonal_inverse_lean(x)
+    assert np.array_equal(y_strict, y_host)
+    # Loose opt-in: routed to the device applies.
+    system.dev_greens_accuracy = "loose"
+    y_loose = system._apply_diagonal_inverse_lean(x)
+    assert np.allclose(y_loose, y_host, atol=1e-9)
+    assert not np.array_equal(y_loose, y_host)
+
+
 def test_device_greens_headroom_gate_rejects_without_allocating(monkeypatch):
     """The HBM headroom gate is pure accounting — no device allocation.
 
