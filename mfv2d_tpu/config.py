@@ -97,17 +97,21 @@ class _Config:
         self.device_greens_gb = float(
             os.environ.get("MFV2D_TPU_DEV_GREENS_GB", "9")
         )
-        # Acceptance multiplier for the dev-greens accuracy probe: the
-        # device refined-apply floor must be <= floor * (host floor).
+        # Acceptance multiplier for the dev-greens STRICT tier: the
+        # device refined-apply floor must be <= floor * (host floor) for
+        # the device to serve accuracy-critical applies (final
+        # unresolved-scale re-solves, main-system solves).  Measured on
+        # config 5: a 3x-floor strict acceptance shifts the answer ~3x
+        # (rms 5.4e-13 -> 1.67e-12) because the final re-solve then also
+        # runs on the device — 1.5 keeps strict acceptance essentially
+        # accuracy-free, and everything between 1.5x and 10x lands in
+        # the LOOSE tier (in-loop Picard applies only, self-correcting;
+        # the guarded convergence re-solve restores host-floor scales).
         # TPU's emulated f64 is not correctly rounded (adds ~32 ulps),
-        # pinning the device floor at ~3.3x the host's at config-5
-        # conditioning even with dd residuals — relax past 3 only with a
-        # measured A/B on the target config (the error chain enters the
-        # VMS answer scaled by the fine-residual magnitude, so the
-        # identity-probe floor overstates the effect; validate, don't
-        # assume).
+        # pinning the device floor at ~3x the host's at config-5
+        # conditioning, so the strict tier rarely wins there by design.
         self.device_greens_floor = float(
-            os.environ.get("MFV2D_TPU_DEV_GREENS_FLOOR", "3")
+            os.environ.get("MFV2D_TPU_DEV_GREENS_FLOOR", "1.5")
         )
         # Accelerator HBM capacity used for NON-ALLOCATING headroom
         # accounting (live-array bytes vs capacity).  The relay exposes no
