@@ -156,6 +156,7 @@ class ShardedSuyashGreen:
         self.iteration = settings.iteration
         self.relaxation = settings.relaxation
         self.inexact_forcing = settings.inexact_forcing
+        self.anticipate_factor = settings.anticipate_factor
         self.compiled_advection = CompiledSystem(settings.nonsymmetric_system)
         compiled_sym = CompiledSystem(settings.symmetric_system)
         dk = settings.order_increase

@@ -140,6 +140,16 @@ class VMSSettings:
     # unaffected.  Disable for strict per-iteration parity with the
     # reference's fixed-tolerance iteration.
     inexact_forcing: bool = True
+    # Anticipatory strict solve: once the previous outer residual is within
+    # this factor of the Picard exit threshold, the in-loop unresolved-scale
+    # solve runs at the STRICT apply tier and the configured tolerance
+    # directly, so a convergence exit needs no guarded re-solve.  The
+    # loose-converge -> strict-re-solve -> miss -> repeat cycle measured 3
+    # extra Picard iterations on BASELINE config 5 (each paying ~5-8
+    # contended host Green's applications); anticipating one iteration
+    # early replaces that cycle with at most one already-strict iteration.
+    # 0 disables (always loosen until the guarded re-solve).
+    anticipate_factor: float = 3.0
 
 
 @dataclass(frozen=True)
@@ -533,6 +543,13 @@ def non_linear_solve_run(
         if sg_operator is not None
         else 0.0
     )
+    vms_anticipate = (
+        float(getattr(sg_operator, "anticipate_factor", 0.0))
+        if sg_operator is not None
+        else 0.0
+    )
+    # The Picard loop exits when max_residual <= atol OR <= max_mag * rtol.
+    exit_threshold = max(atol, max_mag * rtol)
     vms_loosened = False
 
     from mfv2d_tpu.tracing import tracer
@@ -549,6 +566,7 @@ def non_linear_solve_run(
             with tracer.stage("picard-vms-advection"):
                 sg_operator.update_nonlinear_advection(solution)
             eta_abs: float | None = None
+            anticipate = False
             if vms_inexact:
                 # Outer-residual scale this iteration will see: the
                 # previous measured residual, or the forcing magnitude
@@ -558,7 +576,15 @@ def non_linear_solve_run(
                     if iter_cnt > 0
                     else float(np.abs(base_vec).max())
                 )
-                eta_abs = max(vms_atol_final, 0.05 * r_scale)
+                # Within anticipate_factor of the exit threshold this
+                # iteration plausibly converges: solve strictly NOW so the
+                # exit measurement needs no re-solve/miss cycle.
+                anticipate = (
+                    vms_anticipate > 0
+                    and r_scale <= vms_anticipate * exit_threshold
+                )
+                if not anticipate:
+                    eta_abs = max(vms_atol_final, 0.05 * r_scale)
             with tracer.stage("picard-vms-unresolved"):
                 # In-loop unresolved solves run at the "loose" apply
                 # tier: Picard self-corrects, so only the final
@@ -568,8 +594,10 @@ def non_linear_solve_run(
                 # Only when the guarded convergence re-solve exists
                 # (vms_inexact) — without it nothing would restore the
                 # strict-tier scales before they reach the answer.
-                loose_ok = vms_inexact and hasattr(
-                    sg_operator, "set_apply_accuracy"
+                loose_ok = (
+                    vms_inexact
+                    and not anticipate
+                    and hasattr(sg_operator, "set_apply_accuracy")
                 )
                 if loose_ok:
                     sg_operator.set_apply_accuracy("loose")

@@ -193,6 +193,7 @@ class SuyashGreenOperator:
         self.relaxation = settings.relaxation
         self.iteration = settings.iteration
         self.inexact_forcing = settings.inexact_forcing
+        self.anticipate_factor = settings.anticipate_factor
         self.unknown_forms = settings.symmetric_system.unknown_forms
         self.compiled_advection = CompiledSystem(settings.nonsymmetric_system)
         compiled_sym = CompiledSystem(settings.symmetric_system)

@@ -388,3 +388,104 @@ def test_device_galerkin_matches_host_triple_product(monkeypatch):
     monkeypatch.undo()
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 1e-13
+
+
+def test_vms_anticipatory_strict_solve(monkeypatch):
+    """Near convergence the in-loop unresolved solve runs strictly.
+
+    Once the previous outer residual is within ``anticipate_factor`` of the
+    Picard exit threshold, the unresolved-scale solve must run at the
+    configured tolerance (``atol_override=None``) so the convergence exit
+    needs no guarded re-solve — with ``anticipate_factor=0`` the exit pays
+    one extra re-solve call.  Both modes must converge to the same answer.
+    """
+    from mfv2d_tpu.models import transport
+    from mfv2d_tpu.solver.vms import SuyashGreenOperator
+
+    nu = -1.0
+
+    def u_exact(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def q_exact(x, y):
+        return np.stack(
+            (
+                -np.pi / 2 * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y),
+                -np.pi / 2 * np.cos(np.pi / 2 * x) * np.sin(np.pi / 2 * y),
+            ),
+            axis=-1,
+        )
+
+    def source_exact(x, y):
+        return np.sum(q_exact(x, y) ** 2, axis=-1) - nu * np.pi**2 * u_exact(
+            x, y
+        ) / 2
+
+    model = transport.nonlinear_flow(nu, u_exact, source_exact)
+    u, q = model.u, model.q
+    v, pw = u.weight, q.weight
+    symmetric = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        nu * (v @ q.derivative) == -(v @ source_exact),
+    )
+
+    overrides: list[float | None] = []
+    orig = SuyashGreenOperator.compute_unresolved_contributions
+
+    def spy(self, coarse, guess, rtol_override=None, atol_override=None):
+        overrides.append(atol_override)
+        return orig(
+            self,
+            coarse,
+            guess,
+            rtol_override=rtol_override,
+            atol_override=atol_override,
+        )
+
+    monkeypatch.setattr(
+        SuyashGreenOperator, "compute_unresolved_contributions", spy
+    )
+
+    results = {}
+    for factor in (0.0, 3.0):
+        overrides.clear()
+        mesh = mf.examples.unit_square_mesh(4, 4, 3)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, over_integration_order=3),
+            mf.SolverSettings(
+                mf.ConvergenceSettings(40, 1e-9, 0),
+                linear_solver="schur_direct",
+            ),
+            vms_settings=mf.VMSSettings(
+                symmetric_system=symmetric,
+                nonsymmetric_system=model.system,
+                order_increase=2,
+                fine_scale_convergence=mf.ConvergenceSettings(10, 1e-12, 1e-10),
+                anticipate_factor=factor,
+            ),
+            recon_order=6,
+        )
+        n_it = int(stats.iter_history[-1])
+        results[factor] = (
+            np.asarray(sols[-1].point_data["u"]),
+            list(overrides),
+            n_it,
+        )
+
+    u0, seq0, it0 = results[0.0]
+    u3, seq3, it3 = results[3.0]
+    # Same converged solution either way (the final scales are strict in
+    # both modes).
+    assert np.allclose(u0, u3, atol=1e-8)
+    # anticipate_factor=0: every in-loop solve is loosened; the exit pays
+    # the guarded re-solve (the one call with no override).
+    assert seq0[-1] is None and all(o is not None for o in seq0[:-1])
+    assert len(seq0) == it0 + 2  # it0+1 in-loop solves + the re-solve
+    # Default: the last in-loop solve anticipated the exit and ran strict,
+    # so no re-solve call follows.
+    assert seq3[-1] is None
+    assert len(seq3) == it3 + 1
+    # Anticipation must not have fired from the start (the early
+    # iterations still run loosened).
+    assert any(o is not None for o in seq3)
