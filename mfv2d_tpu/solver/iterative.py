@@ -1990,8 +1990,14 @@ class IterativeSaddleSolver:
         convergence: ConvergenceSettings,
         method: str = "schur",
     ) -> None:
+        # device_greens is self-gating (host-speed probe, HBM accounting,
+        # accuracy-tier probes), so the main saddle always opts in: strict
+        # consumers only ever see it when the probe passes the strict gate,
+        # while the Picard driver serves its update solves at the loose
+        # tier (see non_linear_solve_run — update errors self-correct and
+        # the exit is measured through the evaluator's residual).
         self.system = make_block_saddle_system(
-            disc, element_matrices, lagrange_mat
+            disc, element_matrices, lagrange_mat, device_greens=True
         )
         self.convergence = convergence
         self.method = method

@@ -687,7 +687,26 @@ def non_linear_solve_run(
                 d_solution = solver.solve(residual)
         else:
             with tracer.stage("picard-solve"):
-                d_solution = solver.solve(residual)
+                # The update solve's accuracy never reaches the answer
+                # directly: convergence is measured through the evaluator's
+                # residual on the iterate, and the loop exits BEFORE
+                # applying the update it just solved — so a relative apply
+                # error eps shifts the next iterate by ~eps * |residual|,
+                # which the measurement sees and later iterations correct.
+                # Serve the main saddle's diagonal-inverse applies at the
+                # loose device tier (when probed available) instead of
+                # paying host-floor sweeps per update (measured 148.8 s of
+                # host inv-applies across 16 Picard iterations at BASELINE
+                # config-5 scale).
+                sys_obj = getattr(solver, "system", None)
+                loosen = hasattr(sys_obj, "dev_greens_accuracy")
+                if loosen:
+                    sys_obj.dev_greens_accuracy = "loose"
+                try:
+                    d_solution = solver.solve(residual)
+                finally:
+                    if loosen:
+                        sys_obj.dev_greens_accuracy = "strict"
         n_lag = global_lagrange.size
         if use_aa:
             x_k = (
