@@ -701,10 +701,18 @@ def _cached_element_fn(
     else:
         cap = int(chunk_cap)  # tests exercise the chunked path at small n
 
-    def padded(corners, dofs, static_vals):
+    def padded(corners, dofs, static_vals, *, as_chunks: bool = False):
+        # as_chunks=True returns the per-dispatch device chunks WITHOUT the
+        # device concatenate: at VMS fine scale the concat alone is a second
+        # [4096, 320, 320] f64 HBM copy (3.4 GB transient), and a caller
+        # holding chunks can stream each one host-side while later chunks
+        # (and any downstream per-chunk consumers, e.g. the Galerkin
+        # GEMMs) still compute — overlapping the ~3.4 GB tunnel download
+        # with device work instead of serializing after it.
         e = corners.shape[0]
         if e <= cap:
-            return dispatch(corners, dofs, static_vals)
+            out = dispatch(corners, dofs, static_vals)
+            return [out] if as_chunks else out
         chunks = [
             dispatch(
                 corners[lo : lo + cap],
@@ -713,7 +721,7 @@ def _cached_element_fn(
             )
             for lo in range(0, e, cap)
         ]
-        return jnp.concatenate(chunks, axis=0)
+        return chunks if as_chunks else jnp.concatenate(chunks, axis=0)
 
     return padded
 

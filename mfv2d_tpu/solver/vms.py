@@ -279,25 +279,55 @@ class SuyashGreenOperator:
                     )
                 )
             statics_sym = evaluate_static_fields(fine_batch, compiled_sym.fields)
-            with tracer.stage("vms-init-fine-matrices"):
-                fine_sym_dev = jit_element_matrices(
-                    form_specs,
-                    compiled_sym.lhs_blocks,
-                    fine_batch,
-                    static_fields=statics_sym,
-                )
-                fine_sym = np.asarray(fine_sym_dev)
-            # Galerkin coarse operator P^T A_f P (solve_system.py:750).
-            with tracer.stage("vms-init-galerkin"):
-                if self._dev_ops:
-                    coarse_sym = self._galerkin_coarse(
-                        fine_sym_dev, big1, fine_sym
+            if self._dev_ops:
+                # Pipelined fine assembly + Galerkin + download: dispatch
+                # the assembly CHUNKS (no 3.4 GB device concat), enqueue
+                # the per-chunk Galerkin GEMMs on them, and only then
+                # stream the fine chunks into host RAM — the tunnel
+                # download (~3.4 GB at config-5 scale, previously a
+                # serial tail of vms-init-fine-matrices) overlaps the
+                # Galerkin device work.
+                with tracer.stage("vms-init-fine-matrices"):
+                    keys = tuple(statics_sym.keys())
+                    fine_fn = element_matrix_fn(
+                        fine_batch, compiled_sym.lhs_blocks, form_specs, keys
                     )
-                else:
+                    fine_chunks = fine_fn(
+                        fine_batch.corners,
+                        None,
+                        tuple(statics_sym[k] for k in keys),
+                        as_chunks=True,
+                    )
+                with tracer.stage("vms-init-galerkin"):
+                    coarse_parts = self._galerkin_dispatch(fine_chunks, big1)
+                with tracer.stage("vms-init-fine-matrices"):
+                    fine_sym = np.empty((e, n_f, n_f))
+                    lo = 0
+                    for c in fine_chunks:
+                        hi = lo + c.shape[0]
+                        fine_sym[lo:hi] = np.asarray(c)
+                        lo = hi
+                del fine_chunks
+                with tracer.stage("vms-init-galerkin"):
+                    coarse_sym = self._galerkin_finalize(
+                        coarse_parts, big1, fine_sym
+                    )
+                del coarse_parts
+            else:
+                with tracer.stage("vms-init-fine-matrices"):
+                    fine_sym = np.asarray(
+                        jit_element_matrices(
+                            form_specs,
+                            compiled_sym.lhs_blocks,
+                            fine_batch,
+                            static_fields=statics_sym,
+                        )
+                    )
+                # Galerkin coarse operator P^T A_f P (solve_system.py:750).
+                with tracer.stage("vms-init-galerkin"):
                     coarse_sym = np.einsum(
                         "eij,eik,ekl->ejl", big, fine_sym, big
                     )
-            del fine_sym_dev
             fine_sym_buckets.append(fine_sym)
             coarse_sym_buckets.append(coarse_sym)
 
@@ -521,44 +551,77 @@ class SuyashGreenOperator:
             chunks.append(mats)
         self._fine_adv_chunks = chunks
 
-    def _galerkin_coarse(
-        self, m_dev, p_np: np.ndarray, m_host: np.ndarray
+    @staticmethod
+    def _galerkin_dispatch(m_chunks, p_np: np.ndarray):
+        """Enqueue the per-chunk ``P^T M_e P`` device GEMMs (async).
+
+        Returns the list of in-flight device chunk results, or None
+        off-TPU / on a dispatch failure — the finalize step then runs the
+        host triple product.  Dispatching BEFORE the caller downloads the
+        fine blocks lets the Galerkin GEMMs compute while the ~3.4 GB
+        block download streams through the tunnel.
+        """
+        if jax.default_backend() != "tpu":
+            return None
+        try:
+            p_dev = jnp.asarray(p_np)
+            return [_galerkin_chunk(c, p_dev) for c in m_chunks]
+        except Exception as exc:
+            if tracer.enabled:
+                print(f"[trace] device galerkin fell back: {exc}", flush=True)
+            return None
+
+    @staticmethod
+    def _galerkin_finalize(
+        parts, p_np: np.ndarray, m_host: np.ndarray
     ) -> np.ndarray:
-        """``P^T A_f P`` on the device via exact Ozaki GEMMs.
+        """``P^T A_f P``: collect the device Galerkin chunks, or host fall back.
 
         The seventh-session rejection of a device Galerkin build applied
         to ~1e-12-relative schemes (an INDEPENDENT coarse-side
         perturbation is inadmissible in ``G' = A_f^-1 - P A_c^-1 P^T``);
-        cutoff 10 with per-pair f64 accumulation puts the Ozaki
-        truncation at 2^-70 — at or below the host f64 GEMM's own
-        roundoff — so consistency with the downloaded fine blocks holds.
-        Replaces the single-threaded host triple product (187 s at
-        config-5 scale).  A per-run probe pins the first elements against
-        the host product; any failure falls back to the host path.
+        cutoff 10 with per-pair f64 accumulation (see _galerkin_chunk)
+        puts the Ozaki truncation at 2^-70 — at or below the host f64
+        GEMM's own roundoff — so consistency with the downloaded fine
+        blocks holds.  Replaces the single-threaded host triple product
+        (187 s at config-5 scale).  A per-run probe pins the first
+        elements against the host product; any failure falls back to the
+        host path.
         """
-        if jax.default_backend() != "tpu":
-            return np.matmul(p_np.T, np.matmul(m_host, p_np))
-        try:
-            e, n_f, _ = m_dev.shape
-            p_dev = jnp.asarray(p_np)
-            step = max(1, min(e, int(5e8 / (n_f * n_f * 8))))
-            outs = [
-                np.asarray(_galerkin_chunk(m_dev[lo : lo + step], p_dev))
-                for lo in range(0, e, step)
-            ]
-            coarse = outs[0] if len(outs) == 1 else np.concatenate(outs)
-            k = min(4, e)
-            ref = np.matmul(p_np.T, np.matmul(m_host[:k], p_np))
-            err = float(
-                np.abs(coarse[:k] - ref).max() / max(np.abs(ref).max(), 1e-300)
-            )
-            if not np.isfinite(err) or err > 1e-12:
-                raise RuntimeError(f"device Galerkin probe error {err:.2e}")
-            return coarse
-        except Exception as exc:
-            if tracer.enabled:
-                print(f"[trace] device galerkin fell back: {exc}", flush=True)
-            return np.matmul(p_np.T, np.matmul(m_host, p_np))
+        if parts is not None:
+            try:
+                outs = [np.asarray(c) for c in parts]
+                coarse = outs[0] if len(outs) == 1 else np.concatenate(outs)
+                k = min(4, m_host.shape[0])
+                ref = np.matmul(p_np.T, np.matmul(m_host[:k], p_np))
+                err = float(
+                    np.abs(coarse[:k] - ref).max()
+                    / max(np.abs(ref).max(), 1e-300)
+                )
+                if not np.isfinite(err) or err > 1e-12:
+                    raise RuntimeError(
+                        f"device Galerkin probe error {err:.2e}"
+                    )
+                return coarse
+            except Exception as exc:
+                if tracer.enabled:
+                    print(
+                        f"[trace] device galerkin fell back: {exc}",
+                        flush=True,
+                    )
+        return np.matmul(p_np.T, np.matmul(m_host, p_np))
+
+    @staticmethod
+    def _galerkin_coarse(
+        m_dev, p_np: np.ndarray, m_host: np.ndarray
+    ) -> np.ndarray:
+        """``P^T A_f P`` from a single device block table (non-pipelined)."""
+        e, n_f, _ = m_dev.shape
+        step = max(1, min(e, int(5e8 / (n_f * n_f * 8))))
+        chunks = [m_dev[lo : lo + step] for lo in range(0, e, step)]
+        return SuyashGreenOperator._galerkin_finalize(
+            SuyashGreenOperator._galerkin_dispatch(chunks, p_np), p_np, m_host
+        )
 
     def _apply_fine_advection(self, v):
         """F v (fine advection, linear + current nonlinear part)."""

@@ -384,7 +384,7 @@ def test_device_galerkin_matches_host_triple_product(monkeypatch):
 
     ref = np.matmul(p.T, np.matmul(m, p))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    got = SuyashGreenOperator._galerkin_coarse(None, jnp.asarray(m), p, m)
+    got = SuyashGreenOperator._galerkin_coarse(jnp.asarray(m), p, m)
     monkeypatch.undo()
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 1e-13
