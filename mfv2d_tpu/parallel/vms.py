@@ -157,6 +157,7 @@ class ShardedSuyashGreen:
         self.relaxation = settings.relaxation
         self.inexact_forcing = settings.inexact_forcing
         self.anticipate_factor = settings.anticipate_factor
+        self.inexact_eta = settings.inexact_eta
         self.compiled_advection = CompiledSystem(settings.nonsymmetric_system)
         compiled_sym = CompiledSystem(settings.symmetric_system)
         dk = settings.order_increase

@@ -150,6 +150,18 @@ class VMSSettings:
     # early replaces that cycle with at most one already-strict iteration.
     # 0 disables (always loosen until the guarded re-solve).
     anticipate_factor: float = 3.0
+    # Inexact-forcing multiplier: the in-loop unresolved-scale solve runs
+    # at absolute tolerance eta = inexact_eta * (previous outer residual).
+    # The u* error enters the NEXT outer residual through the dual
+    # projection with measured amplification ~7-11x (config 5), so the
+    # outer residual is floored at ~10 * eta — with 0.05 that floor is
+    # ~0.5x the previous residual and DOMINATES the physics contraction
+    # (~0.1x/iter) whenever the inner GMRES exits at (not below) its
+    # tolerance: measured 17 Picard iterations instead of 13 on config 5,
+    # with the residual tracking ~10x eta every iteration.  0.005 keeps
+    # the floor at ~0.05x — below the physics rate — for ~1 extra inner
+    # matvec per iteration on the near-identity (I + F G') operator.
+    inexact_eta: float = 0.005
 
 
 @dataclass(frozen=True)
@@ -548,6 +560,11 @@ def non_linear_solve_run(
         if sg_operator is not None
         else 0.0
     )
+    vms_eta_mult = (
+        float(getattr(sg_operator, "inexact_eta", 0.05))
+        if sg_operator is not None
+        else 0.05
+    )
     # The Picard loop exits when max_residual <= atol OR <= max_mag * rtol.
     exit_threshold = max(atol, max_mag * rtol)
     vms_loosened = False
@@ -584,7 +601,7 @@ def non_linear_solve_run(
                     and r_scale <= vms_anticipate * exit_threshold
                 )
                 if not anticipate:
-                    eta_abs = max(vms_atol_final, 0.05 * r_scale)
+                    eta_abs = max(vms_atol_final, vms_eta_mult * r_scale)
             with tracer.stage("picard-vms-unresolved"):
                 # In-loop unresolved solves run at the "loose" apply
                 # tier: Picard self-corrects, so only the final
@@ -698,8 +715,13 @@ def non_linear_solve_run(
                 # paying host-floor sweeps per update (measured 148.8 s of
                 # host inv-applies across 16 Picard iterations at BASELINE
                 # config-5 scale).
+                import os as _os
+
                 sys_obj = getattr(solver, "system", None)
-                loosen = hasattr(sys_obj, "dev_greens_accuracy")
+                loosen = (
+                    hasattr(sys_obj, "dev_greens_accuracy")
+                    and _os.environ.get("MFV2D_TPU_PICARD_LOOSE", "1") != "0"
+                )
                 if loosen:
                     sys_obj.dev_greens_accuracy = "loose"
                 try:

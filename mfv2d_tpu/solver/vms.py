@@ -194,6 +194,7 @@ class SuyashGreenOperator:
         self.iteration = settings.iteration
         self.inexact_forcing = settings.inexact_forcing
         self.anticipate_factor = settings.anticipate_factor
+        self.inexact_eta = settings.inexact_eta
         self.unknown_forms = settings.symmetric_system.unknown_forms
         self.compiled_advection = CompiledSystem(settings.nonsymmetric_system)
         compiled_sym = CompiledSystem(settings.symmetric_system)

@@ -291,3 +291,47 @@ def test_chunked_matrix_dispatch_matches_one_piece():
     )
     assert v_chunked.shape == (11, spec.total_size(*batch.orders))
     assert np.abs(np.asarray(v_chunked) - np.asarray(v_one)).max() < 1e-13
+
+
+def test_element_dispatch_as_chunks_matches_concat():
+    """as_chunks=True returns the same values as the concatenated path.
+
+    The pipelined VMS init consumes the chunk list directly (streaming
+    each chunk host-side while later chunks compute); the chunks must
+    tile the element axis exactly, in order."""
+    import mfv2d_tpu as mf
+    from mfv2d_tpu.compiler import CompiledSystem
+    from mfv2d_tpu.evaluation import ElementBatch, _cached_element_fn
+    from mfv2d_tpu.ops.basis import FemCache
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    system = mf.KFormSystem(
+        q.weight.derivative @ u - q.weight @ q == 0,
+        u.weight @ q.derivative == 0,
+    )
+    compiled = CompiledSystem(system)
+    spec = system.unknown_forms
+    basis = FemCache(2).get_basis2d(3, 3)
+    rng = np.random.default_rng(3)
+    base = np.array([(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)])
+    corners = np.tile(base, (11, 1, 1)) + 0.05 * rng.normal(size=(11, 4, 2))
+    batch = ElementBatch(basis, corners)
+    key = (
+        batch.orders,
+        batch.basis.integration_orders,
+        compiled.lhs_blocks,
+        tuple((n, int(o)) for n, o in spec),
+        (),
+        "matrix",
+        True,
+    )
+    fn = _cached_element_fn(*key, chunk_cap=4)
+    one = np.asarray(fn(batch.corners, None, ()))
+    chunks = fn(batch.corners, None, (), as_chunks=True)
+    assert [c.shape[0] for c in chunks] == [4, 4, 3]
+    glued = np.concatenate([np.asarray(c) for c in chunks], axis=0)
+    assert np.array_equal(glued, one)
+    # Single-dispatch batches come back as a one-chunk list.
+    small = fn(batch.corners[:3], None, (), as_chunks=True)
+    assert len(small) == 1 and small[0].shape[0] == 3
