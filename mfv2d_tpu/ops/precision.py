@@ -161,15 +161,22 @@ def newton_schulz_inverse(blocks) -> tuple[jnp.ndarray, float]:
 
 
 def host_explicit_inverse(
-    blocks_np, *, target: float = 1e-10, max_rounds: int = 6
-) -> tuple[np.ndarray, float, int]:
+    blocks_np, *, target: float = 1e-10, max_rounds: int = 6,
+    return_ladder: bool = False
+) -> tuple:
     """Lean-mode explicit inverse built entirely on the host.
 
     Contract matches ``(newton_schulz_inverse, choose_refine_rounds)``:
     returns ``(inverse, seed_err, rounds)`` where ``seed_err`` is the
     equilibrated f32-seed probe error (the cond*eps_f32 gate callers use
     to pick the inner-iteration precision) and ``rounds`` the refinement
-    rounds the f64 inverse needs to solve to ``target``.
+    rounds the f64 inverse needs to solve to ``target``.  With
+    ``return_ladder`` a fourth element is appended: the probe-error list
+    indexed by round count (``errs[k]`` = apply error with ``k``
+    refinement rounds, as far as the probe explored) — consumers that
+    know their actual accuracy requirement (e.g. the VMS Green's
+    operator, whose error is the MAX of its fine and coarse apply
+    errors) use it to trade unneeded rounds away.
 
     Host-resident blocks make one batched f64 LAPACK pass the cheapest
     accurate build: at config-5 fine scale ([4096, 320, 320]) it is
@@ -214,6 +221,8 @@ def host_explicit_inverse(
         errs.append(err)
         if not improved:
             break
+    if return_ladder:
+        return inv, seed_err, int(np.argmin(errs)), errs
     return inv, seed_err, int(np.argmin(errs))
 
 

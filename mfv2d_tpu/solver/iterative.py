@@ -265,6 +265,7 @@ class BlockSaddleSystem:
                 # inner-Krylov table builds that need it.
                 self._inv_np = []
             self._refine_rounds = []
+            self._refine_ladders: list[list[float] | None] = []
             seed_errs = []
             for i in range(len(disc.buckets)):
                 if self.blocks is not None:
@@ -272,9 +273,13 @@ class BlockSaddleSystem:
                     inv, seed_err = newton_schulz_inverse(b)
                     rounds, _ = choose_refine_rounds(b, inv)
                     dev_factors.append(inv)
+                    self._refine_ladders.append(None)
                 else:
-                    inv_np, seed_err, rounds = self._lean_inverse_build(i)
+                    inv_np, seed_err, rounds, ladder = (
+                        self._lean_inverse_build(i)
+                    )
                     self._inv_np.append(inv_np)
+                    self._refine_ladders.append(ladder)
                 self._refine_rounds.append(rounds)
                 seed_errs.append(seed_err)
                 from mfv2d_tpu.tracing import tracer
@@ -447,14 +452,86 @@ class BlockSaddleSystem:
         inv_full = np.empty((n_e, n, n))
         seed_err = 0.0
         rounds = 0
+        ladder: list[float] = []
         for lo in range(0, n_e, step):
             hi = min(lo + step, n_e)
             b = np.asarray(self._provider[i](lo, hi))
-            inv_c, se, rd = host_explicit_inverse(b)
+            inv_c, se, rd, errs = host_explicit_inverse(b, return_ladder=True)
             inv_full[lo:hi] = inv_c
             seed_err = max(seed_err, se)
             rounds = max(rounds, rd)
-        return inv_full, seed_err, rounds
+            # Bucket ladder = per-round max over chunks; a chunk whose
+            # probe stopped early sits on its plateau, so its last entry
+            # carries forward.
+            k = max(len(ladder), len(errs))
+            ladder = [
+                max(
+                    ladder[j] if j < len(ladder) else ladder[-1],
+                    errs[j] if j < len(errs) else errs[-1],
+                )
+                if ladder
+                else (errs[j] if j < len(errs) else errs[-1])
+                for j in range(k)
+            ]
+        return inv_full, seed_err, rounds, ladder
+
+    def refine_floor(self) -> float:
+        """Probe error of the diagonal-inverse apply at the chosen rounds.
+
+        Max over lean buckets of the refinement-ladder entry actually
+        selected; 0.0 when no ladders were recorded (stored-mode builds,
+        non-TPU backends) so a sibling system never loosens against an
+        unknown floor.
+        """
+        ladders = getattr(self, "_refine_ladders", None)
+        if not ladders:
+            return 0.0
+        floor = 0.0
+        for ladder, rounds in zip(ladders, self._refine_rounds):
+            if ladder:
+                floor = max(floor, ladder[min(rounds, len(ladder) - 1)])
+        return floor
+
+    def relax_refine_rounds(self, tol: float, slack: float = 1.5) -> None:
+        """Drop refinement rounds that buy accuracy below ``slack * tol``.
+
+        Each host/device refinement round costs one full pass over the
+        block AND inverse tables per apply (~2.8 GB at BASELINE config-5
+        coarse scale), so rounds that polish the apply error below what
+        the consumer can observe are pure waste.  The motivating consumer
+        is the VMS Green's function G' = A_f^{-1} - P A_c^{-1} P^T, whose
+        error is the MAX of its two apply errors: polishing the coarse
+        apply (plateau 1.7e-10, rounds=2) below the fine apply's floor
+        (4.1e-10, rounds=1) was unobservable in G' yet cost 2 extra
+        1.4 GB sweeps x 82 calls per config-5 run.  ``slack`` admits
+        errors within that factor of the dominant side (on the real
+        config-5 blocks the balanced point sits 2.5% ABOVE the fine
+        floor); 1.5x is the dev-greens strict-tier threshold the ninth
+        session's ladder A/Bs measured as accuracy-free.  Rounds only
+        ever DECREASE; buckets without ladders are left alone.
+        """
+        ladders = getattr(self, "_refine_ladders", None)
+        if not ladders or not np.isfinite(tol) or tol <= 0.0:
+            return
+        tol = slack * tol
+        for i, ladder in enumerate(ladders):
+            if not ladder:
+                continue
+            for k, err in enumerate(ladder):
+                if np.isfinite(err) and err <= tol:
+                    if k < self._refine_rounds[i]:
+                        from mfv2d_tpu.tracing import tracer
+
+                        if tracer.enabled:
+                            print(
+                                f"[trace] saddle bucket {i}: refine rounds "
+                                f"{self._refine_rounds[i]} -> {k} "
+                                f"(err {err:.2e} <= consumer floor "
+                                f"{tol:.2e})",
+                                flush=True,
+                            )
+                        self._refine_rounds[i] = k
+                    break
 
     # -- block-diagonal operators --------------------------------------
 

@@ -464,6 +464,19 @@ class SuyashGreenOperator:
                     disc, coarse_sym_buckets, coarse_lag_mat,
                     device_greens=True,
                 )
+            # The Green's function G' = A_f^{-1} - P A_c^{-1} P^T sees the
+            # MAX of the two diagonal-inverse apply errors, so refinement
+            # rounds that polish one side below the other side's floor are
+            # unobservable in G' and cost a full pass over that side's
+            # block + inverse tables per apply (measured: the coarse
+            # saddle at rounds=2 spent 239 s over 82 config-5 calls
+            # polishing to 1.7e-10 under a fine-apply floor of 4.1e-10).
+            tol = max(
+                self.fine_saddle.refine_floor(),
+                self.coarse_saddle.refine_floor(),
+            )
+            self.fine_saddle.relax_refine_rounds(tol)
+            self.coarse_saddle.relax_refine_rounds(tol)
             self.fine_decomp = None
             self.coarse_decomp = None
             self.fine_sym_mat = None

@@ -265,3 +265,66 @@ def test_host_explicit_inverse_contract():
     assert seed_err > 0.05
     b = rng.standard_normal((4, 24))
     assert refined_solve_err(a_ill, inv, rounds, b) < 1e-8
+
+
+def test_host_explicit_inverse_ladder():
+    """return_ladder exposes the probe-error-by-rounds list consistently.
+
+    The ladder backs BlockSaddleSystem.relax_refine_rounds: errs[rounds]
+    must be the error the chosen round count actually achieves, and the
+    chosen rounds must be the argmin of the explored ladder.
+    """
+    from mfv2d_tpu.ops.precision import host_explicit_inverse
+
+    rng = np.random.default_rng(5)
+    q, _ = np.linalg.qr(rng.standard_normal((24, 24)))
+    d = np.logspace(0, -7, 24)
+    a = np.broadcast_to(q * d @ q.T, (4, 24, 24)).copy()
+    a += 1e-9 * rng.standard_normal(a.shape)
+    inv, seed_err, rounds, errs = host_explicit_inverse(a, return_ladder=True)
+    inv2, seed_err2, rounds2 = host_explicit_inverse(a)
+    assert rounds == rounds2 and seed_err == seed_err2
+    assert np.array_equal(inv, inv2)
+    assert len(errs) >= rounds + 1
+    assert rounds == int(np.argmin(errs))
+
+
+def test_saddle_refine_round_rebalance():
+    """relax_refine_rounds drops rounds that polish below the consumer floor.
+
+    The VMS Green's function G' = A_f^{-1} - P A_c^{-1} P^T observes the
+    MAX of its fine/coarse apply errors, so the coarse system's extra
+    rounds (plateauing at 1.7e-10 under a 4.1e-10 fine floor on the real
+    config-5 blocks) must be traded away — and never the other way.
+    """
+    from mfv2d_tpu.solver.iterative import BlockSaddleSystem
+
+    sys_f = object.__new__(BlockSaddleSystem)
+    sys_f._refine_ladders = [[5.4e-9, 4.1e-10, 5.7e-10]]  # fine: argmin=1
+    sys_f._refine_rounds = [1]
+    sys_c = object.__new__(BlockSaddleSystem)
+    # coarse: argmin=3, marginal gains past round 1
+    sys_c._refine_ladders = [[9.3e-10, 4.2e-10, 1.9e-10, 1.7e-10]]
+    sys_c._refine_rounds = [3]
+
+    assert sys_f.refine_floor() == 4.1e-10
+    assert sys_c.refine_floor() == 1.7e-10
+    tol = max(sys_f.refine_floor(), sys_c.refine_floor())
+    sys_f.relax_refine_rounds(tol)
+    sys_c.relax_refine_rounds(tol)
+    assert sys_f._refine_rounds == [1]  # its own floor: unchanged
+    # coarse round 1 (4.2e-10) is within the 1.5x slack of the fine floor
+    # (the balanced point on the real config-5 blocks sits 2.5% above it)
+    assert sys_c._refine_rounds == [1]
+    # without slack the strict comparison would stop one round later
+    sys_c._refine_rounds = [3]
+    sys_c.relax_refine_rounds(tol, slack=1.0)
+    assert sys_c._refine_rounds == [2]
+
+    # A stored-mode sibling (no ladders) must never loosen the other side.
+    sys_s = object.__new__(BlockSaddleSystem)
+    sys_s._refine_ladders = [None]
+    sys_s._refine_rounds = [0]
+    assert sys_s.refine_floor() == 0.0
+    sys_s.relax_refine_rounds(1e-9)  # no-op, no ladders
+    assert sys_s._refine_rounds == [0]
