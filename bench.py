@@ -16,23 +16,47 @@ quadrature grid) — the strongest CPU implementation of the same math
 available in this container (the reference's C path needs its jmtx submodule,
 which is not checked out, so it cannot be built here).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness contract (the round-3 record was lost to a driver timeout):
+ - every device interaction runs in a SUBPROCESS with a hard timeout, so a
+   wedged relay can never hang this process;
+ - the headline JSON line prints as soon as the core measurement is done,
+   BEFORE any optional extras (TPU test tier);
+ - the final stdout line repeats the headline (plus the tier result), so a
+   parser taking either the first or the last JSON line gets a record;
+ - exit code is always 0.
+
+Reported ratios (all in one line, so none is quotable out of context):
+ - ``vs_baseline``      f32 TPU rate / f64 NumPy rate (legacy, mixed dtypes)
+ - ``vs_baseline_f64``  f64 TPU rate / f64 NumPy rate
+ - ``vs_baseline_f32``  f32 TPU rate / f32 NumPy rate
+ - ``pct_chip_peak``    assembly FLOP/s vs measured big square f32 GEMM peak
+ - ``pct_shape_envelope`` same vs the assembly's own [2^20,64]x[64,512]
+   shape-class GEMM envelope (the number BENCH.md sect. 3 used to report).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
-
-os.environ.setdefault("MFV2D_TPU_ASSEMBLY_DTYPE", "float32")
 
 P = 4
 OVER_INT = 2
 N_ELEM = int(os.environ.get("MFV2D_TPU_BENCH_ELEMENTS", "8192"))
 CHAIN = int(os.environ.get("MFV2D_TPU_BENCH_CHAIN", "512"))
+# Fused mixed-Poisson p=4 assembly FLOPs per element: 4x[49,400]x[400,400]
+# pair-table GEMM halves + 2x[49,640] cross terms (see bench_solve.py peak).
+FLOPS_PER_EL = 282_240
+
+_T_START = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T_START
 
 
 def _problem():
@@ -58,7 +82,7 @@ def _corners(n_elem: int, dtype) -> np.ndarray:
     ).astype(dtype)
 
 
-def bench_tpu() -> float:
+def bench_tpu(n_elem: int = N_ELEM, chain: int = CHAIN) -> float:
     """Chained batched assembly rate (elements/second) on the JAX device."""
     import jax
     import jax.numpy as jnp
@@ -70,10 +94,10 @@ def bench_tpu() -> float:
     basis = FemCache(OVER_INT).get_basis2d(P, P)
     dtype = (
         np.float32
-        if os.environ["MFV2D_TPU_ASSEMBLY_DTYPE"] == "float32"
+        if os.environ.get("MFV2D_TPU_ASSEMBLY_DTYPE", "float64") == "float32"
         else np.float64
     )
-    corners = jnp.asarray(_corners(N_ELEM, dtype))
+    corners = jnp.asarray(_corners(n_elem, dtype))
     n = system.unknown_forms.total_size(P, P)
     rng = np.random.default_rng(7)
     xvec = jnp.asarray(rng.normal(size=(n,)).astype(dtype))
@@ -90,7 +114,7 @@ def bench_tpu() -> float:
     from functools import partial
 
     @partial(jax.jit, static_argnames=("k",))
-    def chain(c, k):
+    def chain_fn(c, k):
         # The whole chain runs inside one dispatch: per-step host/relay
         # overhead (33 ms RTT, lazy execution) never enters the measurement.
         def body(_, carry):
@@ -100,38 +124,40 @@ def bench_tpu() -> float:
         return jax.lax.fori_loop(0, k, body, (c, jnp.asarray(0.0, dtype)))[1]
 
     c = corners
-    k0 = max(2, CHAIN // 8)
-    float(chain(c, k0))  # compile + warm both lengths
-    float(chain(c, CHAIN))
+    k0 = max(2, chain // 8)
+    float(chain_fn(c, k0))  # compile + warm both lengths
+    float(chain_fn(c, chain))
 
     def run(k: int) -> float:
         t0 = time.perf_counter()
-        float(chain(c, k))
+        float(chain_fn(c, k))
         return time.perf_counter() - t0
 
     # Two chain lengths subtract the fixed dispatch/fetch overhead; the min
     # over repeats rejects relay-latency spikes.
     t0 = min(run(k0) for _ in range(5))
-    tk = min(run(CHAIN) for _ in range(5))
-    per_assembly = (tk - t0) / (CHAIN - k0)
-    return N_ELEM / per_assembly
+    tk = min(run(chain) for _ in range(5))
+    per_assembly = (tk - t0) / (chain - k0)
+    return n_elem / per_assembly
 
 
-def bench_cpu_baseline(n_elem: int = 512, reps: int = 3) -> float:
+def bench_cpu_baseline(
+    n_elem: int = 512, reps: int = 3, dtype=np.float64
+) -> float:
     """Single-core vectorized NumPy assembly of the same element system."""
     from mfv2d_tpu.ops.basis import FemCache
     from mfv2d_tpu.ops.incidence import incidence_21
 
     basis = FemCache(OVER_INT).get_basis2d(P, P)
     bx, be = basis.basis_xi, basis.basis_eta
-    b_h = np.kron(be.node, bx.edge)  # [n_h, nq]
-    b_v = np.kron(be.edge, bx.node)
-    b_2 = np.kron(be.edge, bx.edge)
-    w = np.kron(be.rule.weights, bx.rule.weights)
-    nodes_1 = bx.rule.nodes
-    nodes_2 = be.rule.nodes
-    e21 = incidence_21(P, P)
-    corners = _corners(n_elem, np.float64)
+    b_h = np.kron(be.node, bx.edge).astype(dtype)  # [n_h, nq]
+    b_v = np.kron(be.edge, bx.node).astype(dtype)
+    b_2 = np.kron(be.edge, bx.edge).astype(dtype)
+    w = np.kron(be.rule.weights, bx.rule.weights).astype(dtype)
+    nodes_1 = bx.rule.nodes.astype(dtype)
+    nodes_2 = be.rule.nodes.astype(dtype)
+    e21 = incidence_21(P, P).astype(dtype)
+    corners = _corners(n_elem, dtype)
 
     def assemble(c):
         x0, y0 = c[:, 0, 0], c[:, 0, 1]
@@ -169,7 +195,7 @@ def bench_cpu_baseline(n_elem: int = 512, reps: int = 3) -> float:
         m2 = np.einsum("ws,es,us->ewu", b_2, w / det, b_2)
         n1 = m1.shape[1]
         n2 = m2.shape[1]
-        out = np.zeros((e, n1 + n2, n1 + n2))
+        out = np.zeros((e, n1 + n2, n1 + n2), dtype)
         out[:, :n1, :n1] = -m1
         out[:, :n1, n1:] = np.einsum("ji,ejk->eik", e21, m2)
         out[:, n1:, :n1] = np.einsum("eij,jk->eik", m2, e21)
@@ -184,17 +210,74 @@ def bench_cpu_baseline(n_elem: int = 512, reps: int = 3) -> float:
     return n_elem / min(times)
 
 
-def _await_device(attempts: int = 8, probe_timeout: int = 120) -> None:
-    """Block until the accelerator answers a trivial dispatch.
+def bench_gemm_peaks() -> dict:
+    """Measured f32 GEMM rates: big square (chip peak) + assembly shape class.
+
+    Both use the two-chain-length protocol so dispatch overhead cancels.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    def rate(make_ab, flops_per_rep, body, k_a, k_b):
+        a, b_mat = make_ab()
+
+        @partial(jax.jit, static_argnames=("reps",))
+        def chain(a, reps):
+            def step(_, acc):
+                return body(acc, b_mat)
+
+            return jax.lax.fori_loop(0, reps, step, a)
+
+        chain(a, k_a).block_until_ready()
+        chain(a, k_b).block_until_ready()
+
+        def run(reps):
+            t0 = time.perf_counter()
+            chain(a, reps).block_until_ready()
+            return time.perf_counter() - t0
+
+        ta = min(run(k_a) for _ in range(3))
+        tb = min(run(k_b) for _ in range(3))
+        return flops_per_rep * (k_b - k_a) / (tb - ta)
+
+    rng = np.random.default_rng(0)
+    # Chip peak: big square f32 GEMM (MXU-saturating, both dims wide).
+    m = 8192
+    sq = rate(
+        lambda: (
+            jnp.asarray(rng.normal(size=(m, m)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(m, m)).astype(np.float32)),
+        ),
+        2 * m * m * m,
+        lambda acc, b: (acc @ b) * 1e-3 + acc * 1e-6,
+        2,
+        16,
+    )
+    # Assembly shape class: huge-M, small-K, medium-N.
+    e, k, n = 1 << 20, 64, 512
+    env = rate(
+        lambda: (
+            jnp.asarray(rng.normal(size=(e, k)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(k, n)).astype(np.float32)),
+        ),
+        2 * e * k * n,
+        lambda acc, b: (acc @ b)[:, :k] * 1e-3 + acc,
+        4,
+        64,
+    )
+    return {"chip_peak_flops": sq, "envelope_flops": env}
+
+
+def _await_device(attempts: int = 2, probe_timeout: int = 60) -> bool:
+    """Return True once the accelerator answers a trivial dispatch.
 
     The axon relay's remote worker can wedge for minutes after a crashed or
     killed client (device ops then HANG rather than error).  Each probe
-    runs in a subprocess so a hung dispatch can be killed; the bench only
-    proceeds once a probe round-trips.
+    runs in a subprocess so a hung dispatch can be killed.  Hard-capped at
+    ~2 minutes total — the headline must print even on a dead relay
+    (round 3's record was nulled by an unbounded wait here).
     """
-    import subprocess
-    import sys
-
     code = (
         "import jax, jax.numpy as jnp;"
         "x = jnp.ones((256, 256));"
@@ -208,22 +291,48 @@ def _await_device(attempts: int = 8, probe_timeout: int = 120) -> None:
                 capture_output=True,
             )
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
-        time.sleep(60)
-    # Fall through and let the real run report whatever happens.
+        if attempt + 1 < attempts:
+            time.sleep(10)
+    return False
 
 
-def _tpu_tier_result(timeout: int = 600) -> str:
+def _sub_json(argv: list[str], timeout: float, env: dict | None = None):
+    """Run ``bench.py <argv>`` in a subprocess; parse its last stdout line.
+
+    Returns None on timeout/crash/unparseable output — never raises.
+    """
+    if timeout < 30:
+        return None
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *argv],
+            timeout=timeout,
+            capture_output=True,
+            text=True,
+            env=full_env,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return None
+
+
+def _tpu_tier_result(timeout: float) -> str:
     """Run the opt-in TPU-tier tests on the real chip (VERDICT r2 item 6).
 
     Returns "N/M" passed/total, or a short failure tag; never raises — the
-    bench headline must still print if the tier wedges.
+    bench headline has already printed by the time this runs.
     """
-    import subprocess
-    import sys
-
     env = dict(os.environ)
     env["MFV2D_TPU_TESTS"] = "1"
     try:
@@ -246,29 +355,74 @@ def _tpu_tier_result(timeout: int = 600) -> str:
 
 
 def main() -> None:
-    _await_device()
-    tpu_rate = bench_tpu()
-    base_rate = bench_cpu_baseline()
-    tier = _tpu_tier_result()
-    print(
-        json.dumps(
-            {
-                "metric": "element_assemblies_per_sec_p4",
-                "value": round(tpu_rate, 1),
-                "unit": "elements/s",
-                "vs_baseline": round(tpu_rate / base_rate, 2),
-                # The baseline runs in float64 (NumPy's native speed there);
-                # the TPU rate uses the dtype below, so the ratio mixes
-                # precisions — disclose it.
-                "assembly_dtype": os.environ["MFV2D_TPU_ASSEMBLY_DTYPE"],
-                "baseline_dtype": "float64",
-                # Hardware-tier pytest run (f32 accuracy bounds asserted on
-                # the actual accelerator; gate.py --tpu runs the same).
-                "tpu_tier_tests": tier,
-            }
+    # CPU baselines first: no device involved, a few seconds, can't hang.
+    base_f64 = bench_cpu_baseline(dtype=np.float64)
+    base_f32 = bench_cpu_baseline(dtype=np.float32)
+
+    alive = _await_device()
+    rate_f32 = rate_f64 = None
+    peaks = None
+    if alive:
+        r = _sub_json(
+            ["--device-rate"],
+            timeout=300,
+            env={"MFV2D_TPU_ASSEMBLY_DTYPE": "float32"},
         )
-    )
+        rate_f32 = r and r.get("rate")
+        # f64 runs a shorter chain (emulated f64 is slow); rate is per
+        # element so the numbers stay comparable.
+        r = _sub_json(
+            ["--device-rate", "2048", "64"],
+            timeout=min(300.0, 560.0 - _elapsed()),
+            env={"MFV2D_TPU_ASSEMBLY_DTYPE": "float64"},
+        )
+        rate_f64 = r and r.get("rate")
+        peaks = _sub_json(["--gemm-peaks"], timeout=min(180.0, 580.0 - _elapsed()))
+
+    row = {
+        "metric": "element_assemblies_per_sec_p4",
+        "value": round(rate_f32, 1) if rate_f32 else 0.0,
+        "unit": "elements/s",
+        "vs_baseline": round(rate_f32 / base_f64, 2) if rate_f32 else 0.0,
+        # vs_baseline mixes dtypes (legacy headline): f32 TPU over f64
+        # NumPy.  The like-for-like pairs:
+        "vs_baseline_f64": round(rate_f64 / base_f64, 2) if rate_f64 else None,
+        "vs_baseline_f32": round(rate_f32 / base_f32, 2) if rate_f32 else None,
+        "assembly_dtype": "float32",
+        "baseline_dtype": "float64",
+        "baseline_el_per_s_f64": round(base_f64, 1),
+        "baseline_el_per_s_f32": round(base_f32, 1),
+    }
+    if peaks and rate_f32:
+        eff = rate_f32 * FLOPS_PER_EL
+        row["pct_chip_peak"] = round(100.0 * eff / peaks["chip_peak_flops"], 1)
+        row["pct_shape_envelope"] = round(
+            100.0 * eff / peaks["envelope_flops"], 1
+        )
+        row["chip_peak_tflops"] = round(peaks["chip_peak_flops"] / 1e12, 1)
+        row["envelope_tflops"] = round(peaks["envelope_flops"] / 1e12, 1)
+    if not alive:
+        row["error"] = "device unreachable (probe timed out)"
+
+    # HEADLINE: print (and flush) before any optional extras.
+    print(json.dumps(row), flush=True)
+
+    if alive and not os.environ.get("MFV2D_TPU_BENCH_SKIP_TIER"):
+        budget = 620.0 - _elapsed()
+        row["tpu_tier_tests"] = (
+            _tpu_tier_result(min(240.0, budget)) if budget > 60 else "skipped"
+        )
+        # Re-print so a last-line parser also sees the (augmented) record.
+        print(json.dumps(row), flush=True)
+    sys.exit(0)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--device-rate":
+        n_elem = int(sys.argv[2]) if len(sys.argv) > 2 else N_ELEM
+        chain = int(sys.argv[3]) if len(sys.argv) > 3 else CHAIN
+        print(json.dumps({"rate": bench_tpu(n_elem, chain)}))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--gemm-peaks":
+        print(json.dumps(bench_gemm_peaks()))
+    else:
+        main()

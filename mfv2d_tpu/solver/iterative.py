@@ -460,9 +460,17 @@ class BlockSaddleSystem:
             inv_full[lo:hi] = inv_c
             seed_err = max(seed_err, se)
             rounds = max(rounds, rd)
-            # Bucket ladder = per-round max over chunks; a chunk whose
-            # probe stopped early sits on its plateau, so its last entry
-            # carries forward.
+            # Bucket ladder = per-round max over chunks.  Rounds beyond a
+            # chunk's explored ladder reuse its last MEASURED entry — a
+            # heuristic, not a bound: host_explicit_inverse stops probing
+            # when the error fails to halve (including when it increased),
+            # so a round past a chunk's exploration could in truth sit
+            # slightly above the carried plateau value.  Consumers
+            # (refine_floor, and the _dev_greens_ready gate derived from
+            # it) therefore read a floor ESTIMATE for such rounds; the
+            # guarded convergence re-solve (strict tier at host floor)
+            # backstops the final answer regardless, which is why the
+            # probe is not extended to every chunk's full ladder.
             k = max(len(ladder), len(errs))
             ladder = [
                 max(
@@ -509,6 +517,19 @@ class BlockSaddleSystem:
         floor); 1.5x is the dev-greens strict-tier threshold the ninth
         session's ladder A/Bs measured as accuracy-free.  Rounds only
         ever DECREASE; buckets without ladders are left alone.
+
+        Bounded-accuracy trade, stated explicitly (ADVICE r3): with
+        slack > 1 the DOMINANT bucket may also relax against slack times
+        its own floor, and both sides relax against the ``tol`` captured
+        before either relaxed — so the worst-case G' apply error after
+        relaxation is bounded by ``slack * tol``, not ``tol``.  This is
+        deliberate: validated at config-5 element conditioning (cond
+        1.2e7/5.4e6 on the real chip), coarse rounds relaxed 3 -> 1 and
+        the two sides balanced at 4.17e-10 vs the fine floor 4.07e-10 —
+        a 2.5% error increase for two fewer 1.4 GB sweeps per apply x 82
+        calls (239 s).  Callers needing the strict guarantee pass
+        ``slack=1.0``, for which the "unobservable in G'" argument above
+        holds exactly.
         """
         ladders = getattr(self, "_refine_ladders", None)
         if not ladders or not np.isfinite(tol) or tol <= 0.0:
