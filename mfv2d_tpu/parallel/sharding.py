@@ -1572,6 +1572,7 @@ def sharded_steady_solve(
     cg_maximum_iterations: int = 2000,
     cg_tolerance: float = 1e-13,
     krylov_method: str = "cg",
+    initial_solution=None,
 ):
     """Fully sharded steady solve: assembly -> Picard -> Schur Krylov.
 
@@ -1625,7 +1626,14 @@ def sharded_steady_solve(
         sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))
         for bucket, sub in subs
     ]
-    us = [jnp.zeros_like(b) for b in bs]
+    if initial_solution is None:
+        us = [jnp.zeros_like(b) for b in bs]
+    else:
+        sol = np.asarray(initial_solution)
+        us = [
+            sub.shard_dofs(sol[bucket.gather].reshape(-1))
+            for bucket, sub in subs
+        ]
     lam = jnp.zeros(msys.n_lagrange)
     c_vec = jnp.asarray(lagrange_vec)
 
@@ -2037,16 +2045,30 @@ def _elementwise_gemv(device_mesh: Mesh):
 
 def _march_prologue(
     system, disc, device_mesh, time_settings, boundary_conditions,
-    constrained_forms,
+    constrained_forms, unsteady_bcs=None, has_td_rhs=False,
 ):
     """Shared march setup: compile, constraints, sharded assembly, carry maps.
 
     Returns ``(compiled, msys, b_elems, c_vec, carry_cols, mass_blocks,
-    block_gemv, sample_steps, slots)`` with one entry per order bucket in
-    the per-bucket lists.
+    block_gemv, sample_steps, slots, c_steps, b_steps)`` with one entry per
+    order bucket in the per-bucket lists.
+
+    ``unsteady_bcs`` (the ORIGINAL boundary-condition list containing
+    ``BoundaryCondition2DUnsteady`` entries) and ``has_td_rhs``
+    (``TimeDependent`` forcing present) switch on per-step data: the
+    constraint ROWS are time-independent, so only the constraint values
+    (``c_steps [nt, n_lag]``) and — when weak BCs or forcing vary — the
+    per-bucket forcing (``b_steps``, each ``[nt, e_padded, n]`` sharded)
+    are precomputed host-side and fed to the march scan as per-step
+    inputs.  Both are None for autonomous (time-invariant) data, keeping
+    the static-march memory profile.  Mirrors the single-device per-step
+    rebuild, solve_system_2d.py (reference
+    python/mfv2d/solve_system_2d.py:325-397 carry scheme).
     """
+    from mfv2d_tpu.boundary import freeze_unsteady_boundary_conditions
     from mfv2d_tpu.compiler import CompiledSystem
     from mfv2d_tpu.continuity import add_system_constraints
+    from mfv2d_tpu.kform import TimeDependent
     from mfv2d_tpu.solver.fused import _sample_slots
     from mfv2d_tpu.solver.solve import (
         compute_forcing_vector,
@@ -2057,22 +2079,96 @@ def _march_prologue(
     marched = update_system_for_time_march(time_settings, system)
     compiled = CompiledSystem(marched)
     form_spec = marched.unknown_forms
+    # Time-dependent OPERATOR coefficients would need per-step sharded
+    # reassembly of the frozen blocks; fail loudly like the single-device
+    # path instead of silently freezing them.
+    if any(isinstance(f, TimeDependent) for f in compiled.fields):
+        raise NotImplementedError(
+            "TimeDependent interior-product (operator) fields are not"
+            " supported in sharded marches; only forcing and boundary"
+            " data may vary in time."
+        )
 
+    has_unsteady = bool(unsteady_bcs) or has_td_rhs
+    dt = time_settings.dt
+    nt = time_settings.nt
+    # The trapezoidal carry seed is the t = 0 forcing (f^0 contribution);
+    # with TimeDependent forcing that differs from the step-0 solve's
+    # t = dt forcing, mirroring the single-device setup which assembles at
+    # t = 0 and rebuilds at t = dt before the first solve.
+    forcing0 = None
+    if has_td_rhs:
+        TimeDependent.current_time = 0.0
+        forcing0 = compute_forcing_vector(disc, marched)
+        TimeDependent.current_time = dt
     forcing = compute_forcing_vector(disc, marched)
+    forcing_raw = forcing.copy() if has_td_rhs else None
     linear_vectors = [
         forcing[disc.element_offsets[i] : disc.element_offsets[i + 1]]
         for i in range(disc.n_leaves)
     ]
+    bcs0 = (
+        freeze_unsteady_boundary_conditions(list(unsteady_bcs), dt)
+        if unsteady_bcs
+        else list(boundary_conditions)
+    )
     lagrange_mat, lagrange_vec = add_system_constraints(
         marched,
         disc.mesh,
         disc.basis_cache,
         list(constrained_forms),
-        list(boundary_conditions),
+        bcs0,
         disc.leaf_indices,
         disc.element_offsets,
         linear_vectors,
     )
+    if has_td_rhs:
+        # Carry the weak-BC additions (in-place deltas from the constraint
+        # assembly above) over to the t = 0 carry-seed forcing, matching
+        # the single-device explicit_vec composition.
+        forcing0 = forcing0 + (forcing - forcing_raw)
+    else:
+        forcing0 = forcing
+    c_steps = None
+    forcing_steps = None
+    if has_unsteady:
+        # Step i solves for t = (i + 1) dt.  Step 0 reuses the arrays
+        # computed above (weak-BC additions included in `forcing`).
+        c_steps = np.empty((nt, lagrange_vec.size))
+        c_steps[0] = lagrange_vec
+        forcing_steps = [forcing]
+        pure_forcing = (
+            None if has_td_rhs else compute_forcing_vector(disc, marched)
+        )
+        for ti in range(1, nt):
+            t = (ti + 1) * dt
+            if has_td_rhs:
+                TimeDependent.current_time = t
+                forcing_t = compute_forcing_vector(disc, marched)
+            else:
+                forcing_t = pure_forcing.copy()
+            vec_views = [
+                forcing_t[disc.element_offsets[i] : disc.element_offsets[i + 1]]
+                for i in range(disc.n_leaves)
+            ]
+            _, vec_t = add_system_constraints(
+                marched,
+                disc.mesh,
+                disc.basis_cache,
+                list(constrained_forms),
+                freeze_unsteady_boundary_conditions(list(unsteady_bcs or ()), t),
+                disc.leaf_indices,
+                disc.element_offsets,
+                vec_views,
+            )
+            c_steps[ti] = vec_t
+            forcing_steps.append(forcing_t)
+        if all(np.array_equal(f, forcing_steps[0]) for f in forcing_steps[1:]):
+            # Strong-BC-only unsteadiness: the element forcing is constant
+            # and only the constraint values march — drop the big buffer.
+            forcing_steps = None
+        if np.ptp(c_steps, axis=0).max(initial=0.0) == 0.0:
+            c_steps = None
     msys = MultiBucketShardedSystem.from_assembly(
         disc, compiled.linear_blocks, lagrange_mat, device_mesh
     )
@@ -2096,6 +2192,24 @@ def _march_prologue(
             sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))
         )
         mass_blocks.append(_dual_mass_blocks(sub, form_spec))
+    if forcing0 is forcing:
+        b0_elems = list(b_elems)
+    else:
+        b0_elems = [
+            sub.shard_dofs(np.asarray(forcing0)[bucket.gather].reshape(-1))
+            for bucket, sub in msys.subsystems
+        ]
+    b_steps = None
+    if forcing_steps is not None:
+        b_steps = tuple(
+            jnp.stack(
+                [
+                    sub.shard_dofs(f[bucket.gather].reshape(-1))
+                    for f in forcing_steps
+                ]
+            )
+            for bucket, sub in msys.subsystems
+        )
     block_gemv = _elementwise_gemv(device_mesh)
     c_vec = jnp.asarray(lagrange_vec)
     sample_steps, slots = _sample_slots(
@@ -2112,6 +2226,9 @@ def _march_prologue(
         block_gemv,
         sample_steps,
         jnp.asarray(slots),
+        None if c_steps is None else jnp.asarray(c_steps),
+        b_steps,
+        tuple(b0_elems),
     )
 
 
@@ -2137,6 +2254,10 @@ def sharded_time_march(
     constrained_forms=(),
     cg_maximum_iterations: int = 2000,
     cg_tolerance: float = 1e-12,
+    krylov_method: str = "cg",
+    unsteady_bcs=None,
+    has_td_rhs: bool = False,
+    initial_solution=None,
 ):
     """Fully sharded linear trapezoidal time march: one jitted scan.
 
@@ -2145,7 +2266,10 @@ def sharded_time_march(
     the only communication is one psum per Schur-CG matvec per bucket
     inside each step's saddle solve.  hp meshes run one sharded subsystem
     per order bucket.  Semantics match the host/fused marches (one linear
-    solve per step, trapezoidal carry update).
+    solve per step, trapezoidal carry update).  Time-dependent boundary
+    values / forcing (``unsteady_bcs`` / ``has_td_rhs``) enter as
+    precomputed per-step scan inputs; ``initial_solution`` (flat primal
+    DoFs) seeds the march with the consistent trapezoidal carry start.
 
     Returns ``(solutions [nt_sampled, n_dofs], sample_steps, lam)``.
     """
@@ -2160,9 +2284,12 @@ def sharded_time_march(
         block_gemv,
         sample_steps,
         slots_dev,
+        c_steps,
+        b_steps,
+        b0_elems,
     ) = _march_prologue(
         system, disc, device_mesh, time_settings, boundary_conditions,
-        constrained_forms,
+        constrained_forms, unsteady_bcs, has_td_rhs,
     )
     if compiled.nonlin_blocks is not None or compiled.rhs_blocks is not None:
         raise NotImplementedError(
@@ -2171,19 +2298,27 @@ def sharded_time_march(
         )
 
     subs = msys.subsystems
-    krylov = _trace_krylov(msys, "cg", cg_maximum_iterations)
+    krylov = _trace_krylov(msys, krylov_method, cg_maximum_iterations)
     two_over_dt = 2.0 / time_settings.dt
     n_lag = msys.n_lagrange
     cg_tol = jnp.asarray(cg_tolerance)
+    use_cs = c_steps is not None
+    use_bs = b_steps is not None
+    xs = (slots_dev,) + ((c_steps,) if use_cs else ()) + (
+        b_steps if use_bs else ()
+    )
 
     @jax.jit
     def march(u0, lam0, carry0, carry_term0):
-        def step(state, slot):
+        def step(state, x):
+            slot = x[0]
+            c_t = x[1] if use_cs else c_vec
+            bs_t = x[1 + use_cs :] if use_bs else b_elems
             us, lam, old_carries, carry_terms, bufs = state
             bases = tuple(
                 b.at[:, cc].add(two_over_dt * oc + ct)
                 for b, cc, oc, ct in zip(
-                    b_elems, carry_cols, old_carries, carry_terms
+                    bs_t, carry_cols, old_carries, carry_terms
                 )
             )
             # Saddle residual of the current state (element-local + psums).
@@ -2191,7 +2326,7 @@ def sharded_time_march(
                 base - block_gemv(sub.blocks, u) - sub.trace_t_of(lam)
                 for base, (_, sub), u in zip(bases, subs, us)
             )
-            r_tr = c_vec
+            r_tr = c_t
             for (_, sub), u in zip(subs, us):
                 r_tr = r_tr - sub.trace_of(u)
             # Saddle solve via the Schur complement.
@@ -2226,16 +2361,35 @@ def sharded_time_march(
             jnp.zeros((len(sample_steps),) + u.shape) for u in u0
         )
         (_, lam_f, _, _, bufs), _ = jax.lax.scan(
-            step, (u0, lam0, carry0, carry_term0, buf0), slots_dev
+            step, (u0, lam0, carry0, carry_term0, buf0), xs
         )
         return bufs, lam_f
 
-    u0 = tuple(jnp.zeros_like(b) for b in b_elems)
-    # Zero initial state: old carry starts at zero and the initial carry
-    # TERM is the forcing restricted to the carry rows (trapezoidal f^0
-    # contribution), matching the host march's setup.
-    carry_term0 = tuple(b[:, cc] for b, cc in zip(b_elems, carry_cols))
-    carry0 = tuple(jnp.zeros_like(ct) for ct in carry_term0)
+    if initial_solution is None:
+        u0 = tuple(jnp.zeros_like(b) for b in b_elems)
+    else:
+        sol = np.asarray(initial_solution)
+        u0 = tuple(
+            sub.shard_dofs(sol[bucket.gather].reshape(-1))
+            for bucket, sub in subs
+        )
+    # Consistent trapezoidal start: old carry = dual(u0) on the carry rows
+    # (zero for a zero state) and carry TERM = spatial residual of u0 on
+    # those rows + 2/dt old carry; the marched-mass part of A u0 equals
+    # 2/dt dual(u0) there, so the pieces cancel exactly like the
+    # single-device setup (solve_system_2d.py, "Consistent trapezoidal
+    # start").  For u0 = 0 this reduces to the forcing restricted to the
+    # carry rows (trapezoidal f^0 contribution).
+    carry0 = tuple(
+        block_gemv(mb, u)[:, cc]
+        for mb, u, cc in zip(mass_blocks, u0, carry_cols)
+    )
+    carry_term0 = tuple(
+        (b - block_gemv(sub.blocks, u))[:, cc] + two_over_dt * oc
+        for b, (_, sub), u, cc, oc in zip(
+            b0_elems, subs, u0, carry_cols, carry0
+        )
+    )
     bufs, lam_f = march(u0, jnp.zeros(n_lag), carry0, carry_term0)
     out = _march_gather_samples(msys, bufs, sample_steps, disc.n_dofs)
     return out, sample_steps, np.asarray(lam_f)
@@ -2256,6 +2410,9 @@ def sharded_nonlinear_time_march(
     cg_maximum_iterations: int = 2000,
     cg_tolerance: float = 1e-12,
     krylov_method: str = "cg",
+    unsteady_bcs=None,
+    has_td_rhs: bool = False,
+    initial_solution=None,
 ):
     """Fully sharded nonlinear (Picard) trapezoidal march: one jitted scan.
 
@@ -2267,7 +2424,10 @@ def sharded_nonlinear_time_march(
     from the sharded dual (mass) application.  hp meshes run one sharded
     subsystem per order bucket.  Semantics match the host
     ``non_linear_solve_run``-per-step march and the single-device
-    ``fused_nonlinear_time_march``.
+    ``fused_nonlinear_time_march``.  Time-dependent boundary values /
+    forcing (``unsteady_bcs`` / ``has_td_rhs``) enter as precomputed
+    per-step scan inputs; ``initial_solution`` (flat primal DoFs) seeds
+    the march with the consistent trapezoidal carry start.
 
     Returns ``(solutions [nt_sampled, n_dofs], sample_steps, lam,
     iterations [nt], residuals [nt])``.
@@ -2283,9 +2443,12 @@ def sharded_nonlinear_time_march(
         block_gemv,
         sample_steps,
         slots_dev,
+        c_steps,
+        b_steps,
+        b0_elems,
     ) = _march_prologue(
         system, disc, device_mesh, time_settings, boundary_conditions,
-        constrained_forms,
+        constrained_forms, unsteady_bcs, has_td_rhs,
     )
     subs = msys.subsystems
     residual_fns = [
@@ -2307,18 +2470,29 @@ def sharded_nonlinear_time_march(
     masks = tuple(
         (jnp.arange(sub.e_padded) < sub.e_real)[:, None] for _, sub in subs
     )
-    max_mag = jnp.abs(c_vec).max() if n_lag else jnp.asarray(0.0)
-    for b in b_elems:
+    if n_lag:
+        max_mag = jnp.abs(c_steps if c_steps is not None else c_vec).max()
+    else:
+        max_mag = jnp.asarray(0.0)
+    for b in b_steps if b_steps is not None else b_elems:
         max_mag = jnp.maximum(max_mag, jnp.abs(b).max())
+    use_cs = c_steps is not None
+    use_bs = b_steps is not None
+    xs = (slots_dev,) + ((c_steps,) if use_cs else ()) + (
+        b_steps if use_bs else ()
+    )
 
     @jax.jit
     def march(u0, lam0, carry0, carry_term0):
-        def step(state, slot):
+        def step(state, x):
+            slot = x[0]
+            c_t = x[1] if use_cs else c_vec
+            bs_t = x[1 + use_cs :] if use_bs else b_elems
             us, lam, old_carries, carry_terms, bufs = state
             bases = tuple(
                 b.at[:, cc].add(two_over_dt * oc + ct)
                 for b, cc, oc, ct in zip(
-                    b_elems, carry_cols, old_carries, carry_terms
+                    bs_t, carry_cols, old_carries, carry_terms
                 )
             )
             step_mag = max_mag
@@ -2335,7 +2509,7 @@ def sharded_nonlinear_time_march(
                 us_i, lami, it, _, _ = s
                 # Element-local Picard residuals (one psum per bucket).
                 r_elems = []
-                r_tr = c_vec
+                r_tr = c_t
                 mres = jnp.asarray(0.0)
                 for fn, u, base, mask in zip(residual_fns, us_i, bases, masks):
                     r_elem, g_u = fn(u, lami, base)
@@ -2401,13 +2575,35 @@ def sharded_nonlinear_time_march(
             jnp.zeros((len(sample_steps),) + u.shape) for u in u0
         )
         (_, lam_f, _, _, bufs), (iters, residuals) = jax.lax.scan(
-            step, (u0, lam0, carry0, carry_term0, buf0), slots_dev
+            step, (u0, lam0, carry0, carry_term0, buf0), xs
         )
         return bufs, lam_f, iters, residuals
 
-    u0 = tuple(jnp.zeros_like(b) for b in b_elems)
-    carry_term0 = tuple(b[:, cc] for b, cc in zip(b_elems, carry_cols))
-    carry0 = tuple(jnp.zeros_like(ct) for ct in carry_term0)
+    if initial_solution is None:
+        u0 = tuple(jnp.zeros_like(b) for b in b_elems)
+        carry_term0 = tuple(b[:, cc] for b, cc in zip(b0_elems, carry_cols))
+        carry0 = tuple(jnp.zeros_like(ct) for ct in carry_term0)
+    else:
+        sol = np.asarray(initial_solution)
+        u0 = tuple(
+            sub.shard_dofs(sol[bucket.gather].reshape(-1))
+            for bucket, sub in subs
+        )
+        # Consistent trapezoidal start (see sharded_time_march): old carry
+        # = dual(u0) on the carry rows, carry term = spatial residual of
+        # u0 there + 2/dt old carry (nonlinear terms included via the
+        # Picard residual at lam = 0).
+        carry0 = tuple(
+            block_gemv(mb, u)[:, cc]
+            for mb, u, cc in zip(mass_blocks, u0, carry_cols)
+        )
+        lam00 = jnp.zeros(n_lag)
+        carry_term0 = tuple(
+            fn(u, lam00, b)[0][:, cc] + two_over_dt * oc
+            for fn, u, b, cc, oc in zip(
+                residual_fns, u0, b0_elems, carry_cols, carry0
+            )
+        )
     bufs, lam_f, iters, residuals = march(
         u0, jnp.zeros(n_lag), carry0, carry_term0
     )

@@ -132,9 +132,6 @@ def solve_system_2d(
             "vms_settings": vms_settings is not None,
             "refinement_settings": refinement_settings is not None,
             "checkpoint_settings": checkpoint_settings is not None,
-            "unsteady boundary conditions": has_unsteady_bcs,
-            "TimeDependent forcing": has_td_rhs,
-            "initial_conditions": bool(system_settings.initial_conditions),
             'method="newton"': solver_settings.method == "newton",
         }
         bad = [k for k, v in unsupported.items() if v]
@@ -152,6 +149,8 @@ def solve_system_2d(
             basis_cache,
             recon_order,
             boundary_conditions,
+            has_unsteady_bcs=has_unsteady_bcs,
+            has_td_rhs=has_td_rhs,
         )
 
     if time_settings is not None:
@@ -791,28 +790,50 @@ def _solve_sharded(
     basis_cache: FemCache,
     recon_order: int | None,
     boundary_conditions,
+    *,
+    has_unsteady_bcs: bool = False,
+    has_td_rhs: bool = False,
 ) -> tuple[Sequence[ReconstructedGrid], SolutionStatistics, Mesh]:
     """Element-sharded solve over ``solver_settings.device_mesh``.
 
     Routes to the mfv2d_tpu.parallel.sharding training steps: the steady
     Picard solve, or the linear/nonlinear trapezoidal march — each fully
-    sharded with one trace psum per matvec/residual.
+    sharded with one trace psum per matvec/residual.  Unsteady boundary
+    values / TimeDependent forcing enter the marches as precomputed
+    per-step scan inputs; initial conditions seed both the steady Picard
+    iterate and the marches' consistent trapezoidal carry start.
     """
     from mfv2d_tpu.parallel.sharding import (
         sharded_nonlinear_time_march,
         sharded_steady_solve,
         sharded_time_march,
     )
+    from mfv2d_tpu.solver.solve import compute_initial_solution
 
     system = system_settings.system
     device_mesh = solver_settings.device_mesh
     disc = discretize_mesh(mesh, system.unknown_forms, basis_cache)
     conv = solver_settings.convergence
     krylov = "gmres" if solver_settings.linear_solver == "gmres" else "cg"
+    # ``boundary_conditions`` arrives frozen at t = dt for unsteady runs;
+    # the marches additionally receive the ORIGINAL (unsteady) list so
+    # they can re-freeze the boundary values at every time level.
     bcs = list(boundary_conditions or [])
+    raw_bcs = (
+        list(system_settings.boundary_conditions or [])
+        if has_unsteady_bcs
+        else None
+    )
     cforms = list(system_settings.constrained_forms)
     cg_cap = max(200, 4 * disc.n_dofs)
     cg_tol = conv.absolute_tolerance * 1e-3
+
+    if system_settings.initial_conditions:
+        _, initial_solution = compute_initial_solution(
+            disc, system, system_settings.initial_conditions
+        )
+    else:
+        initial_solution = None
 
     grids: list[ReconstructedGrid] = []
     if time_settings is None:
@@ -829,6 +850,7 @@ def _solve_sharded(
             cg_maximum_iterations=cg_cap,
             cg_tolerance=cg_tol,
             krylov_method=krylov,
+            initial_solution=initial_solution,
         )
         grid = reconstruct_mesh_from_solution(disc, recon_order, u)
         grid.field_data["time"] = np.array([0.0])
@@ -840,7 +862,11 @@ def _solve_sharded(
         marched = update_system_for_time_march(time_settings, system)
         marched_compiled = CompiledSystem(marched)
         grid0 = reconstruct_mesh_from_solution(
-            disc, recon_order, np.zeros(disc.n_dofs)
+            disc,
+            recon_order,
+            initial_solution
+            if initial_solution is not None
+            else np.zeros(disc.n_dofs),
         )
         grid0.field_data["time"] = np.array([0.0])
         grids.append(grid0)
@@ -858,6 +884,10 @@ def _solve_sharded(
                 constrained_forms=cforms,
                 cg_maximum_iterations=cg_cap,
                 cg_tolerance=cg_tol,
+                krylov_method=krylov,
+                unsteady_bcs=raw_bcs,
+                has_td_rhs=has_td_rhs,
+                initial_solution=initial_solution,
             )
             iters = np.ones(time_settings.nt, np.uint32)
             changes = np.zeros(time_settings.nt)
@@ -876,6 +906,9 @@ def _solve_sharded(
                 cg_maximum_iterations=cg_cap,
                 cg_tolerance=cg_tol,
                 krylov_method=krylov,
+                unsteady_bcs=raw_bcs,
+                has_td_rhs=has_td_rhs,
+                initial_solution=initial_solution,
             )
             iters = np.asarray(iters, np.uint32)
             changes = np.asarray(changes)

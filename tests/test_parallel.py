@@ -815,3 +815,171 @@ def test_fused_cg_edge_cases(device_mesh):
         np.ones(lagrange_mat.shape[0]), 0.0
     )
     assert it == 7
+
+
+def test_sharded_unsteady_bcs_and_ics_match_host(device_mesh):
+    """Unsteady strong Dirichlet + initial conditions through device_mesh=.
+
+    Heat equation u_t = lap(u) with u = e^t cosh(x): all dynamics enter
+    through the time-dependent boundary values (c_steps scan-input path)
+    and the cosh(x) initial state (consistent trapezoidal carry seed).
+    Mirrors tests/test_solve_unsteady.py::test_unsteady_boundary_conditions
+    on the sharded path (reference carry scheme,
+    python/mfv2d/solve_system_2d.py:325-397).
+    """
+
+    def exact(x, y, t):
+        return np.exp(t) * np.cosh(x)
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_0)
+    v = u.weight
+    system = mf.KFormSystem(v.derivative @ u.derivative == 0 * (v @ u))
+    nt, dt = 6, 0.05
+    ts = mf.TimeSettings(dt=dt, nt=nt, time_march_relations={v: u})
+
+    def run(device=None):
+        mesh = mf.examples.unit_square_mesh(3, 3, 3)
+        sols, _, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(
+                system,
+                boundary_conditions=[
+                    mf.BoundaryCondition2DUnsteady(
+                        u, mesh.boundary_indices, exact
+                    )
+                ],
+                initial_conditions={u: lambda x, y: np.cosh(x)},
+            ),
+            mf.SolverSettings(
+                ConvergenceSettings(20, 1e-11, 0),
+                linear_solver="gmres" if device is not None else "direct",
+                device_mesh=device,
+            ),
+            time_settings=ts,
+            recon_order=4,
+        )
+        return sols[-1]
+
+    host, sh = run(), run(device_mesh)
+    assert np.isclose(float(sh.field_data["time"][0]), nt * dt)
+    assert np.allclose(
+        sh.point_data["u"], host.point_data["u"], atol=1e-8
+    )
+    # And both actually track the exact solution.
+    err = np.abs(
+        sh.point_data["u"] - exact(sh.points[:, 0], sh.points[:, 1], nt * dt)
+    ).max()
+    assert err < 5e-4, err
+
+
+def test_sharded_td_forcing_march_matches_host(device_mesh):
+    """TimeDependent forcing through device_mesh= (b_steps scan inputs)."""
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+
+    def source(x, y, t):
+        return np.sin(t) * np.cos(np.pi / 2 * x)
+
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == 0,
+        v @ q.derivative == v @ mf.TimeDependent(source),
+    )
+    nt, dt = 5, 0.1
+    ts = mf.TimeSettings(dt=dt, nt=nt, time_march_relations={v: u})
+
+    def run(device=None):
+        mesh = mf.examples.unit_square_mesh(3, 3, 3)
+        sols, _, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(system),
+            mf.SolverSettings(
+                ConvergenceSettings(20, 1e-11, 0),
+                linear_solver="direct" if device is None else "cg",
+                device_mesh=device,
+            ),
+            time_settings=ts,
+            recon_order=3,
+        )
+        return sols[-1]
+
+    host, sh = run(), run(device_mesh)
+    assert np.allclose(
+        sh.point_data["u"], host.point_data["u"], atol=1e-8
+    )
+    # The forcing is nonzero only through TimeDependent evaluation, so a
+    # frozen-forcing regression would produce a measurably different field.
+    assert np.abs(np.asarray(host.point_data["u"])).max() > 1e-4
+
+
+def test_sharded_steady_initial_conditions_seed(device_mesh):
+    """Steady device_mesh= solves accept initial_conditions as Picard seed."""
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    sols_h, _, _ = mf.solve_system_2d(
+        mf.examples.unit_square_mesh(3, 3, 3),
+        mf.SystemSettings(system),
+    )
+    sols_s, stats, _ = mf.solve_system_2d(
+        mf.examples.unit_square_mesh(3, 3, 3),
+        mf.SystemSettings(system, initial_conditions={u: u_exact}),
+        mf.SolverSettings(
+            ConvergenceSettings(20, 1e-10, 0), device_mesh=device_mesh
+        ),
+    )
+    assert np.allclose(
+        sols_s[-1].point_data["u"], sols_h[-1].point_data["u"], atol=1e-8
+    )
+
+
+def test_sharded_nonlinear_march_with_ics_matches_host(device_mesh):
+    """Nonlinear sharded march with an initial state matches the host."""
+    from mfv2d_tpu.models import flow
+
+    def lid_velocity(x, y):
+        on_lid = np.isclose(y, 1.0)
+        return np.stack(
+            (np.where(on_lid, 1.0, 0.0), np.zeros_like(y)), axis=-1
+        )
+
+    model = flow.cavity_flow(20.0, lid_velocity)
+    ts = mf.TimeSettings(
+        dt=0.25, nt=3, time_march_relations=model.time_march_relations
+    )
+    ics = {model.velocity: lambda x, y: np.stack(
+        (0.1 * np.sin(np.pi * y), 0.0 * x), axis=-1
+    )}
+
+    def run(device=None):
+        mesh = mf.examples.unit_square_mesh(3, 3, 2)
+        bc = mf.BoundaryCondition2DSteady(
+            model.velocity, mesh.boundary_indices, lid_velocity
+        )
+        sols, _, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(
+                model.system,
+                [bc],
+                [(0.0, model.pressure)],
+                initial_conditions=ics,
+            ),
+            mf.SolverSettings(
+                ConvergenceSettings(40, 1e-11, 0),
+                linear_solver="gmres" if device is not None else "direct",
+                device_mesh=device,
+            ),
+            time_settings=ts,
+            recon_order=2,
+        )
+        return sols[-1]
+
+    host, sh = run(), run(device_mesh)
+    err = np.abs(sh.point_data["vel"] - host.point_data["vel"]).max()
+    assert err < 1e-7, err
