@@ -1744,6 +1744,7 @@ class MultiBucketShardedSystem:
         element_matrices: list[np.ndarray],
         lagrange_mat: sp.csr_array | None,
         mesh: Mesh,
+        _prepadded_device: bool = False,
     ) -> None:
         self.n_lagrange = 0 if lagrange_mat is None else lagrange_mat.shape[0]
         self.subsystems = []
@@ -1752,7 +1753,16 @@ class MultiBucketShardedSystem:
                 disc, bucket, lagrange_mat, self.n_lagrange
             )
             self.subsystems.append(
-                (bucket, ShardedBlockSystem(sub_disc, mats, sub_g, mesh))
+                (
+                    bucket,
+                    ShardedBlockSystem(
+                        sub_disc,
+                        mats,
+                        sub_g,
+                        mesh,
+                        _prepadded_device=_prepadded_device,
+                    ),
+                )
             )
         self.disc = disc
 
@@ -1948,12 +1958,21 @@ class MultiBucketShardedSystem:
             total = total + trace_of(ainv, sub.tr_elem, sub.tr_dof, sub.tr_val)
         return total
 
-    def solve_schur(self, rhs_flat, constraints, maximum_iterations, tolerance):
-        """CG on the multi-bucket Schur complement (fused device loop)."""
+    def solve_schur(
+        self, rhs_flat, constraints, maximum_iterations, tolerance,
+        krylov=None,
+    ):
+        """CG on the multi-bucket Schur complement (fused device loop).
+
+        Pass a cached ``_trace_krylov(self, ...)`` runner via ``krylov``
+        when calling repeatedly (the sharded VMS Green's applies) —
+        building the runner per call would retrace the fused loop every
+        time.
+        """
         trace_rhs = self.schur_rhs(rhs_flat, constraints)
-        lam, rs, iters = _trace_krylov(self, "cg", maximum_iterations)(
-            trace_rhs, tolerance
-        )
+        if krylov is None:
+            krylov = _trace_krylov(self, "cg", maximum_iterations)
+        lam, rs, iters = krylov(trace_rhs, tolerance)
         mag2 = float(rs)
         iters = int(iters)
 

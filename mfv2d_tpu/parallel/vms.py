@@ -32,10 +32,7 @@ from mfv2d_tpu.evaluation import (
     evaluate_static_fields,
     reference_inclusion_matrix,
 )
-from mfv2d_tpu.parallel.sharding import (
-    ShardedBlockSystem,
-    _pad_to_multiple,
-)
+from mfv2d_tpu.parallel.sharding import _pad_to_multiple
 from mfv2d_tpu.solver.discretization import Discretization
 from mfv2d_tpu.solver.solve import VMSSettings, compute_element_rhs_bucket
 from mfv2d_tpu.solver.vms import iterate_unresolved_contributions
@@ -43,12 +40,55 @@ from mfv2d_tpu.system import KFormSystem
 from mfv2d_tpu.tracing import tracer
 
 
-class _FineDisc:
-    """Discretization stand-in for the (rank-ordered) fine element batch."""
+def _fine_discretization(disc: Discretization, dk: int) -> Discretization:
+    """Fine (p+dk) Discretization sharing the coarse mesh and leaf order.
 
-    def __init__(self, batch: ElementBatch, form_spec) -> None:
-        self.buckets = [SimpleNamespace(batch=batch, orders=batch.orders)]
-        self.form_spec = form_spec
+    Bucket list order matches ``disc.buckets`` index-for-index so per-bucket
+    inclusion matrices / transfers pair up, and each fine bucket keeps the
+    COARSE bucket's integration rule — the Galerkin product ``C^T A_f C``
+    must be evaluated on the same quadrature as the single-chip operator
+    (solver/vms.py) for bit-parity.  The flat fine DoF layout is
+    leaf-rank-contiguous (``element_offsets``), which is what the fine
+    constraint assembly consumes.
+    """
+    from mfv2d_tpu.solver.discretization import OrderBucket
+
+    form_spec = disc.form_spec
+    fine_orders = disc.element_orders + dk
+    sizes = np.array(
+        [form_spec.total_size(int(o1), int(o2)) for o1, o2 in fine_orders],
+        np.int64,
+    )
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    fd = Discretization(
+        mesh=disc.mesh,
+        form_spec=form_spec,
+        basis_cache=disc.basis_cache,
+        leaf_indices=disc.leaf_indices,
+        element_orders=fine_orders,
+        element_sizes=sizes,
+        element_offsets=offsets,
+    )
+    for bucket in disc.buckets:
+        p1, p2 = bucket.orders
+        fine_basis = disc.basis_cache.get_basis2d(
+            p1 + dk, p2 + dk, *bucket.batch.basis.integration_orders
+        )
+        batch = ElementBatch(fine_basis, np.asarray(bucket.batch.corners))
+        n = form_spec.total_size(p1 + dk, p2 + dk)
+        gather = (
+            offsets[bucket.leaf_ranks][:, None]
+            + np.arange(n, dtype=np.int64)[None, :]
+        )
+        fd.buckets.append(
+            OrderBucket(
+                orders=(p1 + dk, p2 + dk),
+                leaf_ranks=bucket.leaf_ranks,
+                batch=batch,
+                gather=gather,
+            )
+        )
+    return fd
 
 
 def _make_sharded_assembler(
@@ -120,16 +160,19 @@ class ShardedSuyashGreen:
     Mirrors :class:`mfv2d_tpu.solver.vms.SuyashGreenOperator` (dev mode) with
     every element-sized object sharded over the device mesh:
 
-    - fine/coarse symmetric saddle systems are :class:`ShardedBlockSystem`s
-      (sharded assembly, sharded explicit inverses, one psum per trace
-      matvec); the coarse operator is the Galerkin product ``C^T A_f C``
-      computed shard-locally with the replicated inclusion matrix ``C``,
+    - fine/coarse symmetric saddle systems are
+      :class:`MultiBucketShardedSystem`s (sharded assembly, sharded explicit
+      inverses, one psum per bucket per trace matvec); the coarse operator
+      is the Galerkin product ``C^T A_f C`` computed shard-locally with the
+      replicated per-bucket inclusion matrices ``C``,
     - the fine advection operator is one sharded ``[E, n_f, n_f]`` sum
       (linear + nonlinear), re-assembled shard-locally per nonlinear update,
     - coarse<->fine transfers are element-local GEMMs against ``C``.
 
-    Uniform-order (single-bucket) meshes only — the single-chip operator
-    covers hp meshes until they outgrow one chip.
+    hp meshes run one sharded subsystem per order bucket
+    (:class:`MultiBucketShardedSystem` for both saddles, per-bucket
+    inclusion matrices and advection sums); uniform meshes are the
+    single-bucket instance of the same code.
     """
 
     def __init__(
@@ -143,13 +186,10 @@ class ShardedSuyashGreen:
         inner_max_iterations: int = 4000,
     ) -> None:
         from mfv2d_tpu.continuity import add_system_constraints
+        from mfv2d_tpu.parallel.sharding import MultiBucketShardedSystem
 
         self.inner_max_iterations = int(inner_max_iterations)
 
-        if len(disc.buckets) != 1:
-            raise NotImplementedError(
-                "ShardedSuyashGreen expects a uniform-order mesh."
-            )
         self.disc = disc
         self.mesh = device_mesh
         self.convergence = settings.fine_scale_convergence
@@ -162,72 +202,53 @@ class ShardedSuyashGreen:
         compiled_sym = CompiledSystem(settings.symmetric_system)
         dk = settings.order_increase
         form_spec = disc.form_spec
-        nd = device_mesh.devices.size
 
-        bucket = disc.buckets[0]
-        p1, p2 = bucket.orders
-        ranks = np.asarray(bucket.leaf_ranks)
-        perm = np.argsort(ranks)
-        corners_rk = np.asarray(bucket.batch.corners)[perm]
-        e_real = corners_rk.shape[0]
-        fine_basis = disc.basis_cache.get_basis2d(
-            p1 + dk, p2 + dk, *bucket.batch.basis.integration_orders
-        )
-        self.fine_batch = ElementBatch(fine_basis, corners_rk)
-        self.n_c = form_spec.total_size(p1, p2)
-        self.n_f = form_spec.total_size(p1 + dk, p2 + dk)
-        self.e_real = e_real
+        fd = self.fine_disc = _fine_discretization(disc, dk)
+        self._incl_np = [
+            reference_inclusion_matrix(form_spec, cb.orders, fb.orders)
+            for cb, fb in zip(disc.buckets, fd.buckets)
+        ]
+        self._incl_dev = [jnp.asarray(c) for c in self._incl_np]
 
-        incl = reference_inclusion_matrix(
-            form_spec, (p1, p2), (p1 + dk, p2 + dk)
-        )
-        self._incl_np = incl
-        self._incl_dev = jnp.asarray(incl)
-
-        # Padded sharded corner batch shared by every assembly.
-        corners_p = _pad_to_multiple(corners_rk, nd)
-        if corners_p.shape[0] > e_real:
-            corners_p[e_real:] = np.array(
-                [(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)]
+        # Fine forcing (leaf-rank flat layout) + constraints on the
+        # p-raised mesh (weak-BC additions land in the per-leaf views).
+        forcing = np.zeros(fd.n_dofs)
+        for fb in fd.buckets:
+            view = SimpleNamespace(batch=fb.batch, orders=fb.batch.orders)
+            forcing[fb.gather] = np.asarray(
+                compute_element_rhs_bucket(system, view)
             )
-        self.e_padded = corners_p.shape[0]
-        self._corners_dev = jax.device_put(
-            corners_p, NamedSharding(device_mesh, P("e", None, None))
-        )
-
-        # Fine forcing (rank order) + constraints on the p-raised mesh.
-        fine_view = SimpleNamespace(
-            batch=self.fine_batch, orders=self.fine_batch.orders
-        )
-        forcing = np.asarray(compute_element_rhs_bucket(system, fine_view))
-        forcing_list = [forcing[i] for i in range(e_real)]
-        self.fine_offsets = np.arange(e_real + 1, dtype=np.int64) * self.n_f
+        forcing_views = [
+            forcing[fd.element_offsets[i] : fd.element_offsets[i + 1]]
+            for i in range(fd.n_leaves)
+        ]
         mesh2d = disc.mesh
         mesh2d.uniform_p_change(dk, dk)
         try:
-            fine_lag_mat, fine_lag_vec = add_system_constraints(
+            fine_lag_mat, _ = add_system_constraints(
                 system,
                 mesh2d,
                 disc.basis_cache,
                 list(constrained_forms),
                 list(strong_boundary_conditions),
                 disc.leaf_indices,
-                self.fine_offsets,
-                forcing_list,
+                fd.element_offsets,
+                forcing_views,
             )
         finally:
             mesh2d.uniform_p_change(-dk, -dk)
-        self.fine_forcing = np.concatenate(forcing_list)
+        self.fine_forcing = forcing
 
-        # Fine symmetric saddle system: sharded assembly + trace tables.
-        fine_disc = _FineDisc(self.fine_batch, form_spec)
+        # Fine symmetric saddle system: sharded assembly + trace tables,
+        # one subsystem per order bucket.
         with tracer.stage("svms-fine-saddle"):
-            self.fine_saddle = ShardedBlockSystem.from_assembly(
-                fine_disc, compiled_sym.lhs_blocks, fine_lag_mat, device_mesh
+            self.fine_saddle = MultiBucketShardedSystem.from_assembly(
+                fd, compiled_sym.lhs_blocks, fine_lag_mat, device_mesh
             )
 
-        # Coarse Galerkin operator C^T A_f C, shard-local (padding elements
-        # become C^T C — invertible, never referenced by constraints).
+        # Coarse Galerkin operator C^T A_f C per bucket, shard-local
+        # (padding elements become C^T C — invertible, never referenced by
+        # constraints).
         coarse_lag_mat, _ = add_system_constraints(
             system,
             mesh2d,
@@ -248,43 +269,51 @@ class ShardedSuyashGreen:
             return jnp.einsum("ji,ejk,kl->eil", c, blocks_local, c)
 
         with tracer.stage("svms-coarse-saddle"):
-            coarse_blocks = jax.jit(galerkin)(
-                self.fine_saddle.blocks, self._incl_dev
-            )
-            self.coarse_saddle = ShardedBlockSystem(
+            galerkin_j = jax.jit(galerkin)
+            coarse_blocks = [
+                galerkin_j(sub.blocks, c)
+                for (_, sub), c in zip(self.fine_saddle.subsystems, self._incl_dev)
+            ]
+            self.coarse_saddle = MultiBucketShardedSystem(
                 disc, coarse_blocks, coarse_lag_mat, device_mesh,
                 _prepadded_device=True,
             )
 
-        # Fine advection: one sharded linear+nonlinear sum.  The linear
-        # blocks are geometry-only — assembled ONCE and reused; nonlinear
-        # updates re-run only the dofs-dependent assembly.  All jitted
-        # kernels (assemblers, GEMV, trace-Krylov runners) are built once
-        # here: rebuilding them per call would retrace/recompile in the
-        # hottest loop of the solve.
+        # Fine advection: one sharded linear+nonlinear sum per bucket.  The
+        # linear blocks are geometry-only — assembled ONCE and reused;
+        # nonlinear updates re-run only the dofs-dependent assembly.  All
+        # jitted kernels (assemblers, GEMV, trace-Krylov runners) are built
+        # once here: rebuilding them per call would retrace/recompile in
+        # the hottest loop of the sharded VMS solve.
         with tracer.stage("svms-advection"):
-            self._lin_assemble = _make_sharded_assembler(
-                self.fine_batch.basis,
-                self._corners_dev,
-                form_spec,
-                self.compiled_advection.linear_blocks,
-                device_mesh,
-                with_dofs=False,
-            )
-            self._nonlin_assemble = (
-                None
-                if self.compiled_advection.nonlin_blocks is None
-                else _make_sharded_assembler(
-                    self.fine_batch.basis,
-                    self._corners_dev,
+            self._lin_assemble = []
+            self._nonlin_assemble = []
+            adv_lin = []
+            for fb, (_, sub) in zip(fd.buckets, self.fine_saddle.subsystems):
+                la = _make_sharded_assembler(
+                    fb.batch.basis,
+                    sub.corners_padded,
                     form_spec,
-                    self.compiled_advection.nonlin_blocks,
+                    self.compiled_advection.linear_blocks,
                     device_mesh,
-                    with_dofs=True,
+                    with_dofs=False,
                 )
-            )
-            self._adv_lin_blocks = self._lin_assemble(self._corners_dev)
-            self._adv_blocks = self._adv_lin_blocks
+                self._lin_assemble.append(la)
+                self._nonlin_assemble.append(
+                    None
+                    if self.compiled_advection.nonlin_blocks is None
+                    else _make_sharded_assembler(
+                        fb.batch.basis,
+                        sub.corners_padded,
+                        form_spec,
+                        self.compiled_advection.nonlin_blocks,
+                        device_mesh,
+                        with_dofs=True,
+                    )
+                )
+                adv_lin.append(la(sub.corners_padded))
+            self._adv_lin_blocks = adv_lin
+            self._adv_blocks = list(adv_lin)
 
         @partial(
             jax.shard_map, mesh=device_mesh,
@@ -308,71 +337,93 @@ class ShardedSuyashGreen:
     # -- operator pieces ------------------------------------------------
 
     def _rebuild_advection(self, fine_dofs: np.ndarray | None) -> None:
-        """(Re)build the sharded advection sum at the current solution."""
-        if fine_dofs is None or self._nonlin_assemble is None:
-            self._adv_blocks = self._adv_lin_blocks
+        """(Re)build the sharded advection sums at the current solution."""
+        if fine_dofs is None or self.compiled_advection.nonlin_blocks is None:
+            self._adv_blocks = list(self._adv_lin_blocks)
             return
-        d = np.asarray(fine_dofs).reshape(self.e_real, self.n_f)
-        dofs_p = jax.device_put(
-            _pad_to_multiple(d, self.mesh.devices.size),
-            NamedSharding(self.mesh, P("e", None)),
-        )
-        self._adv_blocks = None  # free the old sum before re-assembly
-        self._adv_blocks = self._adv_lin_blocks + self._nonlin_assemble(
-            self._corners_dev, dofs_p
-        )
+        d = np.asarray(fine_dofs)
+        nd = self.mesh.devices.size
+        self._adv_blocks = []  # free the old sums before re-assembly
+        for fb, (_, sub), lin, na in zip(
+            self.fine_disc.buckets,
+            self.fine_saddle.subsystems,
+            self._adv_lin_blocks,
+            self._nonlin_assemble,
+        ):
+            dofs_p = jax.device_put(
+                _pad_to_multiple(d[fb.gather], nd), sub.dof_sharding
+            )
+            self._adv_blocks.append(lin + na(sub.corners_padded, dofs_p))
 
     def _apply_fine_advection(self, v: np.ndarray) -> np.ndarray:
-        """F v: element-local sharded batched GEMV (no communication)."""
-        v2 = self.fine_saddle.shard_dofs(np.asarray(v))
-        return self.fine_saddle.unshard_dofs(self._adv_gemv(self._adv_blocks, v2))
+        """F v: element-local sharded batched GEMVs (no communication)."""
+        out = np.zeros(self.fine_disc.n_dofs)
+        for fb, (_, sub), blocks in zip(
+            self.fine_disc.buckets,
+            self.fine_saddle.subsystems,
+            self._adv_blocks,
+        ):
+            v2 = sub.shard_dofs(np.asarray(v)[fb.gather].reshape(-1))
+            out[fb.gather.reshape(-1)] = sub.unshard_dofs(
+                self._adv_gemv(blocks, v2)
+            )
+        return out
 
     def _prolong_to_fine(self, u: np.ndarray) -> np.ndarray:
-        """P u: coarse DoFs -> fine space (element-local GEMM vs C)."""
-        out = np.asarray(u).reshape(self.e_real, self.n_c) @ self._incl_np.T
-        return out.ravel()
+        """P u: coarse DoFs -> fine space (element-local GEMMs vs C)."""
+        out = np.zeros(self.fine_disc.n_dofs)
+        u = np.asarray(u)
+        for cb, fb, c in zip(
+            self.disc.buckets, self.fine_disc.buckets, self._incl_np
+        ):
+            out[fb.gather] = u[cb.gather] @ c.T
+        return out
 
     def _project_to_coarse(self, x: np.ndarray) -> np.ndarray:
         """P^T x: dual projection to coarse DoFs."""
-        out = np.asarray(x).reshape(self.e_real, self.n_f) @ self._incl_np
-        return out.ravel()
+        out = np.zeros(self.disc.n_dofs)
+        x = np.asarray(x)
+        for cb, fb, c in zip(
+            self.disc.buckets, self.fine_disc.buckets, self._incl_np
+        ):
+            out[cb.gather] = x[fb.gather] @ c
+        return out
 
-    @staticmethod
-    def _saddle_solve(system, krylov, b_sharded, tol):
-        """Sharded saddle solve against the CACHED trace-Krylov runner
-        (zero constraint RHS — the Green's function sees homogeneous
+    def _saddle_solve(self, msys, krylov, b_flat, tol):
+        """Multi-bucket sharded saddle solve against the CACHED trace-Krylov
+        runner (zero constraint RHS — the Green's function sees homogeneous
         multiplier data)."""
-        ainv_b = system.block_solve_sharded(b_sharded)
-        lam, _, _ = krylov(system.trace_of(ainv_b), tol)
-        return system.block_solve_sharded(b_sharded - system.trace_t_of(lam))
+        out, _lam, _res, _iters = msys.solve_schur(
+            b_flat,
+            np.zeros(msys.n_lagrange),
+            self.inner_max_iterations,
+            tol,
+            krylov=krylov,
+        )
+        return out
 
     def fine_scale_greens_function(self, x: np.ndarray) -> np.ndarray:
         """G' x via two sharded saddle solves (trace CG, one psum/matvec)."""
         tol = max(self.convergence.absolute_tolerance * 1e-2, 1e-13)
         with tracer.stage("svms-greens-fine"):
             u_f = self._saddle_solve(
-                self.fine_saddle,
-                self._fine_krylov,
-                self.fine_saddle.shard_dofs(np.asarray(x)),
-                tol,
+                self.fine_saddle, self._fine_krylov, np.asarray(x), tol
             )
         with tracer.stage("svms-greens-coarse"):
             u_c = self._saddle_solve(
                 self.coarse_saddle,
                 self._coarse_krylov,
-                self.coarse_saddle.shard_dofs(self._project_to_coarse(x)),
+                self._project_to_coarse(x),
                 tol,
             )
-        return self.fine_saddle.unshard_dofs(u_f) - self._prolong_to_fine(
-            self.coarse_saddle.unshard_dofs(u_c)
-        )
+        return u_f - self._prolong_to_fine(u_c)
 
     # -- VMS iteration (mirrors solver.vms) ------------------------------
 
     def update_nonlinear_advection(self, coarse_dofs: np.ndarray) -> None:
         if self.compiled_advection.nonlin_blocks is None:
             return
-        n_coarse = self.e_real * self.n_c
+        n_coarse = self.disc.n_dofs
         self._rebuild_advection(self._prolong_to_fine(coarse_dofs[:n_coarse]))
 
     def compute_unresolved_contributions(
@@ -438,10 +489,6 @@ def sharded_vms_steady_solve(
     from mfv2d_tpu.parallel.sharding import _trace_krylov
     from mfv2d_tpu.solver.solve import compute_forcing_vector
 
-    if len(disc.buckets) != 1:
-        raise NotImplementedError(
-            "sharded_vms_steady_solve expects a uniform-order mesh."
-        )
     compiled = CompiledSystem(system)
     form_spec = system.unknown_forms
 
@@ -466,10 +513,13 @@ def sharded_vms_steady_solve(
     msys = MultiBucketShardedSystem.from_assembly(
         disc, compiled.linear_blocks, lagrange_mat, device_mesh
     )
-    bucket, sub = msys.subsystems[0]
-    residual_fn = sub.make_picard_residual(
-        form_spec, compiled.lhs_blocks, compiled.rhs_blocks
-    )
+    subs = msys.subsystems
+    residual_fns = [
+        sub.make_picard_residual(
+            form_spec, compiled.lhs_blocks, compiled.rhs_blocks
+        )
+        for _, sub in subs
+    ]
     krylov = _trace_krylov(msys, "cg", cg_maximum_iterations)
 
     sg = ShardedSuyashGreen(
@@ -482,52 +532,66 @@ def sharded_vms_steady_solve(
         inner_max_iterations=cg_maximum_iterations,
     )
 
-    b = sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))
-    u = jnp.zeros_like(b)
+    # The main sharded systems' element axes follow each bucket's BATCH
+    # order while the global (and VMS) DoF layout is leaf-RANK contiguous;
+    # bucket.gather converts between them (identity on regular meshes).
+    bs = [
+        sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))
+        for bucket, sub in subs
+    ]
+    us = [jnp.zeros_like(b) for b in bs]
     lam = jnp.zeros(msys.n_lagrange)
     c_vec = jnp.asarray(lagrange_vec)
     unresolved = None
 
-    # The main sharded system's element axis follows the bucket's BATCH
-    # order while the global (and VMS) DoF layout is leaf-RANK contiguous;
-    # bucket.gather converts between them (identity on regular meshes).
-    gather_flat = np.asarray(bucket.gather).reshape(-1)
-
     residuals = []
-    max_mag = float(jnp.abs(b).max())
+    max_mag = max((float(jnp.abs(b).max()) for b in bs), default=0.0)
     aa_x: list[np.ndarray] = []
     aa_f: list[np.ndarray] = []
     for _ in range(maximum_iterations):
-        r_elem, g_u = residual_fn(u, lam, b)
         u_global = np.zeros(disc.n_dofs)
-        u_global[gather_flat] = sub.unshard_dofs(u)
+        for (bucket, sub), u in zip(subs, us):
+            u_global[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
         with tracer.stage("svms-advection-update"):
             sg.update_nonlinear_advection(u_global)
         with tracer.stage("svms-unresolved"):
             unresolved = sg.compute_unresolved_contributions(u_global, unresolved)
         vms_coarse = sg._project_to_coarse(unresolved)
-        r_elem = r_elem - sub.shard_dofs(vms_coarse[gather_flat])
-        r_trace = c_vec - g_u
 
-        max_res = float(jnp.abs(r_elem[: sub.e_real]).max())
+        r_elems = []
+        r_trace = c_vec
+        max_res = 0.0
+        for (bucket, sub), fn, u, b in zip(subs, residual_fns, us, bs):
+            r_elem, g_u = fn(u, lam, b)
+            r_elem = r_elem - sub.shard_dofs(
+                vms_coarse[bucket.gather.reshape(-1)]
+            )
+            r_elems.append(r_elem)
+            r_trace = r_trace - g_u
+            max_res = max(max_res, float(jnp.abs(r_elem[: sub.e_real]).max()))
         if msys.n_lagrange:
             max_res = max(max_res, float(jnp.abs(r_trace).max()))
         residuals.append(max_res)
         if max_res <= absolute_tolerance or max_res <= max_mag * relative_tolerance:
             break
 
-        a_r = sub.block_solve_sharded(r_elem)
-        trace_rhs = -r_trace + sub.trace_of(a_r)
+        trace_rhs = -r_trace
+        for (_, sub), r in zip(subs, r_elems):
+            trace_rhs = trace_rhs + sub.trace_of(sub.block_solve_sharded(r))
         dlam, _, _ = krylov(trace_rhs, cg_tolerance)
-        du = sub.block_solve_sharded(r_elem - sub.trace_t_of(dlam))
+        dus = [
+            sub.block_solve_sharded(r - sub.trace_t_of(dlam))
+            for (_, sub), r in zip(subs, r_elems)
+        ]
         if anderson_m > 0:
             # Same guarded type-II extrapolation as the single-chip loop
-            # (solver.solve non_linear_solve_run) over (u, lam).
+            # (solver.solve non_linear_solve_run) over (u_1..u_B, lam).
             x_k = np.concatenate(
-                (np.asarray(u).reshape(-1), np.asarray(lam))
+                [np.asarray(u).reshape(-1) for u in us] + [np.asarray(lam)]
             )
             f_k = relax * np.concatenate(
-                (np.asarray(du).reshape(-1), np.asarray(dlam))
+                [np.asarray(du).reshape(-1) for du in dus]
+                + [np.asarray(dlam)]
             )
             if len(residuals) >= 2 and residuals[-1] > residuals[-2]:
                 aa_x.clear()
@@ -550,16 +614,25 @@ def sharded_vms_steady_solve(
                 gamma, *_ = np.linalg.lstsq(df, f_k, rcond=1e-10)
                 if np.abs(gamma).max() <= 25.0:
                     x_new = x_k + f_k - (dx + df) @ gamma
-            n_u = np.asarray(u).size
-            u = jax.device_put(
-                x_new[:n_u].reshape(np.asarray(u).shape), sub.dof_sharding
-            )
-            lam = jnp.asarray(x_new[n_u:])
+            lo = 0
+            new_us = []
+            for (bucket, sub), u in zip(subs, us):
+                n_u = np.asarray(u).size
+                new_us.append(
+                    jax.device_put(
+                        x_new[lo : lo + n_u].reshape(np.asarray(u).shape),
+                        sub.dof_sharding,
+                    )
+                )
+                lo += n_u
+            us = new_us
+            lam = jnp.asarray(x_new[lo:])
         else:
-            u = u + relax * du
+            us = [u + relax * du for u, du in zip(us, dus)]
             lam = lam + relax * dlam
 
     out = np.zeros(disc.n_dofs)
-    out[gather_flat] = sub.unshard_dofs(u)
+    for (bucket, sub), u in zip(subs, us):
+        out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
     fine_scales = sg.recover_unresolved(out, unresolved)
     return out, np.asarray(lam), np.asarray(residuals), fine_scales

@@ -129,7 +129,8 @@ def solve_system_2d(
 
     if solver_settings.device_mesh is not None:
         unsupported = {
-            "vms_settings": vms_settings is not None,
+            "vms_settings with a time march": vms_settings is not None
+            and time_settings is not None,
             "refinement_settings": refinement_settings is not None,
             "checkpoint_settings": checkpoint_settings is not None,
             'method="newton"': solver_settings.method == "newton",
@@ -151,6 +152,7 @@ def solve_system_2d(
             boundary_conditions,
             has_unsteady_bcs=has_unsteady_bcs,
             has_td_rhs=has_td_rhs,
+            vms_settings=vms_settings,
         )
 
     if time_settings is not None:
@@ -729,6 +731,25 @@ def solve_system_2d(
     return tuple(resulting_grids), stats, output_mesh
 
 
+def _fine_to_coarse_dual(disc, dk: int, fine_scales: np.ndarray) -> np.ndarray:
+    """Dual (P^T) projection of fine-scale VMS results to coarse DoFs.
+
+    The sharded entry path's equivalent of the single-device
+    ``fine_results_to_coarse_dofs(..., dual=True)`` — one inclusion-matrix
+    GEMM per order bucket.
+    """
+    from mfv2d_tpu.evaluation import reference_inclusion_matrix
+    from mfv2d_tpu.parallel.vms import _fine_discretization
+
+    fd = _fine_discretization(disc, dk)
+    out = np.zeros(disc.n_dofs)
+    x = np.asarray(fine_scales)
+    for cb, fb in zip(disc.buckets, fd.buckets):
+        c = reference_inclusion_matrix(disc.form_spec, cb.orders, fb.orders)
+        out[cb.gather] = x[fb.gather] @ c
+    return out
+
+
 def _vms_to_coarse(sg_operator, fine_scales, disc):
     """Project fine-scale VMS results to coarse dual DoFs for output.
 
@@ -793,6 +814,7 @@ def _solve_sharded(
     *,
     has_unsteady_bcs: bool = False,
     has_td_rhs: bool = False,
+    vms_settings: VMSSettings | None = None,
 ) -> tuple[Sequence[ReconstructedGrid], SolutionStatistics, Mesh]:
     """Element-sharded solve over ``solver_settings.device_mesh``.
 
@@ -837,22 +859,45 @@ def _solve_sharded(
 
     grids: list[ReconstructedGrid] = []
     if time_settings is None:
-        u, lam, residuals = sharded_steady_solve(
-            system,
-            disc,
-            device_mesh,
-            boundary_conditions=bcs,
-            constrained_forms=cforms,
-            maximum_iterations=conv.maximum_iterations,
-            relax=solver_settings.relaxation,
-            absolute_tolerance=conv.absolute_tolerance,
-            relative_tolerance=conv.relative_tolerance,
-            cg_maximum_iterations=cg_cap,
-            cg_tolerance=cg_tol,
-            krylov_method=krylov,
-            initial_solution=initial_solution,
-        )
-        grid = reconstruct_mesh_from_solution(disc, recon_order, u)
+        vms_dual = None
+        if vms_settings is not None:
+            from mfv2d_tpu.parallel.vms import sharded_vms_steady_solve
+
+            u, lam, residuals, fine_scales = sharded_vms_steady_solve(
+                system,
+                vms_settings,
+                disc,
+                device_mesh,
+                boundary_conditions=bcs,
+                constrained_forms=cforms,
+                maximum_iterations=conv.maximum_iterations,
+                relax=solver_settings.relaxation,
+                absolute_tolerance=conv.absolute_tolerance,
+                relative_tolerance=conv.relative_tolerance,
+                cg_maximum_iterations=cg_cap,
+                cg_tolerance=cg_tol,
+                anderson_m=solver_settings.anderson_m,
+            )
+            vms_dual = _fine_to_coarse_dual(
+                disc, vms_settings.order_increase, fine_scales
+            )
+        else:
+            u, lam, residuals = sharded_steady_solve(
+                system,
+                disc,
+                device_mesh,
+                boundary_conditions=bcs,
+                constrained_forms=cforms,
+                maximum_iterations=conv.maximum_iterations,
+                relax=solver_settings.relaxation,
+                absolute_tolerance=conv.absolute_tolerance,
+                relative_tolerance=conv.relative_tolerance,
+                cg_maximum_iterations=cg_cap,
+                cg_tolerance=cg_tol,
+                krylov_method=krylov,
+                initial_solution=initial_solution,
+            )
+        grid = reconstruct_mesh_from_solution(disc, recon_order, u, vms_dual)
         grid.field_data["time"] = np.array([0.0])
         grids.append(grid)
         iters = np.array((len(residuals),), np.uint32)

@@ -135,3 +135,139 @@ def test_sharded_vms_solve_matches_single_chip(device_mesh):
     x, y = grid.points[:, 0], grid.points[:, 1]
     err = float(np.sqrt(np.mean((grid.point_data["u"] - _u_exact(x, y)) ** 2)))
     assert err < 5e-3
+
+
+def _hp_orders():
+    # Checkerboard p in {3, 4} -> exactly two order buckets on a 3x3 mesh.
+    return np.array([[3 + ((i + j) % 2)] * 2 for j in range(3) for i in range(3)])
+
+
+def test_sharded_hp_greens_matches_single_chip(device_mesh):
+    """hp (2-bucket) sharded G' x equals the single-chip operator."""
+    model, symmetric = _model()
+    mesh = mf.examples.unit_square_mesh(3, 3, _hp_orders())
+    disc = discretize_mesh(mesh, model.system.unknown_forms, FemCache(2))
+    assert len(disc.buckets) == 2
+    settings = VMSSettings(
+        symmetric_system=symmetric,
+        nonsymmetric_system=model.system,
+        order_increase=2,
+        fine_scale_convergence=ConvergenceSettings(10, 1e-11, 1e-9),
+        matrix_free=True,
+    )
+    compiled = CompiledSystem(model.system)
+    evaluator = SystemEvaluator(model.system.unknown_forms, compiled, disc)
+    single = SuyashGreenOperator(
+        model.system, settings, disc, evaluator, [], []
+    )
+    sharded = ShardedSuyashGreen(
+        model.system, settings, disc, device_mesh, [], []
+    )
+    assert sharded.fine_disc.n_dofs == int(single.fine_offsets[-1])
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, single.fine_offsets[-1])
+    g_single = single.fine_scale_greens_function(x)
+    g_sharded = sharded.fine_scale_greens_function(x)
+    scale = max(float(np.abs(g_single).max()), 1.0)
+    assert np.abs(g_sharded - g_single).max() < 1e-10 * scale
+
+    # Advection (linear part) and the coarse<->fine transfers agree too.
+    f_single = single._apply_fine_advection(x)
+    f_sharded = sharded._apply_fine_advection(x)
+    assert np.abs(f_sharded - f_single).max() < 1e-10 * max(
+        np.abs(f_single).max(), 1.0
+    )
+    u_c = rng.uniform(-1, 1, disc.n_dofs)
+    assert np.abs(
+        sharded._prolong_to_fine(u_c) - single._prolong_to_fine(u_c)
+    ).max() < 1e-12
+    assert np.abs(
+        sharded._project_to_coarse(x) - single._project_to_coarse(x)
+    ).max() < 1e-12
+
+    # Nonlinear advection rebuilt at a nonzero coarse state still agrees.
+    single.update_nonlinear_advection(u_c)
+    sharded.update_nonlinear_advection(u_c)
+    f_single = single._apply_fine_advection(x)
+    f_sharded = sharded._apply_fine_advection(x)
+    assert np.abs(f_sharded - f_single).max() < 1e-10 * max(
+        np.abs(f_single).max(), 1.0
+    )
+
+
+def test_sharded_hp_vms_solve_matches_single_chip(device_mesh):
+    """Full sharded VMS nonlinear solve on an hp (2-bucket) mesh."""
+    model, symmetric = _model()
+    vms = VMSSettings(
+        symmetric_system=symmetric,
+        nonsymmetric_system=model.system,
+        order_increase=2,
+        fine_scale_convergence=ConvergenceSettings(10, 1e-10, 1e-8),
+        matrix_free=True,
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, _hp_orders())
+    disc = discretize_mesh(mesh, model.system.unknown_forms, FemCache(3))
+    assert len(disc.buckets) == 2
+    sol, lam, residuals, fine_scales = sharded_vms_steady_solve(
+        model.system,
+        vms,
+        disc,
+        device_mesh,
+        maximum_iterations=40,
+        absolute_tolerance=1e-9,
+        anderson_m=3,
+    )
+    assert residuals[-1] <= 1e-9
+    assert np.all(np.isfinite(sol)) and np.all(np.isfinite(fine_scales))
+
+    from mfv2d_tpu.solve_system_2d import reconstruct_mesh_from_solution
+
+    grid = reconstruct_mesh_from_solution(disc, 4, sol)
+    x, y = grid.points[:, 0], grid.points[:, 1]
+    err = float(np.sqrt(np.mean((grid.point_data["u"] - _u_exact(x, y)) ** 2)))
+    assert err < 5e-3
+
+
+def test_vms_device_mesh_entry_point(device_mesh):
+    """solve_system_2d routes vms_settings through the sharded path."""
+    model, symmetric = _model()
+    vms = VMSSettings(
+        symmetric_system=symmetric,
+        nonsymmetric_system=model.system,
+        order_increase=2,
+        fine_scale_convergence=ConvergenceSettings(10, 1e-10, 1e-8),
+        matrix_free=True,
+    )
+    mesh = mf.examples.unit_square_mesh(3, 3, 3)
+    sols_h, _, _ = mf.solve_system_2d(
+        mesh,
+        mf.SystemSettings(model.system),
+        mf.SolverSettings(ConvergenceSettings(40, 1e-9, 0)),
+        vms_settings=vms,
+    )
+    mesh2 = mf.examples.unit_square_mesh(3, 3, 3)
+    sols_s, stats, _ = mf.solve_system_2d(
+        mesh2,
+        mf.SystemSettings(model.system),
+        mf.SolverSettings(
+            ConvergenceSettings(40, 1e-9, 0), device_mesh=device_mesh
+        ),
+        vms_settings=vms,
+    )
+    assert np.allclose(
+        sols_s[-1].point_data["u"], sols_h[-1].point_data["u"], atol=1e-6
+    )
+
+    # VMS + a time march stays loudly unsupported sharded.
+    u, v = model.u, model.u.weight
+    with pytest.raises(NotImplementedError, match="device_mesh"):
+        mf.solve_system_2d(
+            mf.examples.unit_square_mesh(2, 2, 2),
+            mf.SystemSettings(model.system),
+            mf.SolverSettings(device_mesh=device_mesh),
+            time_settings=mf.TimeSettings(
+                dt=0.1, nt=2, time_march_relations={v: u}
+            ),
+            vms_settings=vms,
+        )
