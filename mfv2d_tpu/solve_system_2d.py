@@ -133,7 +133,12 @@ def solve_system_2d(
             and time_settings is not None,
             "refinement_settings": refinement_settings is not None,
             "checkpoint_settings": checkpoint_settings is not None,
-            'method="newton"': solver_settings.method == "newton",
+            'method="newton" with a time march': solver_settings.method
+            == "newton"
+            and time_settings is not None,
+            'method="newton" with vms_settings': solver_settings.method
+            == "newton"
+            and vms_settings is not None,
         }
         bad = [k for k, v in unsupported.items() if v]
         if bad:
@@ -882,7 +887,13 @@ def _solve_sharded(
                 disc, vms_settings.order_increase, fine_scales
             )
         else:
-            u, lam, residuals = sharded_steady_solve(
+            if solver_settings.method == "newton":
+                from mfv2d_tpu.parallel.sharding import (
+                    sharded_newton_steady_solve as _steady,
+                )
+            else:
+                _steady = sharded_steady_solve
+            u, lam, residuals = _steady(
                 system,
                 disc,
                 device_mesh,

@@ -645,12 +645,13 @@ def test_solve_system_2d_device_mesh(device_mesh):
         atol=1e-8,
     )
 
-    # Unsupported combos fail loudly.
+    # Unsupported combos fail loudly (Newton is steady-only sharded).
     with pytest.raises(NotImplementedError, match="device_mesh"):
         mf.solve_system_2d(
             mf.examples.unit_square_mesh(2, 2, 2),
-            mf.SystemSettings(system),
+            mf.SystemSettings(model.system),
             mf.SolverSettings(device_mesh=device_mesh, method="newton"),
+            time_settings=ts,
         )
 
 
@@ -983,3 +984,42 @@ def test_sharded_nonlinear_march_with_ics_matches_host(device_mesh):
     host, sh = run(), run(device_mesh)
     err = np.abs(sh.point_data["vel"] - host.point_data["vel"]).max()
     assert err < 1e-7, err
+
+
+def test_sharded_newton_steady_matches_host(device_mesh):
+    """Sharded exact-Newton steady solve matches the host Newton path."""
+    from mfv2d_tpu.models import flow
+
+    def lid_velocity(x, y):
+        on_lid = np.isclose(y, 1.0)
+        return np.stack(
+            (np.where(on_lid, 1.0, 0.0), np.zeros_like(y)), axis=-1
+        )
+
+    model = flow.cavity_flow(20.0, lid_velocity)
+
+    def run(device=None):
+        mesh = mf.examples.unit_square_mesh(3, 3, 2)
+        bc = mf.BoundaryCondition2DSteady(
+            model.velocity, mesh.boundary_indices, lid_velocity
+        )
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+            mf.SolverSettings(
+                ConvergenceSettings(20, 1e-11, 0),
+                method="newton",
+                linear_solver="gmres" if device is not None else "direct",
+                device_mesh=device,
+            ),
+            recon_order=2,
+        )
+        return sols[-1], stats
+
+    host, stats_h = run()
+    sh, stats_s = run(device_mesh)
+    err = np.abs(sh.point_data["vel"] - host.point_data["vel"]).max()
+    assert err < 1e-8, err
+    # Newton quadratic convergence: the sharded path should take the same
+    # few iterations as the host Newton, far fewer than Picard at Re=20.
+    assert int(stats_s.iter_history[0]) <= int(stats_h.iter_history[0]) + 1
