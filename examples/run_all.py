@@ -75,6 +75,7 @@ def main():
         return out
 
     failures = []
+    timings: list[tuple[str, float]] = []
     for script in scripts:
         # Stale figures from a previous run must not mask a regression.
         for f in figs_of(script):
@@ -93,11 +94,19 @@ def main():
         n_figs = len(figs_of(script))
         status = "OK " if rc == 0 else "FAIL"
         print(f"{status} {script.relative_to(HERE)}  ({dt:.1f}s, {n_figs} figs)")
+        if rc == 0:
+            timings.append((str(script.relative_to(HERE)), dt))
         if rc != 0:
             failures.append(script)
             if not forked:
                 print(result.stdout.decode()[-2000:])
                 print(result.stderr.decode()[-2000:])
+    # Per-script wall times for the gallery page (docs/build_gallery.py),
+    # the analogue of the reference's sg_execution_times.rst.
+    figures_dir.mkdir(exist_ok=True)
+    (figures_dir / "timings.txt").write_text(
+        "".join(f"{name} {dt:.2f}\n" for name, dt in timings)
+    )
     if failures:
         sys.exit(1)
 
