@@ -369,15 +369,21 @@ def main() -> None:
             env={"MFV2D_TPU_ASSEMBLY_DTYPE": "float32"},
         )
         rate_f32 = r and r.get("rate")
-        # f64 runs a shorter chain (emulated f64 is slow); rate is per
-        # element so the numbers stay comparable.
+        # GEMM peaks before the f64 rate: cheaper, and pct_chip_peak is
+        # the headline-adjacent number (BASELINE "fraction of matmul
+        # peak") that must not get budget-skipped.
+        peaks = _sub_json(["--gemm-peaks"], timeout=min(180.0, 420.0 - _elapsed()))
+        # f64 keeps the full batch (the >2e9-FLOP gate then routes it
+        # through the production exact-sum Ozaki assembly — the shipped
+        # f64 path on TPU; smaller batches fall to raw emulated-f64
+        # einsums whose compile alone blows the budget) but a shorter
+        # chain; the rate is per element so the numbers stay comparable.
         r = _sub_json(
-            ["--device-rate", "2048", "64"],
-            timeout=min(300.0, 560.0 - _elapsed()),
+            ["--device-rate", str(N_ELEM), "64"],
+            timeout=min(300.0, 580.0 - _elapsed()),
             env={"MFV2D_TPU_ASSEMBLY_DTYPE": "float64"},
         )
         rate_f64 = r and r.get("rate")
-        peaks = _sub_json(["--gemm-peaks"], timeout=min(180.0, 580.0 - _elapsed()))
 
     row = {
         "metric": "element_assemblies_per_sec_p4",
@@ -408,9 +414,9 @@ def main() -> None:
     print(json.dumps(row), flush=True)
 
     if alive and not os.environ.get("MFV2D_TPU_BENCH_SKIP_TIER"):
-        budget = 620.0 - _elapsed()
+        budget = 700.0 - _elapsed()
         row["tpu_tier_tests"] = (
-            _tpu_tier_result(min(240.0, budget)) if budget > 60 else "skipped"
+            _tpu_tier_result(min(300.0, budget)) if budget > 60 else "skipped"
         )
         # Re-print so a last-line parser also sees the (augmented) record.
         print(json.dumps(row), flush=True)

@@ -131,7 +131,6 @@ def solve_system_2d(
         unsupported = {
             "vms_settings with a time march": vms_settings is not None
             and time_settings is not None,
-            "refinement_settings": refinement_settings is not None,
             "checkpoint_settings": checkpoint_settings is not None,
             'method="newton" with a time march': solver_settings.method
             == "newton"
@@ -158,6 +157,7 @@ def solve_system_2d(
             has_unsteady_bcs=has_unsteady_bcs,
             has_td_rhs=has_td_rhs,
             vms_settings=vms_settings,
+            refinement_settings=refinement_settings,
         )
 
     if time_settings is not None:
@@ -820,6 +820,7 @@ def _solve_sharded(
     has_unsteady_bcs: bool = False,
     has_td_rhs: bool = False,
     vms_settings: VMSSettings | None = None,
+    refinement_settings=None,
 ) -> tuple[Sequence[ReconstructedGrid], SolutionStatistics, Mesh]:
     """Element-sharded solve over ``solver_settings.device_mesh``.
 
@@ -973,6 +974,7 @@ def _solve_sharded(
             g.field_data["time"] = np.array([(int(step) + 1) * time_settings.dt])
             grids.append(g)
         lam_size = np.asarray(lam).size
+        u = np.asarray(us[-1])
 
     mesh_orders = disc.element_orders
     orders, counts = np.unique(mesh_orders, axis=0, return_counts=True)
@@ -988,4 +990,39 @@ def _solve_sharded(
         iter_history=iters,
         residual_history=changes,
     )
-    return grids, stats, mesh
+
+    output_mesh = mesh
+    if refinement_settings is not None:
+        # The error estimators are element-local host machinery operating
+        # on the flat solution vector, so the sharded solve hands off to
+        # the same refinement driver the single-device path uses (the
+        # marched system for time marches, matching that path).
+        from mfv2d_tpu.refinement import perform_mesh_refinement
+        from mfv2d_tpu.solver.solve import SystemEvaluator
+
+        ref_system = (
+            update_system_for_time_march(time_settings, system)
+            if time_settings is not None
+            else system
+        )
+        evaluator = SystemEvaluator(
+            ref_system.unknown_forms, CompiledSystem(ref_system), disc
+        )
+        output_mesh, error_estimates, h_ref_cost = perform_mesh_refinement(
+            disc,
+            u,
+            ref_system,
+            evaluator,
+            refinement_settings.error_estimate,
+            refinement_settings.h_refinement_ratio,
+            refinement_settings.refinement_limit,
+            refinement_settings.report_error_distribution,
+            bcs,
+            refinement_settings.upper_order_limit,
+            refinement_settings.lower_order_limit,
+            system_settings.constrained_forms,
+            anisotropic_p=refinement_settings.anisotropic_p,
+        )
+        grids[-1].cell_data["error_estimate"] = error_estimates
+        grids[-1].cell_data["h_ref_cost_estimate"] = h_ref_cost
+    return grids, stats, output_mesh

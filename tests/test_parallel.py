@@ -1023,3 +1023,54 @@ def test_sharded_newton_steady_matches_host(device_mesh):
     # Newton quadratic convergence: the sharded path should take the same
     # few iterations as the host Newton, far fewer than Picard at Re=20.
     assert int(stats_s.iter_history[0]) <= int(stats_h.iter_history[0]) + 1
+
+
+def test_sharded_refinement_matches_host(device_mesh):
+    """refinement_settings through device_mesh= refines like the host path."""
+    from mfv2d_tpu.refinement import (
+        ErrorEstimateL2OrderReduction,
+        RefinementLimitElementCount,
+        RefinementSettings,
+    )
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    rs = RefinementSettings(
+        error_estimate=ErrorEstimateL2OrderReduction(u, 1),
+        h_refinement_ratio=0.0,  # pure p-refinement: deterministic orders
+        refinement_limit=RefinementLimitElementCount(0.5, 4),
+    )
+
+    def run(device=None):
+        mesh = mf.examples.unit_square_mesh(3, 3, 3)
+        sols, _, out_mesh = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(system),
+            mf.SolverSettings(
+                ConvergenceSettings(20, 1e-10, 0), device_mesh=device
+            ),
+            refinement_settings=rs,
+        )
+        orders = [
+            tuple(int(o) for o in out_mesh.get_leaf_orders(int(i)))
+            for i in out_mesh.get_leaf_indices()
+        ]
+        return sols[-1], orders
+
+    host_grid, host_orders = run()
+    sh_grid, sh_orders = run(device_mesh)
+    # The symmetric mesh has exact ties in element error; the sort can
+    # break them differently between the two (1e-10-apart) solutions, so
+    # compare the multiset of refined orders, not per-leaf positions.
+    assert sorted(sh_orders) == sorted(host_orders)
+    assert np.allclose(
+        sh_grid.cell_data["error_estimate"],
+        host_grid.cell_data["error_estimate"],
+        rtol=1e-6,
+    )
