@@ -1625,6 +1625,8 @@ def sharded_steady_solve(
     cg_tolerance: float = 1e-13,
     krylov_method: str = "cg",
     initial_solution=None,
+    initial_lagrange=None,
+    checkpoint_cb=None,
 ):
     """Fully sharded steady solve: assembly -> Picard -> Schur Krylov.
 
@@ -1686,8 +1688,18 @@ def sharded_steady_solve(
             sub.shard_dofs(sol[bucket.gather].reshape(-1))
             for bucket, sub in subs
         ]
-    lam = jnp.zeros(msys.n_lagrange)
+    lam = (
+        jnp.zeros(msys.n_lagrange)
+        if initial_lagrange is None
+        else jnp.asarray(initial_lagrange)
+    )
     c_vec = jnp.asarray(lagrange_vec)
+
+    def _flat(us_now):
+        out = np.zeros(disc.n_dofs)
+        for (bucket, sub), u in zip(subs, us_now):
+            out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
+        return out
 
     residuals = []
     # Hoisted: the forcing (and constraint data) never change, so the
@@ -1699,7 +1711,7 @@ def sharded_steady_solve(
     )
     if msys.n_lagrange:
         max_mag = max(max_mag, float(jnp.abs(c_vec).max()))
-    for _ in range(maximum_iterations):
+    for it in range(maximum_iterations):
         r_elems = []
         r_trace = c_vec
         max_res = 0.0
@@ -1726,11 +1738,10 @@ def sharded_steady_solve(
             for (_, sub), u, r in zip(subs, us, r_elems)
         ]
         lam = lam + relax * dlam
+        if checkpoint_cb is not None:
+            checkpoint_cb(it + 1, _flat(us), np.asarray(lam))
 
-    out = np.zeros(disc.n_dofs)
-    for (bucket, sub), u in zip(subs, us):
-        out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
-    return out, np.asarray(lam), np.asarray(residuals)
+    return _flat(us), np.asarray(lam), np.asarray(residuals)
 
 
 def sharded_newton_steady_solve(

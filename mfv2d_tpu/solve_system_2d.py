@@ -128,10 +128,16 @@ def solve_system_2d(
             raise ValueError("Problem has no time march relations.")
 
     if solver_settings.device_mesh is not None:
+        _ckpt = checkpoint_settings is not None
         unsupported = {
             "vms_settings with a time march": vms_settings is not None
             and time_settings is not None,
-            "checkpoint_settings": checkpoint_settings is not None,
+            "checkpoint_settings with a time march": _ckpt
+            and time_settings is not None,
+            "checkpoint_settings with vms_settings": _ckpt
+            and vms_settings is not None,
+            'checkpoint_settings with method="newton"': _ckpt
+            and solver_settings.method == "newton",
             'method="newton" with a time march': solver_settings.method
             == "newton"
             and time_settings is not None,
@@ -158,6 +164,7 @@ def solve_system_2d(
             has_td_rhs=has_td_rhs,
             vms_settings=vms_settings,
             refinement_settings=refinement_settings,
+            checkpoint_settings=checkpoint_settings,
         )
 
     if time_settings is not None:
@@ -821,6 +828,7 @@ def _solve_sharded(
     has_td_rhs: bool = False,
     vms_settings: VMSSettings | None = None,
     refinement_settings=None,
+    checkpoint_settings=None,
 ) -> tuple[Sequence[ReconstructedGrid], SolutionStatistics, Mesh]:
     """Element-sharded solve over ``solver_settings.device_mesh``.
 
@@ -888,12 +896,61 @@ def _solve_sharded(
                 disc, vms_settings.order_increase, fine_scales
             )
         else:
+            extra = {}
             if solver_settings.method == "newton":
                 from mfv2d_tpu.parallel.sharding import (
                     sharded_newton_steady_solve as _steady,
                 )
             else:
                 _steady = sharded_steady_solve
+                if checkpoint_settings is not None:
+                    # Steady sharded Picard checkpoints exactly like the
+                    # single-device loop: (solution, lagrange, iteration,
+                    # elapsed); a missing resume file means first attempt.
+                    import os as _os
+                    import time as _time
+
+                    from mfv2d_tpu.checkpoint import (
+                        load_steady_state,
+                        save_steady_state,
+                    )
+
+                    _prior_iters, _prior_elapsed = 0, 0.0
+                    if checkpoint_settings.resume_from and _os.path.exists(
+                        checkpoint_settings.resume_from
+                    ):
+                        state = load_steady_state(
+                            checkpoint_settings.resume_from
+                        )
+                        if state["solution"].size != disc.n_dofs:
+                            raise ValueError(
+                                "Checkpoint DoF count does not match the"
+                                f" mesh/system: {state['solution'].size}"
+                                f" != {disc.n_dofs}."
+                            )
+                        extra["initial_solution"] = state["solution"]
+                        extra["initial_lagrange"] = state["lagrange"]
+                        _prior_iters = state["iteration"]
+                        _prior_elapsed = state["elapsed"]
+                    _cs = checkpoint_settings
+                    _t0 = _time.perf_counter()
+
+                    def _ckpt_cb(it, sol, lag):
+                        if it % max(1, _cs.every) == 0:
+                            save_steady_state(
+                                _cs.path,
+                                sol,
+                                lag,
+                                None,
+                                _prior_iters + it,
+                                _prior_elapsed
+                                + _time.perf_counter()
+                                - _t0,
+                            )
+
+                    extra["checkpoint_cb"] = _ckpt_cb
+            if "initial_solution" not in extra:
+                extra["initial_solution"] = initial_solution
             u, lam, residuals = _steady(
                 system,
                 disc,
@@ -907,8 +964,23 @@ def _solve_sharded(
                 cg_maximum_iterations=cg_cap,
                 cg_tolerance=cg_tol,
                 krylov_method=krylov,
-                initial_solution=initial_solution,
+                **extra,
             )
+            if checkpoint_settings is not None and _steady is sharded_steady_solve:
+                # Persist the final (converged) iterate regardless of the
+                # `every` stride, like the single-device path.
+                from mfv2d_tpu.checkpoint import save_steady_state
+
+                save_steady_state(
+                    checkpoint_settings.path,
+                    np.asarray(u),
+                    np.asarray(lam),
+                    None,
+                    _prior_iters + len(residuals),
+                    _prior_elapsed
+                    + __import__("time").perf_counter()
+                    - _t0,
+                )
         grid = reconstruct_mesh_from_solution(disc, recon_order, u, vms_dual)
         grid.field_data["time"] = np.array([0.0])
         grids.append(grid)

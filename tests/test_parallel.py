@@ -1074,3 +1074,43 @@ def test_sharded_refinement_matches_host(device_mesh):
         host_grid.cell_data["error_estimate"],
         rtol=1e-6,
     )
+
+
+def test_sharded_steady_checkpoint_resume(device_mesh, tmp_path):
+    """Steady sharded solves checkpoint per iteration and resume cleanly."""
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    pw = q.weight
+    system = mf.KFormSystem(
+        pw.derivative @ u - pw @ q == pw ^ u_exact,
+        v @ q.derivative == -(v @ source_exact),
+    )
+    from mfv2d_tpu.checkpoint import CheckpointSettings, load_steady_state
+
+    path = str(tmp_path / "steady.npz")
+
+    def run(resume):
+        mesh = mf.examples.unit_square_mesh(3, 3, 3)
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(system),
+            mf.SolverSettings(
+                ConvergenceSettings(20, 1e-10, 0), device_mesh=device_mesh
+            ),
+            checkpoint_settings=CheckpointSettings(
+                path, every=1, resume_from=path if resume else None
+            ),
+        )
+        return sols[-1], stats
+
+    grid1, stats1 = run(resume=False)
+    state = load_steady_state(path)
+    assert state["iteration"] >= 1
+    # Resuming from the converged checkpoint finishes immediately with the
+    # same answer.
+    grid2, stats2 = run(resume=True)
+    assert int(stats2.iter_history[0]) <= 1
+    assert np.allclose(
+        grid2.point_data["u"], grid1.point_data["u"], atol=1e-10
+    )
