@@ -222,24 +222,36 @@ def bench_gemm_peaks() -> dict:
     def rate(make_ab, flops_per_rep, body, k_a, k_b):
         a, b_mat = make_ab()
 
+        # b threads through the jit boundary as an ARGUMENT: a closure
+        # capture is serialized with the computation and the relay's
+        # remote compiler rejects bodies past ~100 MB (HTTP 413) — the
+        # 8192^2 f32 operand alone is 256 MB.
+        # The chain returns a SCALAR that the host fetches: the relay
+        # executes lazily and block_until_ready alone does not force the
+        # computation (measured: an impossible 1.9 EFLOP/s without the
+        # value fetch).
         @partial(jax.jit, static_argnames=("reps",))
-        def chain(a, reps):
+        def chain(a, b, reps):
             def step(_, acc):
-                return body(acc, b_mat)
+                return body(acc, b)
 
-            return jax.lax.fori_loop(0, reps, step, a)
+            return jnp.sum(jax.lax.fori_loop(0, reps, step, a))
 
-        chain(a, k_a).block_until_ready()
-        chain(a, k_b).block_until_ready()
+        float(chain(a, b_mat, k_a))
+        float(chain(a, b_mat, k_b))
 
         def run(reps):
             t0 = time.perf_counter()
-            chain(a, reps).block_until_ready()
+            float(chain(a, b_mat, reps))
             return time.perf_counter() - t0
 
-        ta = min(run(k_a) for _ in range(3))
-        tb = min(run(k_b) for _ in range(3))
-        return flops_per_rep * (k_b - k_a) / (tb - ta)
+        ta = min(run(k_a) for _ in range(5))
+        tb = min(run(k_b) for _ in range(5))
+        if tb > ta:
+            return flops_per_rep * (k_b - k_a) / (tb - ta)
+        # Relay-latency noise swallowed the short chain; the long chain
+        # alone still bounds the rate from below (overhead-inclusive).
+        return flops_per_rep * k_b / tb
 
     rng = np.random.default_rng(0)
     # Chip peak: big square f32 GEMM (MXU-saturating, both dims wide).
@@ -251,8 +263,8 @@ def bench_gemm_peaks() -> dict:
         ),
         2 * m * m * m,
         lambda acc, b: (acc @ b) * 1e-3 + acc * 1e-6,
-        2,
-        16,
+        4,
+        32,
     )
     # Assembly shape class: huge-M, small-K, medium-N.
     e, k, n = 1 << 20, 64, 512
@@ -263,8 +275,8 @@ def bench_gemm_peaks() -> dict:
         ),
         2 * e * k * n,
         lambda acc, b: (acc @ b)[:, :k] * 1e-3 + acc,
-        4,
-        64,
+        16,
+        256,
     )
     return {"chip_peak_flops": sq, "envelope_flops": env}
 
