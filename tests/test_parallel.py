@@ -1114,3 +1114,39 @@ def test_sharded_steady_checkpoint_resume(device_mesh, tmp_path):
     assert np.allclose(
         grid2.point_data["u"], grid1.point_data["u"], atol=1e-10
     )
+
+
+def test_sharded_newton_hp_matches_host(device_mesh):
+    """Sharded Newton on an hp (2-bucket) mesh matches the host Newton."""
+    from mfv2d_tpu.models import flow
+
+    def lid_velocity(x, y):
+        on_lid = np.isclose(y, 1.0)
+        return np.stack(
+            (np.where(on_lid, 1.0, 0.0), np.zeros_like(y)), axis=-1
+        )
+
+    model = flow.cavity_flow(15.0, lid_velocity)
+    orders = np.array([[2 + ((i + j) % 2)] * 2 for j in range(2) for i in range(2)])
+
+    def run(device=None):
+        mesh = mf.examples.unit_square_mesh(2, 2, orders)
+        bc = mf.BoundaryCondition2DSteady(
+            model.velocity, mesh.boundary_indices, lid_velocity
+        )
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+            mf.SolverSettings(
+                ConvergenceSettings(20, 1e-11, 0),
+                method="newton",
+                linear_solver="gmres" if device is not None else "direct",
+                device_mesh=device,
+            ),
+            recon_order=2,
+        )
+        return sols[-1]
+
+    host, sh = run(), run(device_mesh)
+    err = np.abs(sh.point_data["vel"] - host.point_data["vel"]).max()
+    assert err < 1e-8, err
