@@ -473,6 +473,7 @@ def sharded_vms_steady_solve(
     cg_maximum_iterations: int = 4000,
     cg_tolerance: float = 1e-12,
     anderson_m: int = 0,
+    initial_solution=None,
 ):
     """Fully sharded VMS-stabilized nonlinear steady solve (config 5 shape).
 
@@ -539,7 +540,14 @@ def sharded_vms_steady_solve(
         sub.shard_dofs(np.asarray(forcing)[bucket.gather].reshape(-1))
         for bucket, sub in subs
     ]
-    us = [jnp.zeros_like(b) for b in bs]
+    if initial_solution is None:
+        us = [jnp.zeros_like(b) for b in bs]
+    else:
+        sol = np.asarray(initial_solution)
+        us = [
+            sub.shard_dofs(sol[bucket.gather].reshape(-1))
+            for bucket, sub in subs
+        ]
     lam = jnp.zeros(msys.n_lagrange)
     c_vec = jnp.asarray(lagrange_vec)
     unresolved = None

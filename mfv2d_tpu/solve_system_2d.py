@@ -891,6 +891,7 @@ def _solve_sharded(
                 cg_maximum_iterations=cg_cap,
                 cg_tolerance=cg_tol,
                 anderson_m=solver_settings.anderson_m,
+                initial_solution=initial_solution,
             )
             vms_dual = _fine_to_coarse_dual(
                 disc, vms_settings.order_increase, fine_scales
