@@ -30,6 +30,7 @@ sp = lazy_module("scipy.sparse")
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mfv2d_tpu.solver.discretization import Discretization
+from mfv2d_tpu.tracing import tracer
 from mfv2d_tpu.solver.krylov import (
     auto_restart,
     cg_chunk as _cg_chunk,
@@ -1610,6 +1611,175 @@ def sharded_schur_solve(
     return system.unshard_dofs(u), np.asarray(lam), res, iters
 
 
+def _flat_from_sharded(disc, subs, us_now):
+    """Gather per-bucket sharded DoFs into the flat global layout."""
+    out = np.zeros(disc.n_dofs)
+    for (bucket, sub), u in zip(subs, us_now):
+        out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
+    return out
+
+
+def _sharded_nonlinear_iterate(
+    disc,
+    msys,
+    residual_fns,
+    bases,
+    c_t,
+    us,
+    lam,
+    krylov,
+    *,
+    maximum_iterations: int,
+    relax: float,
+    absolute_tolerance: float,
+    relative_tolerance: float,
+    max_mag: float,
+    cg_tolerance: float,
+    anderson_m: int = 0,
+    newton_ctx: dict | None = None,
+    sg=None,
+    unresolved=None,
+    checkpoint_cb=None,
+):
+    """One nonlinear solve over the sharded saddle system, host-driven.
+
+    The shared inner loop of every sharded nonlinear entry point — steady
+    Picard, exact-Newton, VMS-stabilized, and the per-step solves of the
+    host-driven time march.  Mirrors the single-device
+    ``non_linear_solve_run`` semantics (reference
+    python/mfv2d/solve_system.py:354): residual of the current iterate
+    (minus the VMS fine-scale forcing when ``sg`` is given), correction by
+    the frozen Schur factorization (or, for ``newton_ctx``, a per-iteration
+    rebuilt exact ``jacfwd`` Jacobian from the second step on), optional
+    guarded type-II Anderson extrapolation.
+
+    ``newton_ctx`` carries ``jac_fns, lagrange_mat, device_mesh,
+    krylov_method, cg_max`` for the Jacobian rebuilds.  ``checkpoint_cb``
+    is called per accepted iterate as ``cb(it, flat_solution, lam,
+    unresolved)``.
+
+    Returns ``(us, lam, residuals, unresolved)``.
+    """
+    subs = msys.subsystems
+    newton = newton_ctx is not None
+    residuals: list[float] = []
+    aa_x: list[np.ndarray] = []
+    aa_f: list[np.ndarray] = []
+
+    for it in range(maximum_iterations):
+        if sg is not None:
+            u_global = _flat_from_sharded(disc, subs, us)
+            with tracer.stage("svms-advection-update"):
+                sg.update_nonlinear_advection(u_global)
+            with tracer.stage("svms-unresolved"):
+                unresolved = sg.compute_unresolved_contributions(
+                    u_global, unresolved
+                )
+            vms_coarse = sg._project_to_coarse(unresolved)
+        r_elems = []
+        r_trace = c_t
+        max_res = 0.0
+        for (bucket, sub), fn, u, b in zip(subs, residual_fns, us, bases):
+            r_elem, g_u = fn(u, lam, b)
+            if sg is not None:
+                r_elem = r_elem - sub.shard_dofs(
+                    vms_coarse[bucket.gather.reshape(-1)]
+                )
+            r_elems.append(r_elem)
+            r_trace = r_trace - g_u
+            max_res = max(max_res, float(jnp.abs(r_elem[: sub.e_real]).max()))
+        if msys.n_lagrange:
+            max_res = max(max_res, float(jnp.abs(r_trace).max()))
+        residuals.append(max_res)
+        if max_res <= absolute_tolerance or max_res <= max_mag * relative_tolerance:
+            break
+
+        if newton and it > 0:
+            # Exact-Newton: rebuild + refactorize the per-element jacfwd
+            # Jacobian at the current iterate (trace tables are
+            # geometry/constraint-only and identical every iteration).
+            jac_blocks = [
+                fn(u) for fn, u in zip(newton_ctx["jac_fns"], us)
+            ]
+            sys_it = MultiBucketShardedSystem(
+                disc,
+                jac_blocks,
+                newton_ctx["lagrange_mat"],
+                newton_ctx["device_mesh"],
+                _prepadded_device=True,
+            )
+            krylov_it = _trace_krylov(
+                sys_it, newton_ctx["krylov_method"], newton_ctx["cg_max"]
+            )
+            it_subs = sys_it.subsystems
+        else:
+            it_subs, krylov_it = subs, krylov
+
+        trace_rhs = -r_trace
+        for (_, sub), r in zip(it_subs, r_elems):
+            trace_rhs = trace_rhs + sub.trace_of(sub.block_solve_sharded(r))
+        dlam, _, _ = krylov_it(trace_rhs, cg_tolerance)
+        dus = [
+            sub.block_solve_sharded(r - sub.trace_t_of(dlam))
+            for (_, sub), r in zip(it_subs, r_elems)
+        ]
+        if anderson_m > 0 and not newton:
+            # Guarded type-II extrapolation over (u_1..u_B, lam) — same
+            # scheme as the single-chip non_linear_solve_run.
+            x_k = np.concatenate(
+                [np.asarray(u).reshape(-1) for u in us] + [np.asarray(lam)]
+            )
+            f_k = relax * np.concatenate(
+                [np.asarray(du).reshape(-1) for du in dus]
+                + [np.asarray(dlam)]
+            )
+            if len(residuals) >= 2 and residuals[-1] > residuals[-2]:
+                aa_x.clear()
+                aa_f.clear()
+            aa_x.append(x_k)
+            aa_f.append(f_k)
+            if len(aa_x) > anderson_m + 1:
+                aa_x.pop(0)
+                aa_f.pop(0)
+            x_new = x_k + f_k
+            if len(aa_f) > 1:
+                df = np.stack(
+                    [aa_f[i + 1] - aa_f[i] for i in range(len(aa_f) - 1)],
+                    axis=1,
+                )
+                dx = np.stack(
+                    [aa_x[i + 1] - aa_x[i] for i in range(len(aa_x) - 1)],
+                    axis=1,
+                )
+                gamma, *_ = np.linalg.lstsq(df, f_k, rcond=1e-10)
+                if np.abs(gamma).max() <= 25.0:
+                    x_new = x_k + f_k - (dx + df) @ gamma
+            lo = 0
+            new_us = []
+            for (bucket, sub), u in zip(subs, us):
+                n_u = np.asarray(u).size
+                new_us.append(
+                    jax.device_put(
+                        x_new[lo : lo + n_u].reshape(np.asarray(u).shape),
+                        sub.dof_sharding,
+                    )
+                )
+                lo += n_u
+            us = new_us
+            lam = jnp.asarray(x_new[lo:])
+        else:
+            us = [u + relax * du for u, du in zip(us, dus)]
+            lam = lam + relax * dlam
+        if checkpoint_cb is not None:
+            checkpoint_cb(
+                it + 1,
+                _flat_from_sharded(disc, subs, us),
+                np.asarray(lam),
+                unresolved,
+            )
+    return us, lam, residuals, unresolved
+
+
 def sharded_steady_solve(
     system,
     disc: Discretization,
@@ -1701,7 +1871,6 @@ def sharded_steady_solve(
             out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
         return out
 
-    residuals = []
     # Hoisted: the forcing (and constraint data) never change, so the
     # relative-tolerance scale is a constant — recomputing it inside the
     # loop cost one device reduction + host sync per bucket per iteration.
@@ -1711,36 +1880,23 @@ def sharded_steady_solve(
     )
     if msys.n_lagrange:
         max_mag = max(max_mag, float(jnp.abs(c_vec).max()))
-    for it in range(maximum_iterations):
-        r_elems = []
-        r_trace = c_vec
-        max_res = 0.0
-        for (bucket, sub), fn, u, b in zip(subs, residual_fns, us, bs):
-            r_elem, g_u = fn(u, lam, b)
-            r_elems.append(r_elem)
-            r_trace = r_trace - g_u
-            max_res = max(max_res, float(jnp.abs(r_elem[: sub.e_real]).max()))
-        if msys.n_lagrange:
-            max_res = max(max_res, float(jnp.abs(r_trace).max()))
-        residuals.append(max_res)
-        if max_res <= absolute_tolerance or max_res <= max_mag * relative_tolerance:
-            break
-        # Saddle correction via the Schur complement over all buckets.
-        trace_rhs = -r_trace
-        ainvs = []
-        for (_, sub), r in zip(subs, r_elems):
-            a = sub.block_solve_sharded(r)
-            ainvs.append(a)
-            trace_rhs = trace_rhs + sub.trace_of(a)
-        dlam, _, _ = krylov(trace_rhs, cg_tolerance)
-        us = [
-            u + relax * sub.block_solve_sharded(r - sub.trace_t_of(dlam))
-            for (_, sub), u, r in zip(subs, us, r_elems)
-        ]
-        lam = lam + relax * dlam
-        if checkpoint_cb is not None:
-            checkpoint_cb(it + 1, _flat(us), np.asarray(lam))
-
+    us, lam, residuals, _ = _sharded_nonlinear_iterate(
+        disc,
+        msys,
+        residual_fns,
+        bs,
+        c_vec,
+        us,
+        lam,
+        krylov,
+        maximum_iterations=maximum_iterations,
+        relax=relax,
+        absolute_tolerance=absolute_tolerance,
+        relative_tolerance=relative_tolerance,
+        max_mag=max_mag,
+        cg_tolerance=cg_tolerance,
+        checkpoint_cb=checkpoint_cb,
+    )
     return _flat(us), np.asarray(lam), np.asarray(residuals)
 
 
@@ -1759,6 +1915,8 @@ def sharded_newton_steady_solve(
     cg_tolerance: float = 1e-13,
     krylov_method: str = "cg",
     initial_solution=None,
+    initial_lagrange=None,
+    checkpoint_cb=None,
 ):
     """Fully sharded exact-Newton steady solve.
 
@@ -1829,54 +1987,45 @@ def sharded_newton_steady_solve(
             sub.shard_dofs(sol[bucket.gather].reshape(-1))
             for bucket, sub in subs
         ]
-    lam = jnp.zeros(msys.n_lagrange)
+    lam = (
+        jnp.zeros(msys.n_lagrange)
+        if initial_lagrange is None
+        else jnp.asarray(initial_lagrange)
+    )
     c_vec = jnp.asarray(lagrange_vec)
 
-    residuals = []
     max_mag = max((float(jnp.abs(b).max()) for b in bs), default=0.0)
     if msys.n_lagrange:
         max_mag = max(max_mag, float(jnp.abs(c_vec).max()))
-    for it in range(maximum_iterations):
-        r_elems = []
-        r_trace = c_vec
-        max_res = 0.0
-        for (bucket, sub), fn, u, b in zip(subs, residual_fns, us, bs):
-            r_elem, g_u = fn(u, lam, b)
-            r_elems.append(r_elem)
-            r_trace = r_trace - g_u
-            max_res = max(max_res, float(jnp.abs(r_elem[: sub.e_real]).max()))
-        if msys.n_lagrange:
-            max_res = max(max_res, float(jnp.abs(r_trace).max()))
-        residuals.append(max_res)
-        if max_res <= absolute_tolerance or max_res <= max_mag * relative_tolerance:
-            break
-
-        if it == 0:
-            sys_it, krylov_it = msys, krylov0
-        else:
-            jac_blocks = [fn(u) for fn, u in zip(jac_fns, us)]
-            sys_it = MultiBucketShardedSystem(
-                disc, jac_blocks, lagrange_mat, device_mesh,
-                _prepadded_device=True,
-            )
-            krylov_it = _trace_krylov(
-                sys_it, krylov_method, cg_maximum_iterations
-            )
-        it_subs = sys_it.subsystems
-        trace_rhs = -r_trace
-        for (_, sub), r in zip(it_subs, r_elems):
-            trace_rhs = trace_rhs + sub.trace_of(sub.block_solve_sharded(r))
-        dlam, _, _ = krylov_it(trace_rhs, cg_tolerance)
-        us = [
-            u + relax * sub.block_solve_sharded(r - sub.trace_t_of(dlam))
-            for (_, sub), u, r in zip(it_subs, us, r_elems)
-        ]
-        lam = lam + relax * dlam
-
-    out = np.zeros(disc.n_dofs)
-    for (bucket, sub), u in zip(subs, us):
-        out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
-    return out, np.asarray(lam), np.asarray(residuals)
+    us, lam, residuals, _ = _sharded_nonlinear_iterate(
+        disc,
+        msys,
+        residual_fns,
+        bs,
+        c_vec,
+        us,
+        lam,
+        krylov0,
+        maximum_iterations=maximum_iterations,
+        relax=relax,
+        absolute_tolerance=absolute_tolerance,
+        relative_tolerance=relative_tolerance,
+        max_mag=max_mag,
+        cg_tolerance=cg_tolerance,
+        newton_ctx={
+            "jac_fns": jac_fns,
+            "lagrange_mat": lagrange_mat,
+            "device_mesh": device_mesh,
+            "krylov_method": krylov_method,
+            "cg_max": cg_maximum_iterations,
+        },
+        checkpoint_cb=checkpoint_cb,
+    )
+    return (
+        _flat_from_sharded(disc, subs, us),
+        np.asarray(lam),
+        np.asarray(residuals),
+    )
 
 
 class MultiBucketShardedSystem:
@@ -2446,6 +2595,8 @@ def _march_prologue(
         None if c_steps is None else jnp.asarray(c_steps),
         b_steps,
         tuple(b0_elems),
+        marched,
+        lagrange_mat,
     )
 
 
@@ -2504,6 +2655,8 @@ def sharded_time_march(
         c_steps,
         b_steps,
         b0_elems,
+        _marched,
+        _lagrange_mat,
     ) = _march_prologue(
         system, disc, device_mesh, time_settings, boundary_conditions,
         constrained_forms, unsteady_bcs, has_td_rhs,
@@ -2663,6 +2816,8 @@ def sharded_nonlinear_time_march(
         c_steps,
         b_steps,
         b0_elems,
+        _marched,
+        _lagrange_mat,
     ) = _march_prologue(
         system, disc, device_mesh, time_settings, boundary_conditions,
         constrained_forms, unsteady_bcs, has_td_rhs,
@@ -2831,4 +2986,310 @@ def sharded_nonlinear_time_march(
         np.asarray(lam_f),
         np.asarray(iters, np.uint32),
         np.asarray(residuals),
+    )
+
+
+def _carry_flat_positions(disc, msys, march_indices):
+    """Per-bucket positions in the global flat carry vector.
+
+    The flat layout matches the single-device ``time_carry_index_array``
+    ordering (concatenation over leaves in leaf order,
+    solve_system_2d.py), so march checkpoints written by the sharded host
+    loop resume on the single-device path and vice versa.
+
+    Returns ``(positions, total)`` where ``positions[b]`` is an
+    ``[E_real, ncc]`` int array for bucket ``b``.
+    """
+    from mfv2d_tpu.solver.solve import find_time_carry_indices
+
+    form_spec = disc.form_spec
+    ncc_leaf = np.zeros(disc.n_leaves, np.int64)
+    ncc_bucket = []
+    for bucket, _ in msys.subsystems:
+        p1, p2 = bucket.orders
+        ncc = len(find_time_carry_indices(march_indices, form_spec, p1, p2))
+        ncc_bucket.append(ncc)
+        ncc_leaf[bucket.leaf_ranks] = ncc
+    offs = np.concatenate([[0], np.cumsum(ncc_leaf)])
+    positions = [
+        offs[bucket.leaf_ranks][:, None]
+        + np.arange(ncc, dtype=np.int64)[None, :]
+        for (bucket, _), ncc in zip(msys.subsystems, ncc_bucket)
+    ]
+    return positions, int(offs[-1])
+
+
+def _carries_to_flat(msys, carries, positions, total):
+    out = np.zeros(total)
+    for (_, sub), c, pos in zip(msys.subsystems, carries, positions):
+        out[pos.reshape(-1)] = np.asarray(c)[: sub.e_real].reshape(-1)
+    return out
+
+
+def _carries_from_flat(msys, flat, positions):
+    flat = np.asarray(flat)
+    out = []
+    for (_, sub), pos in zip(msys.subsystems, positions):
+        arr = np.zeros((sub.e_padded, pos.shape[1]))
+        arr[: sub.e_real] = flat[pos]
+        out.append(jax.device_put(arr, sub.dof_sharding))
+    return out
+
+
+def sharded_host_time_march(
+    system,
+    disc: Discretization,
+    device_mesh: Mesh,
+    time_settings,
+    *,
+    boundary_conditions=(),
+    constrained_forms=(),
+    max_iterations: int = 20,
+    relax: float = 1.0,
+    absolute_tolerance: float = 1e-10,
+    relative_tolerance: float = 0.0,
+    cg_maximum_iterations: int = 2000,
+    cg_tolerance: float = 1e-12,
+    krylov_method: str = "cg",
+    unsteady_bcs=None,
+    has_td_rhs: bool = False,
+    initial_solution=None,
+    newton: bool = False,
+    vms_settings=None,
+    anderson_m: int = 0,
+    checkpoint_settings=None,
+    resume_state: dict | None = None,
+):
+    """Host-driven sharded trapezoidal march: Newton / VMS / checkpoints.
+
+    The fused scan marches (:func:`sharded_time_march`,
+    :func:`sharded_nonlinear_time_march`) keep the whole march in one
+    jitted program, which rules out per-step host work: exact-Newton
+    Jacobian refactorization, the VMS unresolved-scale solve (host-driven
+    Green's applications), and checkpoint writes.  This entry runs the
+    SAME sharded per-step solve (element work sharded, one psum per bucket
+    per Krylov matvec) under a host step loop, matching the single-device
+    march semantics (reference python/mfv2d/solve_system_2d.py:325-397
+    carry scheme) for exactly those combinations.
+
+    ``resume_state`` (a :func:`mfv2d_tpu.checkpoint.load_march_state`
+    dict) restores solution/lagrange/carries and skips completed steps;
+    checkpoints written here use the single-device flat-carry layout, so
+    the two paths' march checkpoints are interchangeable.
+
+    Returns ``(solutions [S, n_dofs], sample_steps, lam, iters [nt],
+    residuals [nt], fine_scales)``.
+    """
+    (
+        compiled,
+        form_spec,
+        msys,
+        b_elems,
+        c_vec,
+        carry_cols,
+        mass_blocks,
+        block_gemv,
+        sample_steps,
+        _slots_dev,
+        c_steps,
+        b_steps,
+        b0_elems,
+        marched,
+        lagrange_mat,
+    ) = _march_prologue(
+        system, disc, device_mesh, time_settings, boundary_conditions,
+        constrained_forms, unsteady_bcs, has_td_rhs,
+    )
+    subs = msys.subsystems
+    residual_fns = [
+        sub.make_picard_residual(
+            form_spec, compiled.lhs_blocks, compiled.rhs_blocks
+        )
+        for _, sub in subs
+    ]
+    krylov = _trace_krylov(msys, krylov_method, cg_maximum_iterations)
+    newton_ctx = None
+    if newton:
+        newton_ctx = {
+            "jac_fns": [
+                sub.make_newton_jacobian(
+                    form_spec, compiled.lhs_blocks, compiled.rhs_blocks
+                )
+                for _, sub in subs
+            ],
+            "lagrange_mat": lagrange_mat,
+            "device_mesh": device_mesh,
+            "krylov_method": krylov_method,
+            "cg_max": cg_maximum_iterations,
+        }
+
+    sg = None
+    unresolved = None
+    if vms_settings is not None:
+        from mfv2d_tpu.boundary import freeze_unsteady_boundary_conditions
+        from mfv2d_tpu.parallel.vms import ShardedSuyashGreen
+
+        # The fine-scale operator freezes its (weak-BC) forcing at the
+        # first time level, exactly like the single-device march builds
+        # its SuyashGreenOperator once before the step loop.
+        bcs0 = (
+            freeze_unsteady_boundary_conditions(
+                list(unsteady_bcs), time_settings.dt
+            )
+            if unsteady_bcs
+            else list(boundary_conditions)
+        )
+        sg = ShardedSuyashGreen(
+            marched,
+            vms_settings,
+            disc,
+            device_mesh,
+            constrained_forms,
+            bcs0,
+            inner_max_iterations=cg_maximum_iterations,
+        )
+
+    two_over_dt = 2.0 / time_settings.dt
+    dt = time_settings.dt
+    nt = time_settings.nt
+    n_lag = msys.n_lagrange
+    march_indices = tuple(
+        sorted(
+            marched.weight_forms.index(form)
+            for form in time_settings.time_march_relations
+        )
+    )
+    carry_pos, carry_total = _carry_flat_positions(disc, msys, march_indices)
+
+    max_mag_static = 0.0
+    if n_lag:
+        max_mag_static = float(
+            jnp.abs(c_steps if c_steps is not None else c_vec).max()
+        )
+    for b in b_steps if b_steps is not None else b_elems:
+        max_mag_static = max(max_mag_static, float(jnp.abs(b).max()))
+
+    start_step = 0
+    lam = jnp.zeros(n_lag)
+    if resume_state is not None:
+        sol = np.asarray(resume_state["solution"])
+        us = [
+            sub.shard_dofs(sol[bucket.gather].reshape(-1))
+            for bucket, sub in subs
+        ]
+        lam = jnp.asarray(resume_state["lagrange"])
+        old_carries = _carries_from_flat(
+            msys, resume_state["old_carry"], carry_pos
+        )
+        carry_terms = _carries_from_flat(
+            msys, resume_state["carry_term"], carry_pos
+        )
+        start_step = int(resume_state["time_index"])
+    elif initial_solution is None:
+        us = [jnp.zeros_like(b) for b in b_elems]
+        carry_terms = [b[:, cc] for b, cc in zip(b0_elems, carry_cols)]
+        old_carries = [jnp.zeros_like(ct) for ct in carry_terms]
+    else:
+        sol = np.asarray(initial_solution)
+        us = [
+            sub.shard_dofs(sol[bucket.gather].reshape(-1))
+            for bucket, sub in subs
+        ]
+        # Consistent trapezoidal start (see sharded_time_march).
+        old_carries = [
+            block_gemv(mb, u)[:, cc]
+            for mb, u, cc in zip(mass_blocks, us, carry_cols)
+        ]
+        lam00 = jnp.zeros(n_lag)
+        carry_terms = [
+            fn(u, lam00, b)[0][:, cc] + two_over_dt * oc
+            for fn, u, b, cc, oc in zip(
+                residual_fns, us, b0_elems, carry_cols, old_carries
+            )
+        ]
+
+    iters = np.zeros(nt, np.uint32)
+    changes = np.zeros(nt)
+    samples: list[np.ndarray] = []
+    kept_steps: list[int] = []
+    for ti in range(start_step, nt):
+        c_t = c_steps[ti] if c_steps is not None else c_vec
+        bs_t = (
+            [bb[ti] for bb in b_steps] if b_steps is not None else b_elems
+        )
+        bases = [
+            b.at[:, cc].add(two_over_dt * oc + ct)
+            for b, cc, oc, ct in zip(
+                bs_t, carry_cols, old_carries, carry_terms
+            )
+        ]
+        step_mag = max_mag_static
+        for base in bases:
+            step_mag = max(step_mag, float(jnp.abs(base).max()))
+        us, lam, step_res, unresolved = _sharded_nonlinear_iterate(
+            disc,
+            msys,
+            residual_fns,
+            bases,
+            c_t,
+            us,
+            lam,
+            krylov,
+            maximum_iterations=max_iterations,
+            relax=relax,
+            absolute_tolerance=absolute_tolerance,
+            relative_tolerance=relative_tolerance,
+            max_mag=step_mag,
+            cg_tolerance=cg_tolerance,
+            anderson_m=anderson_m,
+            newton_ctx=newton_ctx,
+            sg=sg,
+            unresolved=unresolved,
+        )
+        iters[ti] = len(step_res)
+        changes[ti] = step_res[-1]
+
+        new_carries = [
+            block_gemv(mb, u)[:, cc]
+            for mb, u, cc in zip(mass_blocks, us, carry_cols)
+        ]
+        carry_terms = [
+            two_over_dt * (nc - oc) - ct
+            for nc, oc, ct in zip(new_carries, old_carries, carry_terms)
+        ]
+        old_carries = new_carries
+
+        if checkpoint_settings is not None and (
+            (ti + 1) % max(1, checkpoint_settings.every) == 0
+            or ti + 1 == nt
+        ):
+            from mfv2d_tpu.checkpoint import save_march_state
+
+            save_march_state(
+                checkpoint_settings.path,
+                disc.mesh,
+                _flat_from_sharded(disc, subs, us),
+                np.asarray(lam),
+                _carries_to_flat(msys, old_carries, carry_pos, carry_total),
+                _carries_to_flat(msys, carry_terms, carry_pos, carry_total),
+                ti + 1,
+                dt,
+            )
+
+        if (ti % time_settings.sample_rate) == 0 or ti + 1 == nt:
+            samples.append(_flat_from_sharded(disc, subs, us))
+            kept_steps.append(ti)
+
+    fine_scales = None
+    if sg is not None:
+        fine_scales = sg.recover_unresolved(
+            _flat_from_sharded(disc, subs, us), unresolved
+        )
+    return (
+        np.stack(samples) if samples else np.zeros((0, disc.n_dofs)),
+        np.asarray(kept_steps, np.int64),
+        np.asarray(lam),
+        iters,
+        changes,
+        fine_scales,
     )

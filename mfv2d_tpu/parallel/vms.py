@@ -474,6 +474,10 @@ def sharded_vms_steady_solve(
     cg_tolerance: float = 1e-12,
     anderson_m: int = 0,
     initial_solution=None,
+    initial_lagrange=None,
+    initial_unresolved=None,
+    newton: bool = False,
+    checkpoint_cb=None,
 ):
     """Fully sharded VMS-stabilized nonlinear steady solve (config 5 shape).
 
@@ -482,6 +486,11 @@ def sharded_vms_steady_solve(
     (every matvec = one sharded fine + one sharded coarse saddle solve and
     one sharded advection GEMV), and the frozen sharded Schur correction.
     Replicated state: trace vectors and the host-driven outer loops.
+    ``newton=True`` replaces the frozen-operator correction with the
+    per-iteration exact ``jacfwd`` Jacobian rebuild (same semantics as the
+    single-device ``non_linear_solve_run(newton=True)`` with a VMS
+    operator); ``checkpoint_cb(it, flat_solution, lam, unresolved)`` and
+    the ``initial_*`` warm starts serve checkpoint/resume.
 
     Returns ``(solution_flat, lam, residual_history, fine_scales)`` where
     ``fine_scales`` are the recovered unresolved-scale fine DoFs.
@@ -548,99 +557,56 @@ def sharded_vms_steady_solve(
             sub.shard_dofs(sol[bucket.gather].reshape(-1))
             for bucket, sub in subs
         ]
-    lam = jnp.zeros(msys.n_lagrange)
+    lam = (
+        jnp.zeros(msys.n_lagrange)
+        if initial_lagrange is None
+        else jnp.asarray(initial_lagrange)
+    )
     c_vec = jnp.asarray(lagrange_vec)
-    unresolved = None
 
-    residuals = []
+    from mfv2d_tpu.parallel.sharding import (
+        _flat_from_sharded,
+        _sharded_nonlinear_iterate,
+    )
+
+    newton_ctx = None
+    if newton:
+        newton_ctx = {
+            "jac_fns": [
+                sub.make_newton_jacobian(
+                    form_spec, compiled.lhs_blocks, compiled.rhs_blocks
+                )
+                for _, sub in subs
+            ],
+            "lagrange_mat": lagrange_mat,
+            "device_mesh": device_mesh,
+            "krylov_method": "cg",
+            "cg_max": cg_maximum_iterations,
+        }
+
     max_mag = max((float(jnp.abs(b).max()) for b in bs), default=0.0)
-    aa_x: list[np.ndarray] = []
-    aa_f: list[np.ndarray] = []
-    for _ in range(maximum_iterations):
-        u_global = np.zeros(disc.n_dofs)
-        for (bucket, sub), u in zip(subs, us):
-            u_global[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
-        with tracer.stage("svms-advection-update"):
-            sg.update_nonlinear_advection(u_global)
-        with tracer.stage("svms-unresolved"):
-            unresolved = sg.compute_unresolved_contributions(u_global, unresolved)
-        vms_coarse = sg._project_to_coarse(unresolved)
+    us, lam, residuals, unresolved = _sharded_nonlinear_iterate(
+        disc,
+        msys,
+        residual_fns,
+        bs,
+        c_vec,
+        us,
+        lam,
+        krylov,
+        maximum_iterations=maximum_iterations,
+        relax=relax,
+        absolute_tolerance=absolute_tolerance,
+        relative_tolerance=relative_tolerance,
+        max_mag=max_mag,
+        cg_tolerance=cg_tolerance,
+        anderson_m=anderson_m,
+        newton_ctx=newton_ctx,
+        sg=sg,
+        unresolved=initial_unresolved,
+        checkpoint_cb=checkpoint_cb,
+    )
 
-        r_elems = []
-        r_trace = c_vec
-        max_res = 0.0
-        for (bucket, sub), fn, u, b in zip(subs, residual_fns, us, bs):
-            r_elem, g_u = fn(u, lam, b)
-            r_elem = r_elem - sub.shard_dofs(
-                vms_coarse[bucket.gather.reshape(-1)]
-            )
-            r_elems.append(r_elem)
-            r_trace = r_trace - g_u
-            max_res = max(max_res, float(jnp.abs(r_elem[: sub.e_real]).max()))
-        if msys.n_lagrange:
-            max_res = max(max_res, float(jnp.abs(r_trace).max()))
-        residuals.append(max_res)
-        if max_res <= absolute_tolerance or max_res <= max_mag * relative_tolerance:
-            break
-
-        trace_rhs = -r_trace
-        for (_, sub), r in zip(subs, r_elems):
-            trace_rhs = trace_rhs + sub.trace_of(sub.block_solve_sharded(r))
-        dlam, _, _ = krylov(trace_rhs, cg_tolerance)
-        dus = [
-            sub.block_solve_sharded(r - sub.trace_t_of(dlam))
-            for (_, sub), r in zip(subs, r_elems)
-        ]
-        if anderson_m > 0:
-            # Same guarded type-II extrapolation as the single-chip loop
-            # (solver.solve non_linear_solve_run) over (u_1..u_B, lam).
-            x_k = np.concatenate(
-                [np.asarray(u).reshape(-1) for u in us] + [np.asarray(lam)]
-            )
-            f_k = relax * np.concatenate(
-                [np.asarray(du).reshape(-1) for du in dus]
-                + [np.asarray(dlam)]
-            )
-            if len(residuals) >= 2 and residuals[-1] > residuals[-2]:
-                aa_x.clear()
-                aa_f.clear()
-            aa_x.append(x_k)
-            aa_f.append(f_k)
-            if len(aa_x) > anderson_m + 1:
-                aa_x.pop(0)
-                aa_f.pop(0)
-            x_new = x_k + f_k
-            if len(aa_f) > 1:
-                df = np.stack(
-                    [aa_f[i + 1] - aa_f[i] for i in range(len(aa_f) - 1)],
-                    axis=1,
-                )
-                dx = np.stack(
-                    [aa_x[i + 1] - aa_x[i] for i in range(len(aa_x) - 1)],
-                    axis=1,
-                )
-                gamma, *_ = np.linalg.lstsq(df, f_k, rcond=1e-10)
-                if np.abs(gamma).max() <= 25.0:
-                    x_new = x_k + f_k - (dx + df) @ gamma
-            lo = 0
-            new_us = []
-            for (bucket, sub), u in zip(subs, us):
-                n_u = np.asarray(u).size
-                new_us.append(
-                    jax.device_put(
-                        x_new[lo : lo + n_u].reshape(np.asarray(u).shape),
-                        sub.dof_sharding,
-                    )
-                )
-                lo += n_u
-            us = new_us
-            lam = jnp.asarray(x_new[lo:])
-        else:
-            us = [u + relax * du for u, du in zip(us, dus)]
-            lam = lam + relax * dlam
-
-    out = np.zeros(disc.n_dofs)
-    for (bucket, sub), u in zip(subs, us):
-        out[bucket.gather.reshape(-1)] = sub.unshard_dofs(u)
+    out = _flat_from_sharded(disc, subs, us)
     fine_scales = sg.recover_unresolved(out, unresolved)
     return out, np.asarray(lam), np.asarray(residuals), fine_scales

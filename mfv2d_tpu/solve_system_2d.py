@@ -128,30 +128,6 @@ def solve_system_2d(
             raise ValueError("Problem has no time march relations.")
 
     if solver_settings.device_mesh is not None:
-        _ckpt = checkpoint_settings is not None
-        unsupported = {
-            "vms_settings with a time march": vms_settings is not None
-            and time_settings is not None,
-            "checkpoint_settings with a time march": _ckpt
-            and time_settings is not None,
-            "checkpoint_settings with vms_settings": _ckpt
-            and vms_settings is not None,
-            'checkpoint_settings with method="newton"': _ckpt
-            and solver_settings.method == "newton",
-            'method="newton" with a time march': solver_settings.method
-            == "newton"
-            and time_settings is not None,
-            'method="newton" with vms_settings': solver_settings.method
-            == "newton"
-            and vms_settings is not None,
-        }
-        bad = [k for k, v in unsupported.items() if v]
-        if bad:
-            raise NotImplementedError(
-                f"device_mesh solves do not support: {', '.join(bad)}."
-                " Use the single-device path or the mfv2d_tpu.parallel"
-                " primitives directly."
-            )
         return _solve_sharded(
             mesh,
             system_settings,
@@ -874,6 +850,52 @@ def _solve_sharded(
     grids: list[ReconstructedGrid] = []
     if time_settings is None:
         vms_dual = None
+        # Steady checkpoint wiring shared by the Picard/Newton/VMS
+        # branches: (solution, lagrange, [unresolved], iteration, elapsed),
+        # same file format as the single-device loop; a missing resume
+        # file means "first attempt".
+        ckpt_cb = None
+        resume_steady = None
+        _prior_iters, _prior_elapsed, _t0 = 0, 0.0, 0.0
+        if checkpoint_settings is not None:
+            import os as _os
+            import time as _time
+
+            from mfv2d_tpu.checkpoint import (
+                load_steady_state,
+                save_steady_state,
+            )
+
+            if checkpoint_settings.resume_from and _os.path.exists(
+                checkpoint_settings.resume_from
+            ):
+                resume_steady = load_steady_state(
+                    checkpoint_settings.resume_from
+                )
+                if resume_steady["solution"].size != disc.n_dofs:
+                    raise ValueError(
+                        "Checkpoint DoF count does not match the"
+                        f" mesh/system: {resume_steady['solution'].size}"
+                        f" != {disc.n_dofs}."
+                    )
+                _prior_iters = resume_steady["iteration"]
+                _prior_elapsed = resume_steady["elapsed"]
+            _cs = checkpoint_settings
+            _t0 = _time.perf_counter()
+
+            def ckpt_cb(it, sol, lag, unres):
+                if it % max(1, _cs.every) == 0:
+                    save_steady_state(
+                        _cs.path,
+                        sol,
+                        lag,
+                        unres,
+                        _prior_iters + it,
+                        _prior_elapsed + _time.perf_counter() - _t0,
+                    )
+
+        newton = solver_settings.method == "newton"
+        fine_scales = None
         if vms_settings is not None:
             from mfv2d_tpu.parallel.vms import sharded_vms_steady_solve
 
@@ -891,67 +913,40 @@ def _solve_sharded(
                 cg_maximum_iterations=cg_cap,
                 cg_tolerance=cg_tol,
                 anderson_m=solver_settings.anderson_m,
-                initial_solution=initial_solution,
+                initial_solution=(
+                    resume_steady["solution"]
+                    if resume_steady is not None
+                    else initial_solution
+                ),
+                initial_lagrange=(
+                    resume_steady["lagrange"]
+                    if resume_steady is not None
+                    else None
+                ),
+                initial_unresolved=(
+                    resume_steady["fine_scales"]
+                    if resume_steady is not None
+                    else None
+                ),
+                newton=newton,
+                checkpoint_cb=ckpt_cb,
             )
             vms_dual = _fine_to_coarse_dual(
                 disc, vms_settings.order_increase, fine_scales
             )
         else:
             extra = {}
-            if solver_settings.method == "newton":
+            if resume_steady is not None:
+                extra["initial_solution"] = resume_steady["solution"]
+                extra["initial_lagrange"] = resume_steady["lagrange"]
+            else:
+                extra["initial_solution"] = initial_solution
+            if newton:
                 from mfv2d_tpu.parallel.sharding import (
                     sharded_newton_steady_solve as _steady,
                 )
             else:
                 _steady = sharded_steady_solve
-                if checkpoint_settings is not None:
-                    # Steady sharded Picard checkpoints exactly like the
-                    # single-device loop: (solution, lagrange, iteration,
-                    # elapsed); a missing resume file means first attempt.
-                    import os as _os
-                    import time as _time
-
-                    from mfv2d_tpu.checkpoint import (
-                        load_steady_state,
-                        save_steady_state,
-                    )
-
-                    _prior_iters, _prior_elapsed = 0, 0.0
-                    if checkpoint_settings.resume_from and _os.path.exists(
-                        checkpoint_settings.resume_from
-                    ):
-                        state = load_steady_state(
-                            checkpoint_settings.resume_from
-                        )
-                        if state["solution"].size != disc.n_dofs:
-                            raise ValueError(
-                                "Checkpoint DoF count does not match the"
-                                f" mesh/system: {state['solution'].size}"
-                                f" != {disc.n_dofs}."
-                            )
-                        extra["initial_solution"] = state["solution"]
-                        extra["initial_lagrange"] = state["lagrange"]
-                        _prior_iters = state["iteration"]
-                        _prior_elapsed = state["elapsed"]
-                    _cs = checkpoint_settings
-                    _t0 = _time.perf_counter()
-
-                    def _ckpt_cb(it, sol, lag):
-                        if it % max(1, _cs.every) == 0:
-                            save_steady_state(
-                                _cs.path,
-                                sol,
-                                lag,
-                                None,
-                                _prior_iters + it,
-                                _prior_elapsed
-                                + _time.perf_counter()
-                                - _t0,
-                            )
-
-                    extra["checkpoint_cb"] = _ckpt_cb
-            if "initial_solution" not in extra:
-                extra["initial_solution"] = initial_solution
             u, lam, residuals = _steady(
                 system,
                 disc,
@@ -965,23 +960,23 @@ def _solve_sharded(
                 cg_maximum_iterations=cg_cap,
                 cg_tolerance=cg_tol,
                 krylov_method=krylov,
+                checkpoint_cb=ckpt_cb,
                 **extra,
             )
-            if checkpoint_settings is not None and _steady is sharded_steady_solve:
-                # Persist the final (converged) iterate regardless of the
-                # `every` stride, like the single-device path.
-                from mfv2d_tpu.checkpoint import save_steady_state
-
-                save_steady_state(
-                    checkpoint_settings.path,
-                    np.asarray(u),
-                    np.asarray(lam),
-                    None,
-                    _prior_iters + len(residuals),
-                    _prior_elapsed
-                    + __import__("time").perf_counter()
-                    - _t0,
-                )
+        if checkpoint_settings is not None:
+            # Persist the final (converged) iterate regardless of the
+            # `every` stride, like the single-device path.  For VMS the
+            # recovered fine scales stand in for the in-loop unresolved
+            # contributions — on resume they are only an inner-solve warm
+            # start, never part of the answer.
+            save_steady_state(
+                checkpoint_settings.path,
+                np.asarray(u),
+                np.asarray(lam),
+                fine_scales,
+                _prior_iters + len(residuals),
+                _prior_elapsed + _time.perf_counter() - _t0,
+            )
         grid = reconstruct_mesh_from_solution(disc, recon_order, u, vms_dual)
         grid.field_data["time"] = np.array([0.0])
         grids.append(grid)
@@ -991,20 +986,88 @@ def _solve_sharded(
     else:
         marched = update_system_for_time_march(time_settings, system)
         marched_compiled = CompiledSystem(marched)
+        # Resume a checkpointed sharded march (same file format as the
+        # single-device path — the two paths' checkpoints interchange).
+        resume_state = None
+        if (
+            checkpoint_settings is not None
+            and checkpoint_settings.resume_from
+        ):
+            import os as _os
+
+            from mfv2d_tpu.checkpoint import load_march_state
+
+            if _os.path.exists(checkpoint_settings.resume_from):
+                resume_state = load_march_state(
+                    checkpoint_settings.resume_from
+                )
+                if resume_state["solution"].size != disc.n_dofs:
+                    raise ValueError(
+                        "Checkpoint DoF count does not match the"
+                        f" mesh/system: {resume_state['solution'].size}"
+                        f" != {disc.n_dofs}."
+                    )
+        start_index = (
+            int(resume_state["time_index"]) if resume_state is not None else 0
+        )
         grid0 = reconstruct_mesh_from_solution(
             disc,
             recon_order,
-            initial_solution
-            if initial_solution is not None
-            else np.zeros(disc.n_dofs),
+            resume_state["solution"]
+            if resume_state is not None
+            else (
+                initial_solution
+                if initial_solution is not None
+                else np.zeros(disc.n_dofs)
+            ),
         )
-        grid0.field_data["time"] = np.array([0.0])
+        grid0.field_data["time"] = np.array([start_index * time_settings.dt])
         grids.append(grid0)
+        march_fine = None
+        needs_host_march = (
+            vms_settings is not None
+            or solver_settings.method == "newton"
+            or checkpoint_settings is not None
+        )
         linear = (
             marched_compiled.nonlin_blocks is None
             and marched_compiled.rhs_blocks is None
         )
-        if linear:
+        if needs_host_march:
+            # Newton refactorization, VMS unresolved-scale solves, and
+            # checkpoint writes are host work — the fused scan marches
+            # cannot express them, so those combinations run the sharded
+            # per-step solve under a host step loop.
+            from mfv2d_tpu.parallel.sharding import sharded_host_time_march
+
+            us, sample_steps, lam, iters, changes, march_fine = (
+                sharded_host_time_march(
+                    system,
+                    disc,
+                    device_mesh,
+                    time_settings,
+                    boundary_conditions=bcs,
+                    constrained_forms=cforms,
+                    max_iterations=conv.maximum_iterations,
+                    relax=solver_settings.relaxation,
+                    absolute_tolerance=conv.absolute_tolerance,
+                    relative_tolerance=conv.relative_tolerance,
+                    cg_maximum_iterations=cg_cap,
+                    cg_tolerance=cg_tol,
+                    krylov_method=krylov,
+                    unsteady_bcs=raw_bcs,
+                    has_td_rhs=has_td_rhs,
+                    initial_solution=initial_solution,
+                    newton=solver_settings.method == "newton",
+                    vms_settings=vms_settings,
+                    anderson_m=solver_settings.anderson_m,
+                    checkpoint_settings=checkpoint_settings,
+                    resume_state=resume_state,
+                )
+            )
+            iters = np.asarray(iters, np.uint32)
+            changes = np.asarray(changes)
+        elif linear:
             us, sample_steps, lam = sharded_time_march(
                 system,
                 disc,
@@ -1043,7 +1106,19 @@ def _solve_sharded(
             iters = np.asarray(iters, np.uint32)
             changes = np.asarray(changes)
         for s_i, step in enumerate(sample_steps):
-            g = reconstruct_mesh_from_solution(disc, recon_order, us[s_i])
+            # The recovered fine scales exist only for the final state of
+            # a VMS march; earlier sampled grids carry the coarse solution
+            # alone (the single-device march re-recovers per sample).
+            g_vms = (
+                _fine_to_coarse_dual(
+                    disc, vms_settings.order_increase, march_fine
+                )
+                if march_fine is not None and s_i == len(sample_steps) - 1
+                else None
+            )
+            g = reconstruct_mesh_from_solution(
+                disc, recon_order, us[s_i], g_vms
+            )
             g.field_data["time"] = np.array([(int(step) + 1) * time_settings.dt])
             grids.append(g)
         lam_size = np.asarray(lam).size

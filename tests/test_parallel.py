@@ -1150,3 +1150,204 @@ def test_sharded_newton_hp_matches_host(device_mesh):
     host, sh = run(), run(device_mesh)
     err = np.abs(sh.point_data["vel"] - host.point_data["vel"]).max()
     assert err < 1e-8, err
+
+
+def test_sharded_newton_march_matches_host(device_mesh):
+    """device_mesh + method="newton" marches match the host Newton march."""
+    from mfv2d_tpu.models import flow
+
+    def lid_velocity(x, y):
+        on_lid = np.isclose(y, 1.0)
+        return np.stack(
+            (np.where(on_lid, 1.0, 0.0), np.zeros_like(y)), axis=-1
+        )
+
+    model = flow.cavity_flow(20.0, lid_velocity)
+    settings = mf.TimeSettings(
+        dt=0.25, nt=2, time_march_relations=model.time_march_relations
+    )
+
+    def run(dm=None):
+        mesh = mf.examples.unit_square_mesh(2, 2, 2)
+        bc = mf.BoundaryCondition2DSteady(
+            model.velocity, mesh.boundary_indices, lid_velocity
+        )
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+            mf.SolverSettings(
+                ConvergenceSettings(20, 1e-11, 0),
+                method="newton",
+                device_mesh=dm,
+                **({"linear_solver": "gmres"} if dm is not None else {}),
+            ),
+            time_settings=settings,
+            recon_order=2,
+        )
+        return sols[-1], stats
+
+    host, host_stats = run()
+    sh, sh_stats = run(device_mesh)
+    err = np.abs(sh.point_data["vel"] - host.point_data["vel"]).max()
+    assert err < 1e-7, err
+    # Newton converges in a handful of iterations per step on both paths.
+    assert np.all(np.asarray(sh_stats.iter_history) <= 6)
+
+
+def test_sharded_march_checkpoint_resume(device_mesh, tmp_path):
+    """Sharded nt=2 march + resume to nt=4 matches an uninterrupted march."""
+    from mfv2d_tpu.checkpoint import load_march_state
+    from mfv2d_tpu.models import transport
+
+    ALPHA = 1.5
+
+    def final_u(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    model = transport.reaction(ALPHA, final_u)
+    nt, t_end = 4, 0.5
+    dt = t_end / nt
+    settings = lambda n: mf.TimeSettings(  # noqa: E731
+        dt=dt, nt=n, time_march_relations=model.time_march_relations
+    )
+    ckpt = tmp_path / "march.npz"
+
+    def solver(dm=None):
+        return mf.SolverSettings(
+            ConvergenceSettings(20, 1e-11, 0),
+            device_mesh=dm,
+            **({"linear_solver": "gmres"} if dm is not None else {}),
+        )
+
+    # Ground truth: uninterrupted single-device march.
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    sols_full, _, _ = mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system), solver(),
+        time_settings=settings(nt), recon_order=4,
+    )
+
+    # Sharded first half with a checkpoint, then sharded resume.
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system), solver(device_mesh),
+        time_settings=settings(nt // 2), recon_order=4,
+        checkpoint_settings=mf.CheckpointSettings(str(ckpt), every=2),
+    )
+    state = load_march_state(ckpt)
+    assert state["time_index"] == nt // 2
+
+    mesh2 = state["mesh"]
+    sols_res, _, _ = mf.solve_system_2d(
+        mesh2, mf.SystemSettings(model.system), solver(device_mesh),
+        time_settings=settings(nt), recon_order=4,
+        checkpoint_settings=mf.CheckpointSettings(
+            str(ckpt), every=2, resume_from=str(ckpt)
+        ),
+    )
+    assert float(sols_res[0].field_data["time"][0]) == nt // 2 * dt
+    assert float(sols_res[-1].field_data["time"][0]) == t_end
+    assert np.allclose(
+        sols_res[-1].point_data["u"],
+        sols_full[-1].point_data["u"],
+        atol=1e-8,
+    ), np.abs(
+        sols_res[-1].point_data["u"] - sols_full[-1].point_data["u"]
+    ).max()
+
+
+def test_sharded_march_checkpoint_interchanges_with_host(
+    device_mesh, tmp_path
+):
+    """A sharded march checkpoint resumes on the single-device path."""
+    from mfv2d_tpu.checkpoint import load_march_state
+    from mfv2d_tpu.models import transport
+
+    def final_u(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    model = transport.reaction(1.5, final_u)
+    nt, dt = 4, 0.125
+    settings = lambda n: mf.TimeSettings(  # noqa: E731
+        dt=dt, nt=n, time_march_relations=model.time_march_relations
+    )
+    ckpt = tmp_path / "march.npz"
+
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    sols_full, _, _ = mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system),
+        mf.SolverSettings(ConvergenceSettings(20, 1e-11, 0)),
+        time_settings=settings(nt), recon_order=4,
+    )
+
+    # Sharded first half writes the checkpoint...
+    mesh = mf.examples.unit_square_mesh(2, 2, 3)
+    mf.solve_system_2d(
+        mesh, mf.SystemSettings(model.system),
+        mf.SolverSettings(
+            ConvergenceSettings(20, 1e-11, 0),
+            device_mesh=device_mesh, linear_solver="gmres",
+        ),
+        time_settings=settings(nt // 2), recon_order=4,
+        checkpoint_settings=mf.CheckpointSettings(str(ckpt), every=2),
+    )
+    # ...and the SINGLE-DEVICE path resumes from it (flat-carry layouts
+    # match by construction, sharding.py _carry_flat_positions).
+    state = load_march_state(ckpt)
+    sols_res, _, _ = mf.solve_system_2d(
+        state["mesh"], mf.SystemSettings(model.system),
+        mf.SolverSettings(ConvergenceSettings(20, 1e-11, 0)),
+        time_settings=settings(nt), recon_order=4,
+        checkpoint_settings=mf.CheckpointSettings(
+            str(ckpt), every=4, resume_from=str(ckpt)
+        ),
+    )
+    assert np.allclose(
+        sols_res[-1].point_data["u"],
+        sols_full[-1].point_data["u"],
+        atol=1e-8,
+    ), np.abs(
+        sols_res[-1].point_data["u"] - sols_full[-1].point_data["u"]
+    ).max()
+
+
+def test_sharded_newton_steady_checkpoint_resume(device_mesh, tmp_path):
+    """device_mesh + method="newton" + checkpoint_settings resumes cleanly."""
+    from mfv2d_tpu.checkpoint import load_steady_state
+    from mfv2d_tpu.models import flow
+
+    def lid_velocity(x, y):
+        on_lid = np.isclose(y, 1.0)
+        return np.stack(
+            (np.where(on_lid, 1.0, 0.0), np.zeros_like(y)), axis=-1
+        )
+
+    model = flow.cavity_flow(10.0, lid_velocity)
+    path = str(tmp_path / "newton.npz")
+
+    def run(resume):
+        mesh = mf.examples.unit_square_mesh(2, 2, 2)
+        bc = mf.BoundaryCondition2DSteady(
+            model.velocity, mesh.boundary_indices, lid_velocity
+        )
+        sols, stats, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(model.system, [bc], [(0.0, model.pressure)]),
+            mf.SolverSettings(
+                ConvergenceSettings(20, 1e-10, 0),
+                method="newton",
+                linear_solver="gmres",
+                device_mesh=device_mesh,
+            ),
+            checkpoint_settings=mf.CheckpointSettings(
+                path, every=1, resume_from=path if resume else None
+            ),
+        )
+        return sols[-1], stats
+
+    grid1, _ = run(resume=False)
+    assert load_steady_state(path)["iteration"] >= 1
+    grid2, stats2 = run(resume=True)
+    assert int(stats2.iter_history[0]) <= 1
+    assert np.allclose(
+        grid2.point_data["vel"], grid1.point_data["vel"], atol=1e-9
+    )
