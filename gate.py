@@ -5,12 +5,15 @@ The reference protects itself with nox sessions + GitHub workflows
 (reference noxfile.py:6-11, .github/workflows/cmake-single-platform.yml);
 this repo's equivalent is a single command::
 
-    python gate.py            # CPU suite + golden regen check + smoke
+    python gate.py            # QUICK tier (<5 min): suite minus -m slow
+    python gate.py --full     # everything (the slow sharded VMS/Newton
+                              #   parity tests roughly quadruple the wall)
     python gate.py --tpu      # additionally run the TPU tier on the chip
 
 Exit code 0 means the tree is green.  Steps:
 
-1. ``pytest tests/ -q`` on the CPU backend (virtual 8-device mesh).
+1. ``pytest tests/ -q`` on the CPU backend (virtual 8-device mesh) —
+   ``-m "not slow"`` by default, the full suite with ``--full``.
 2. Golden-fixture freshness: regenerate the reference compiler fixtures
    into a temp file and diff against the committed ones — catches compiler
    changes that silently drift from the pinned reference output.
@@ -114,8 +117,16 @@ def smoke() -> bool:
 
 def main() -> int:
     want_tpu = "--tpu" in sys.argv
+    full = "--full" in sys.argv
+    pytest_cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
+    if not full:
+        # Quick tier: everything except the @pytest.mark.slow sharded
+        # VMS/Newton parity tests (measured: they are ~80% of the wall).
+        # Marker expressions COMBINE with the addopts default (-m "not
+        # tpu" in pyproject), so spell out both.
+        pytest_cmd += ["-m", "not slow and not tpu"]
     steps = [
-        ("pytest", lambda: _run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])),
+        ("pytest", lambda: _run("pytest", pytest_cmd)),
         ("golden", golden_freshness),
         ("smoke", smoke),
     ]

@@ -576,6 +576,7 @@ def test_sharded_nonlinear_time_march_matches_host(device_mesh):
     assert err < 1e-7, err
 
 
+@pytest.mark.slow
 def test_solve_system_2d_device_mesh(device_mesh):
     """solve_system_2d routes through the sharded paths via SolverSettings."""
     import pytest
@@ -655,6 +656,7 @@ def test_solve_system_2d_device_mesh(device_mesh):
         )
 
 
+@pytest.mark.slow
 def test_sharded_hp_march_matches_host(device_mesh):
     """The sharded march on an hp (2-bucket) mesh matches the host march."""
     from mfv2d_tpu.parallel.sharding import sharded_time_march
@@ -986,6 +988,7 @@ def test_sharded_nonlinear_march_with_ics_matches_host(device_mesh):
     assert err < 1e-7, err
 
 
+@pytest.mark.slow
 def test_sharded_newton_steady_matches_host(device_mesh):
     """Sharded exact-Newton steady solve matches the host Newton path."""
     from mfv2d_tpu.models import flow
@@ -1116,6 +1119,7 @@ def test_sharded_steady_checkpoint_resume(device_mesh, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_sharded_newton_hp_matches_host(device_mesh):
     """Sharded Newton on an hp (2-bucket) mesh matches the host Newton."""
     from mfv2d_tpu.models import flow
@@ -1152,6 +1156,7 @@ def test_sharded_newton_hp_matches_host(device_mesh):
     assert err < 1e-8, err
 
 
+@pytest.mark.slow
 def test_sharded_newton_march_matches_host(device_mesh):
     """device_mesh + method="newton" marches match the host Newton march."""
     from mfv2d_tpu.models import flow
@@ -1194,6 +1199,7 @@ def test_sharded_newton_march_matches_host(device_mesh):
     assert np.all(np.asarray(sh_stats.iter_history) <= 6)
 
 
+@pytest.mark.slow
 def test_sharded_march_checkpoint_resume(device_mesh, tmp_path):
     """Sharded nt=2 march + resume to nt=4 matches an uninterrupted march."""
     from mfv2d_tpu.checkpoint import load_march_state

@@ -97,6 +97,7 @@ def test_sharded_greens_matches_single_chip(device_mesh):
     )
 
 
+@pytest.mark.slow
 def test_sharded_vms_solve_matches_single_chip(device_mesh):
     """Full sharded VMS nonlinear solve reproduces solve_system_2d."""
     model, symmetric = _model()
@@ -142,6 +143,7 @@ def _hp_orders():
     return np.array([[3 + ((i + j) % 2)] * 2 for j in range(3) for i in range(3)])
 
 
+@pytest.mark.slow
 def test_sharded_hp_greens_matches_single_chip(device_mesh):
     """hp (2-bucket) sharded G' x equals the single-chip operator."""
     model, symmetric = _model()
@@ -196,6 +198,7 @@ def test_sharded_hp_greens_matches_single_chip(device_mesh):
     )
 
 
+@pytest.mark.slow
 def test_sharded_hp_vms_solve_matches_single_chip(device_mesh):
     """Full sharded VMS nonlinear solve on an hp (2-bucket) mesh."""
     model, symmetric = _model()
@@ -229,6 +232,7 @@ def test_sharded_hp_vms_solve_matches_single_chip(device_mesh):
     assert err < 5e-3
 
 
+@pytest.mark.slow
 def test_vms_device_mesh_entry_point(device_mesh):
     """solve_system_2d routes vms_settings through the sharded path."""
     model, symmetric = _model()
@@ -259,6 +263,7 @@ def test_vms_device_mesh_entry_point(device_mesh):
         sols_s[-1].point_data["u"], sols_h[-1].point_data["u"], atol=1e-6
     )
 
+@pytest.mark.slow
 def test_sharded_vms_march_matches_host(device_mesh):
     """device_mesh + vms_settings + time march matches the host march.
 
@@ -305,6 +310,7 @@ def test_sharded_vms_march_matches_host(device_mesh):
     assert np.all(np.isfinite(sols_s[-1].point_data["vms-u"]))
 
 
+@pytest.mark.slow
 def test_sharded_newton_vms_steady_matches_host(device_mesh):
     """device_mesh + method="newton" + vms_settings matches the host."""
     model, symmetric = _model()
@@ -337,6 +343,7 @@ def test_sharded_newton_vms_steady_matches_host(device_mesh):
     assert err < 1e-6, err
 
 
+@pytest.mark.slow
 def test_sharded_vms_steady_checkpoint_resume(device_mesh, tmp_path):
     """device_mesh + vms_settings + checkpoint_settings resumes cleanly."""
     from mfv2d_tpu.checkpoint import load_steady_state
