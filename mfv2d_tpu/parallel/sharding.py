@@ -2450,9 +2450,11 @@ def _march_prologue(
     # path instead of silently freezing them.
     if any(isinstance(f, TimeDependent) for f in compiled.fields):
         raise NotImplementedError(
-            "TimeDependent interior-product (operator) fields are not"
-            " supported in sharded marches; only forcing and boundary"
-            " data may vary in time."
+            "TimeDependent interior-product (operator) fields are not yet"
+            " supported in sharded marches (they would re-assemble and"
+            " re-factorize the sharded blocks every step).  The"
+            " single-device path supports them: drop device_mesh from"
+            " SolverSettings."
         )
 
     has_unsteady = bool(unsteady_bcs) or has_td_rhs

@@ -148,18 +148,34 @@ def solve_system_2d(
 
     from mfv2d_tpu.tracing import tracer
 
+    # The evaluator host-evaluates callable fields at construction, so any
+    # TimeDependent clock state left over from a previous march must reset
+    # BEFORE setup.
+    TimeDependent.current_time = 0.0
     with tracer.stage("setup"):
         compiled = CompiledSystem(system)
         disc = discretize_mesh(mesh, system.unknown_forms, basis_cache)
         evaluator = SystemEvaluator(system.unknown_forms, compiled, disc)
 
-    # Time-dependent OPERATOR coefficients (interior-product fields) would
-    # require per-step reassembly + refactorization; fail loudly instead of
-    # silently freezing them at their setup-time value.
-    if any(isinstance(f, TimeDependent) for f in compiled.fields):
+    # Time-dependent OPERATOR coefficients (interior-product fields): the
+    # march re-evaluates the field, re-assembles the frozen element
+    # matrices, and refactorizes at every time level (per-step reassembly;
+    # reference interior-product field machinery:
+    # src/evaluation/integrating_fields.c:13-353, which only ever evaluates
+    # at a fixed state).  Steady solves have no time to evaluate at.
+    has_td_fields = any(
+        isinstance(f, TimeDependent) for f in compiled.fields
+    )
+    if has_td_fields and time_settings is None:
+        raise ValueError(
+            "TimeDependent interior-product (operator) fields require"
+            " time_settings."
+        )
+    if has_td_fields and vms_settings is not None:
         raise NotImplementedError(
-            "TimeDependent interior-product (operator) fields are not"
-            " supported; only forcing and boundary data may vary in time."
+            "TimeDependent operator fields with vms_settings are not"
+            " supported: the fine-scale operator would need per-step"
+            " reconstruction.  March without VMS, or freeze the field."
         )
 
     # Initial conditions
@@ -354,6 +370,7 @@ def solve_system_2d(
         and checkpoint_settings is None
         and not has_unsteady_bcs
         and not has_td_rhs
+        and not has_td_fields
     )
     # Nonlinear marches fuse too (scan over steps, while_loop Picard inside)
     # when the dense on-device solver is selected and nothing forces a host
@@ -367,6 +384,7 @@ def solve_system_2d(
         and checkpoint_settings is None
         and not has_unsteady_bcs
         and not has_td_rhs
+        and not has_td_fields
     )
     if use_fused_march:
         # Linear march: run the entire scan on device (solver/fused.py).
@@ -448,7 +466,72 @@ def solve_system_2d(
         )
         for time_index in range(start_index, nt):
             assert old_solution_carry is not None and time_carry_term is not None
-            if rebuild_each_step and (time_index > 0 or has_td_rhs):
+            if has_td_fields:
+                # TimeDependent OPERATOR fields: re-evaluate the field at
+                # the new time level, re-assemble the frozen element
+                # matrices + forcing + constraint values, and refactorize.
+                # Every step pays one assembly + factorization — the price
+                # of a genuinely time-varying operator.
+                TimeDependent.current_time = (time_index + 1) * dt
+                evaluator.refresh_static_fields()
+                bcs_t = (
+                    freeze_unsteady_boundary_conditions(
+                        system_settings.boundary_conditions or [],
+                        (time_index + 1) * dt,
+                    )
+                    if has_unsteady_bcs
+                    else (boundary_conditions or [])
+                )
+                with tracer.stage("assembly+constraints"):
+                    forcing, matrices, _lag_mat_t, lagrange_vec_t = (
+                        compute_linear_system(
+                            disc,
+                            system,
+                            evaluator,
+                            constrained_forms,
+                            bcs_t,
+                            solution,
+                        )
+                    )
+                explicit_vec = (
+                    np.concatenate((forcing, lagrange_vec_t))
+                    if lagrange_mat is not None
+                    else forcing
+                )
+                max_mag = float(np.abs(explicit_vec).max())
+                _t_refac = __import__("time").perf_counter()
+                if solver_settings.linear_solver == "direct":
+                    solver = FrozenSaddleSolver(
+                        evaluator.matrices_per_leaf(matrices), lagrange_mat
+                    )
+                elif solver_settings.linear_solver == "dense":
+                    from mfv2d_tpu.solver.iterative import DenseSaddleSolver
+
+                    solver = DenseSaddleSolver(disc, matrices, lagrange_mat)
+                else:
+                    from mfv2d_tpu.solver.iterative import (
+                        IterativeSaddleSolver,
+                    )
+
+                    solver = IterativeSaddleSolver(
+                        disc,
+                        matrices,
+                        lagrange_mat,
+                        ConvergenceSettings(
+                            maximum_iterations=max(
+                                200,
+                                4 * (disc.n_dofs + int(lagrange_vec.size)),
+                            ),
+                            absolute_tolerance=solver_settings.convergence.absolute_tolerance
+                            * 1e-3,
+                            relative_tolerance=1e-12,
+                        ),
+                        method=solver_settings.linear_solver,
+                    )
+                tracer.add(
+                    "factorize", __import__("time").perf_counter() - _t_refac
+                )
+            elif rebuild_each_step and (time_index > 0 or has_td_rhs):
                 # Re-evaluate time-dependent boundary values / forcing at
                 # the new time level; the constraint matrix itself is
                 # time-independent.

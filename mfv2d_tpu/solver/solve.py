@@ -237,6 +237,21 @@ class SystemEvaluator:
         ]
         self._vec_fns: dict[tuple[int, int], Callable] = {}
 
+    def refresh_static_fields(self) -> None:
+        """Re-evaluate callable (static) interior-product fields.
+
+        Serves TimeDependent OPERATOR fields: the march sets
+        ``TimeDependent.current_time`` to the new time level and calls this
+        before re-assembling, so the advecting field re-evaluates at that
+        time.  Cheap: the jitted evaluators take the static values as
+        ARGUMENTS (no retrace), and every consumer reads
+        ``self._static_fields`` at call time.
+        """
+        self._static_fields = [
+            evaluate_static_fields(bucket.batch, self.compiled.fields)
+            for bucket in self.disc.buckets
+        ]
+
     def _vector_fn(self, i_bucket: int, which: str) -> Callable:
         from mfv2d_tpu.evaluation import element_vector_fn
 

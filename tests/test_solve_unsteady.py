@@ -600,3 +600,109 @@ def test_fused_march_anderson_converges_same():
     u3, it3 = run(3)
     assert int(np.sum(it3)) <= int(np.sum(it0))
     assert np.allclose(u3, u0, atol=1e-8)
+
+
+def test_time_dependent_operator_field_convergence():
+    """March with a time-VARYING advecting wind: second order in dt.
+
+    u(x, y, t) = sin(t) phi, wind = (cos(t), 0); the march re-evaluates
+    the interior-product field, re-assembles, and re-factorizes at every
+    time level (round-5 closure of the TimeDependent-operator guard;
+    reference interior-product machinery:
+    src/evaluation/integrating_fields.c:13-353).
+    """
+    NU = 0.8
+
+    def phi(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def wind(x, y, t):
+        return np.stack(
+            (np.cos(t) * np.ones_like(x), np.zeros_like(y)), axis=-1
+        )
+
+    def phi_x(x, y):
+        return -np.pi / 2 * np.sin(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def source(x, y, t):
+        # Empirically pinned convention of this mixed form (sign probe,
+        # round 5): the marched system encodes
+        #   u_t = nu lap u + wind . grad u - f,
+        # so f = nu lap u + wind . grad u - u_t for the manufactured u.
+        return (
+            np.sin(t) * (-NU * np.pi**2 / 2) * phi(x, y)
+            + np.sin(t) * np.cos(t) * phi_x(x, y)
+            - np.cos(t) * phi(x, y)
+        )
+
+    u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+    v = u.weight
+    q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+    p = q.weight
+    system = mf.KFormSystem(
+        p.derivative @ u - p @ q == p ^ (lambda x, y: 0.0 * x),
+        NU * (v @ q.derivative) - (mf.TimeDependent(wind) * v @ q)
+        == -(v @ mf.TimeDependent(source)),
+    )
+    t_end = 1.0
+
+    def run(nt):
+        mesh = mf.examples.unit_square_mesh(4, 4, 6)
+        sols, _, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(system),
+            mf.SolverSettings(mf.ConvergenceSettings(20, 1e-11, 0)),
+            time_settings=mf.TimeSettings(
+                dt=t_end / nt, nt=nt, time_march_relations={v: u}
+            ),
+            recon_order=6,
+        )
+        g = sols[-1]
+        exact = np.sin(t_end) * phi(g.points[:, 0], g.points[:, 1])
+        return np.max(np.abs(g.point_data["u"] - exact))
+
+    errors = [run(nt) for nt in (8, 16)]
+    assert errors[0] / errors[1] > 3.0, errors
+    assert errors[1] < 5e-4, errors
+
+
+def test_time_dependent_operator_field_constant_matches_steady():
+    """A constant-in-time TimeDependent wind reproduces the steady-wind march."""
+
+    def phi(x, y):
+        return np.cos(np.pi / 2 * x) * np.cos(np.pi / 2 * y)
+
+    def steady_wind(x, y):
+        return np.stack((0.5 + 0.0 * x, -0.25 + 0.0 * y), axis=-1)
+
+    def src(x, y):
+        return phi(x, y)
+
+    def build(wind):
+        u = mf.KFormUnknown("u", mf.UnknownFormOrder.FORM_ORDER_2)
+        v = u.weight
+        q = mf.KFormUnknown("q", mf.UnknownFormOrder.FORM_ORDER_1)
+        p = q.weight
+        system = mf.KFormSystem(
+            p.derivative @ u - p @ q == p ^ (lambda x, y: 0.0 * x),
+            0.7 * (v @ q.derivative) - (wind * v @ q) == -(v @ src),
+        )
+        return system, u, v
+
+    def run(wind):
+        system, u, v = build(wind)
+        mesh = mf.examples.unit_square_mesh(3, 3, 3)
+        sols, _, _ = mf.solve_system_2d(
+            mesh,
+            mf.SystemSettings(system),
+            mf.SolverSettings(mf.ConvergenceSettings(20, 1e-11, 0)),
+            time_settings=mf.TimeSettings(
+                dt=0.25, nt=3, time_march_relations={v: u}
+            ),
+            recon_order=4,
+        )
+        return sols[-1].point_data["u"]
+
+    a = run(steady_wind)
+    b = run(mf.TimeDependent(lambda x, y, t: steady_wind(x, y)))
+    assert np.allclose(a, b, atol=1e-12), np.abs(a - b).max()
