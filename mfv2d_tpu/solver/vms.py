@@ -301,7 +301,7 @@ class SuyashGreenOperator:
                     )
                 with tracer.stage("vms-init-galerkin"):
                     coarse_parts = self._galerkin_dispatch(fine_chunks, big1)
-                with tracer.stage("vms-init-fine-matrices"):
+                with tracer.stage("vms-init-fine-download"):
                     fine_sym = np.empty((e, n_f, n_f))
                     lo = 0
                     for c in fine_chunks:
