@@ -124,6 +124,13 @@ class _Config:
         self.hbm_capacity_gb = float(
             os.environ.get("MFV2D_TPU_HBM_GB", "15.5")
         )
+        # Observed relay-tunnel transfer rate (GB/s), recorded by the big
+        # streaming downloads (solver/vms.py _ChunkDownloader) and read by
+        # the dev-greens gate to veto multi-GB table uploads in slow
+        # tunnel windows (measured 0.002-0.05 GB/s across sessions — a
+        # 2.7 GB inverse upload swings 60 s to 20+ min).  None until a
+        # transfer has been timed this process.
+        self.tunnel_gbps_observed: float | None = None
         # Route the fused-assembly f64 GEMMs through the exact-sum Ozaki
         # bf16-slice scheme on TPU (ops/ozaki.py: cutoff 10 + per-pair
         # f64 accumulation — truncation ~K * 2^-70 of the envelope, at or

@@ -646,6 +646,7 @@ class BlockSaddleSystem:
         from mfv2d_tpu.ops.precision import ozaki_refined_solve
         from mfv2d_tpu.tracing import tracer
 
+        t_sweep_probe = None
         if ok and config.device_greens != "1":
             # The device path only pays off when the host's RAM bandwidth
             # is the bottleneck (the one-core bench container degrades to
@@ -659,11 +660,22 @@ class BlockSaddleSystem:
             n_e, n = self._bucket_shape(0)
             probe_v = np.ones((n_e, n))
             t_sweep = float("inf")
-            for _ in range(2):
+            # min-of-3: the first sweep page-faults the fresh tables and a
+            # transient contention spike on the shared host must not
+            # commit a multi-GB upload (observed: one saddle measured
+            # "slow" while its later steady-state sweeps ran 0.3 s).
+            for _ in range(3):
                 t0 = _time.perf_counter()
                 self._host_block_gemv(0, probe_v)
                 t_sweep = min(t_sweep, _time.perf_counter() - t0)
             gb = n_e * n * n * 8 / 1e9
+            t_sweep_probe = t_sweep
+            if tracer.enabled:
+                print(
+                    f"[trace] dev-greens host sweep probe: {t_sweep:.2f}s"
+                    f" for {gb:.1f} GB",
+                    flush=True,
+                )
             if t_sweep < max(0.25, gb / 3.0):  # >= ~3 GB/s: host is fine
                 if tracer.enabled:
                     print(
@@ -677,6 +689,31 @@ class BlockSaddleSystem:
                 self._dev_greens_state = "off-fast"
                 self._host_slow_count = 0
                 return False
+            # Tunnel-aware veto: the inverse tables are multi-GB and the
+            # relay tunnel's rate swings ~25x between windows (observed
+            # 2-50 MB/s).  When a timed bulk transfer this process says
+            # the upload would cost more than the host applies it could
+            # ever save, stay on the host (revisitable like off-fast —
+            # a later genuinely-slow host re-probes).
+            rate = getattr(config, "tunnel_gbps_observed", None)
+            if rate:
+                up_gb = sum(inv.nbytes for inv in self._inv_np) / 1e9
+                est_upload = up_gb / rate
+                # ~150 applies/run at ~3 sweeps each is the config-5
+                # budget scale; a slow-host sweep costs t_sweep each.
+                est_host_cost = 150 * 3 * t_sweep
+                if est_upload > 90.0 and est_upload > est_host_cost:
+                    if tracer.enabled:
+                        print(
+                            f"[trace] dev-greens skipped: est upload "
+                            f"{est_upload:.0f}s at {rate*1e3:.0f} MB/s "
+                            f"tunnel > est host cost "
+                            f"{est_host_cost:.0f}s",
+                            flush=True,
+                        )
+                    self._dev_greens_state = "off-fast"
+                    self._host_slow_count = 0
+                    return False
 
         if ok:
             # HBM headroom is ACCOUNTED, never probed by allocating: the
@@ -833,6 +870,44 @@ class BlockSaddleSystem:
                             f"(rounds {rounds} cutoff {cutoff})",
                             flush=True,
                         )
+                # Speed sanity: accuracy admitted the device, but the
+                # decision must also be a WIN — in fast-host windows the
+                # host sweeps outrun the relay dispatches (measured: a
+                # LOOSE main saddle served 5.7 s/apply where the host ran
+                # 1.1 s).  Time one warm device apply of the chosen
+                # config against the measured host apply cost and keep
+                # the faster server (off-fast = revisitable).
+                if t_sweep_probe is not None:
+                    import time as _time
+
+                    t0 = _time.perf_counter()
+                    np.asarray(
+                        ozaki_refined_solve(
+                            self._dev_inv[i],
+                            self._dev_blocks[i] or self._dev_inv[i],
+                            jnp.asarray(applied),
+                            rounds=self._dev_greens_rounds[i],
+                            chunks=len(self._dev_inv[i]),
+                            cutoff=self._dev_greens_cutoff[i],
+                        )
+                    )
+                    t_dev = _time.perf_counter() - t0
+                    host_cost = (1 + 2 * max(1, self._refine_rounds[i])) * (
+                        t_sweep_probe
+                    )
+                    if t_dev > host_cost:
+                        if tracer.enabled:
+                            print(
+                                f"[trace] dev-greens bucket {i}: device "
+                                f"apply {t_dev:.2f}s > host "
+                                f"{host_cost:.2f}s — host stays",
+                                flush=True,
+                            )
+                        self._dev_blocks = None
+                        self._dev_inv = None
+                        self._dev_greens_state = "off-fast"
+                        self._host_slow_count = 0
+                        return False
             self._dev_greens_state = "on-loose" if loose_buckets else "on"
             return True
         except Exception as exc:  # OOM, probe failure, compile error
@@ -2045,6 +2120,7 @@ def make_block_saddle_system(
     element_matrices: list,
     lagrange_mat: sp.csr_array | None,
     device_greens: bool = False,
+    slice_guard: list | None = None,
 ) -> BlockSaddleSystem:
     """BlockSaddleSystem, lean when storing the blocks would strain HBM.
 
@@ -2054,6 +2130,12 @@ def make_block_saddle_system(
     slice providers — device HBM then holds only the explicit inverses
     and condensed tables (at BASELINE config-5 scale the stored blocks
     alone are ~6 GB of 15.75 GB).
+
+    ``slice_guard`` (per-bucket ``wait(n_rows)`` callables, entries may be
+    None) synchronizes with a still-in-flight background download of the
+    host block buffers: every provider slice waits for its rows first, so
+    the chunked LAPACK inverse build overlaps the tunnel stream
+    (solver/vms.py fine-matrix download).
     """
     from mfv2d_tpu.config import config
 
@@ -2065,9 +2147,23 @@ def make_block_saddle_system(
         and (mode == "1" or total > 1e9)
     )
     if not lean:
+        if slice_guard is not None:
+            for g in slice_guard:
+                if g is not None:
+                    g(None)  # stored mode reads everything up front
         return BlockSaddleSystem(disc, element_matrices, lagrange_mat)
     mats_np = [np.asarray(m) for m in element_matrices]
-    providers = [lambda lo, hi, m=m: m[lo:hi] for m in mats_np]
+    if slice_guard is None:
+        providers = [lambda lo, hi, m=m: m[lo:hi] for m in mats_np]
+    else:
+        providers = [
+            (
+                (lambda lo, hi, m=m: m[lo:hi])
+                if g is None
+                else (lambda lo, hi, m=m, g=g: (g(hi), m[lo:hi])[1])
+            )
+            for m, g in zip(mats_np, slice_guard)
+        ]
     return BlockSaddleSystem(
         disc,
         None,

@@ -10,6 +10,7 @@ factorizations are host-side.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Sequence
 
 import jax.numpy as jnp
@@ -41,6 +42,65 @@ from mfv2d_tpu.tracing import tracer
 
 
 import jax
+
+
+class _ChunkDownloader:
+    """Background device->host streaming of block chunks with row guards.
+
+    The config-5 fine-matrix download (~3.4 GB over the relay tunnel) and
+    the host LAPACK inverse build that consumes it are both serial walls;
+    neither needs the other's resource (tunnel IO vs host FLOPs).  This
+    streams the chunks into ``dest`` on a daemon thread; consumers call
+    ``wait_rows(n)`` (or ``wait_rows(None)`` for everything) before
+    touching rows below ``n`` — the saddle build's 512-element LAPACK
+    slices then interleave with the in-flight download.
+    """
+
+    def __init__(self, dest: np.ndarray, chunks) -> None:
+        import threading
+
+        self._dest = dest
+        self._chunks = list(chunks)
+        self._bounds = []
+        lo = 0
+        for c in self._chunks:
+            hi = lo + c.shape[0]
+            self._bounds.append((lo, hi))
+            lo = hi
+        self._events = [threading.Event() for _ in self._chunks]
+        self._exc: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        t0 = time.perf_counter()
+        try:
+            for i in range(len(self._chunks)):
+                lo, hi = self._bounds[i]
+                self._dest[lo:hi] = np.asarray(self._chunks[i])
+                self._chunks[i] = None  # free the device buffer
+                self._events[i].set()
+        except BaseException as exc:  # re-raised on the consumer side
+            self._exc = exc
+            for ev in self._events:
+                ev.set()
+        finally:
+            dt = time.perf_counter() - t0
+            tracer.add("vms-init-fine-download(bg)", dt)
+            if self._exc is None and dt > 1.0:
+                from mfv2d_tpu.config import config as _cfg
+
+                _cfg.tunnel_gbps_observed = (
+                    self._dest.nbytes / dt / 1e9
+                )
+
+    def wait_rows(self, n_rows: int | None = None) -> None:
+        end = self._bounds[-1][1] if n_rows is None else n_rows
+        for (lo, _hi), ev in zip(self._bounds, self._events):
+            if lo < end:
+                ev.wait()
+        if self._exc is not None:
+            raise self._exc
 
 
 @jax.jit
@@ -212,6 +272,7 @@ class SuyashGreenOperator:
 
         self.fine_batches: list[ElementBatch] = []
         fine_sym_buckets: list[np.ndarray] = []
+        fine_guards: list = []
         coarse_sym_buckets: list[np.ndarray] = []
         fine_sizes = np.zeros(disc.n_leaves, np.int64)
         proj_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
@@ -301,17 +362,17 @@ class SuyashGreenOperator:
                     )
                 with tracer.stage("vms-init-galerkin"):
                     coarse_parts = self._galerkin_dispatch(fine_chunks, big1)
-                with tracer.stage("vms-init-fine-download"):
-                    fine_sym = np.empty((e, n_f, n_f))
-                    lo = 0
-                    for c in fine_chunks:
-                        hi = lo + c.shape[0]
-                        fine_sym[lo:hi] = np.asarray(c)
-                        lo = hi
+                # The ~3.4 GB download streams on a background thread;
+                # the fine-saddle LAPACK build below consumes it
+                # slice-by-slice through the provider guard, so tunnel IO
+                # and host FLOPs overlap instead of serializing.
+                fine_sym = np.empty((e, n_f, n_f))
+                guard = _ChunkDownloader(fine_sym, fine_chunks)
+                fine_guards.append(guard.wait_rows)
                 del fine_chunks
                 with tracer.stage("vms-init-galerkin"):
                     coarse_sym = self._galerkin_finalize(
-                        coarse_parts, big1, fine_sym
+                        coarse_parts, big1, fine_sym, wait=guard.wait_rows
                     )
                 del coarse_parts
             else:
@@ -329,6 +390,8 @@ class SuyashGreenOperator:
                     coarse_sym = np.einsum(
                         "eij,eik,ekl->ejl", big, fine_sym, big
                     )
+            if len(fine_guards) < len(fine_sym_buckets) + 1:
+                fine_guards.append(None)
             fine_sym_buckets.append(fine_sym)
             coarse_sym_buckets.append(coarse_sym)
 
@@ -454,6 +517,9 @@ class SuyashGreenOperator:
                     fine_sym_buckets,
                     fine_lag_mat,
                     device_greens=True,
+                    slice_guard=(
+                        fine_guards if any(fine_guards) else None
+                    ),
                 )
             with tracer.stage("vms-init-coarse-saddle"):
                 # The coarse saddle opts into device Green's applies too:
@@ -587,7 +653,7 @@ class SuyashGreenOperator:
 
     @staticmethod
     def _galerkin_finalize(
-        parts, p_np: np.ndarray, m_host: np.ndarray
+        parts, p_np: np.ndarray, m_host: np.ndarray, wait=None
     ) -> np.ndarray:
         """``P^T A_f P``: collect the device Galerkin chunks, or host fall back.
 
@@ -607,6 +673,8 @@ class SuyashGreenOperator:
                 outs = [np.asarray(c) for c in parts]
                 coarse = outs[0] if len(outs) == 1 else np.concatenate(outs)
                 k = min(4, m_host.shape[0])
+                if wait is not None:
+                    wait(k)
                 ref = np.matmul(p_np.T, np.matmul(m_host[:k], p_np))
                 err = float(
                     np.abs(coarse[:k] - ref).max()
@@ -623,6 +691,8 @@ class SuyashGreenOperator:
                         f"[trace] device galerkin fell back: {exc}",
                         flush=True,
                     )
+        if wait is not None:
+            wait(None)
         return np.matmul(p_np.T, np.matmul(m_host, p_np))
 
     @staticmethod
