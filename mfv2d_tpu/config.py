@@ -131,6 +131,13 @@ class _Config:
         # 2.7 GB inverse upload swings 60 s to 20+ min).  None until a
         # transfer has been timed this process.
         self.tunnel_gbps_observed: float | None = None
+        # Galerkin coarse-operator route: "device" (default — the
+        # exact-sum Ozaki product is consistent with the fine blocks to
+        # 2^-70; the host f64 triple product's GEMM rounding appears
+        # cond-amplified in |vms|, measured 40x at NH=16) or "host"
+        # (explicit opt-in: zero extra tunnel bytes, overlapped with the
+        # fine download — for runs that do not read the fine scales).
+        self.galerkin_route = os.environ.get("MFV2D_TPU_GALERKIN", "device")
         # Route the fused-assembly f64 GEMMs through the exact-sum Ozaki
         # bf16-slice scheme on TPU (ops/ozaki.py: cutoff 10 + per-pair
         # f64 accumulation — truncation ~K * 2^-70 of the envelope, at or

@@ -56,11 +56,19 @@ class _ChunkDownloader:
     slices then interleave with the in-flight download.
     """
 
-    def __init__(self, dest: np.ndarray, chunks) -> None:
+    def __init__(
+        self,
+        dest: np.ndarray,
+        chunks,
+        keep_chunks: bool = False,
+        prefilled: int = 0,
+    ) -> None:
         import threading
 
         self._dest = dest
         self._chunks = list(chunks)
+        self._keep = keep_chunks
+        self._prefilled = int(prefilled)
         self._bounds = []
         lo = 0
         for c in self._chunks:
@@ -68,6 +76,12 @@ class _ChunkDownloader:
             self._bounds.append((lo, hi))
             lo = hi
         self._events = [threading.Event() for _ in self._chunks]
+        for i in range(self._prefilled):
+            # Caller already copied these rows into ``dest`` (e.g. the
+            # chunk-0 tunnel-rate probe).
+            if not keep_chunks:
+                self._chunks[i] = None
+            self._events[i].set()
         self._exc: BaseException | None = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -75,10 +89,11 @@ class _ChunkDownloader:
     def _run(self) -> None:
         t0 = time.perf_counter()
         try:
-            for i in range(len(self._chunks)):
+            for i in range(self._prefilled, len(self._chunks)):
                 lo, hi = self._bounds[i]
                 self._dest[lo:hi] = np.asarray(self._chunks[i])
-                self._chunks[i] = None  # free the device buffer
+                if not self._keep:
+                    self._chunks[i] = None  # free the device buffer
                 self._events[i].set()
         except BaseException as exc:  # re-raised on the consumer side
             self._exc = exc
@@ -93,6 +108,10 @@ class _ChunkDownloader:
                 _cfg.tunnel_gbps_observed = (
                     self._dest.nbytes / dt / 1e9
                 )
+
+    @property
+    def chunk_bounds(self):
+        return list(self._bounds)
 
     def wait_rows(self, n_rows: int | None = None) -> None:
         end = self._bounds[-1][1] if n_rows is None else n_rows
@@ -273,6 +292,7 @@ class SuyashGreenOperator:
         self.fine_batches: list[ElementBatch] = []
         fine_sym_buckets: list[np.ndarray] = []
         fine_guards: list = []
+        coarse_guards: list = []
         coarse_sym_buckets: list[np.ndarray] = []
         fine_sizes = np.zeros(disc.n_leaves, np.int64)
         proj_leaf: list[np.ndarray | None] = [None] * disc.n_leaves
@@ -360,21 +380,131 @@ class SuyashGreenOperator:
                         tuple(statics_sym[k] for k in keys),
                         as_chunks=True,
                     )
-                with tracer.stage("vms-init-galerkin"):
-                    coarse_parts = self._galerkin_dispatch(fine_chunks, big1)
-                # The ~3.4 GB download streams on a background thread;
-                # the fine-saddle LAPACK build below consumes it
-                # slice-by-slice through the provider guard, so tunnel IO
-                # and host FLOPs overlap instead of serializing.
+                # Time chunk 0 synchronously: its rate (assembly wait +
+                # transfer) routes the Galerkin product and seeds the
+                # dev-greens tunnel veto.  The relay tunnel swings
+                # 2-50 MB/s between windows, which decides whether the
+                # device Galerkin (downloads an extra [E, n_c, n_c]
+                # coarse table) or the host triple product (consumes the
+                # fine chunks ALREADY streaming in) is cheaper.
                 fine_sym = np.empty((e, n_f, n_f))
-                guard = _ChunkDownloader(fine_sym, fine_chunks)
+                with tracer.stage("vms-init-fine-download"):
+                    # Force chunk-0's device computation first (an
+                    # element-sized fetch), so the timed full fetch
+                    # measures the TRANSFER, not the assembly wait.
+                    np.asarray(fine_chunks[0][:1, :1, :1])
+                    _t_c0 = time.perf_counter()
+                    c0 = np.asarray(fine_chunks[0])
+                    rate_c0 = c0.nbytes / max(
+                        time.perf_counter() - _t_c0, 1e-9
+                    )
+                    fine_sym[: c0.shape[0]] = c0
+                    del c0
+                from mfv2d_tpu.config import config as _cfg
+
+                _cfg.tunnel_gbps_observed = rate_c0 / 1e9
+                n_c = big1.shape[1]
+                coarse_dl_s = e * n_c * n_c * 8 / max(rate_c0, 1e-9)
+                # Route default: DEVICE, always.  The host np.matmul
+                # triple product was measured (round 5, NH=16 A/B) to
+                # inflate |vms| 40x (4.5e-12 -> 1.8e-10): its ordinary
+                # f64 GEMM rounding (~n*eps relative) appears ABSOLUTELY
+                # in G' = A_f^-1 - P A_c^-1 P^T through the structural
+                # cancellation (cond * n * eps), while the exact-sum
+                # Ozaki device product (truncation 2^-70) stays
+                # consistent with the fine blocks.  The tunnel cost of
+                # downloading the device result is real in slow windows,
+                # but accuracy wins; MFV2D_TPU_GALERKIN=host remains as
+                # an explicit opt-in for resolution studies that do not
+                # read the fine scales.
+                use_host_galerkin = _cfg.galerkin_route == "host" 
+                if tracer.enabled:
+                    print(
+                        f"[trace] galerkin route: tunnel "
+                        f"{rate_c0/1e6:.0f} MB/s, coarse download est "
+                        f"{coarse_dl_s:.0f}s -> "
+                        f"{'HOST' if use_host_galerkin else 'device'}",
+                        flush=True,
+                    )
+                if not use_host_galerkin:
+                    with tracer.stage("vms-init-galerkin"):
+                        coarse_parts = self._galerkin_dispatch(
+                            fine_chunks, big1
+                        )
+                # The ~3.4 GB download streams on a background thread;
+                # the consumers below (host Galerkin chunks, fine-saddle
+                # LAPACK slices) wait per-chunk through the guards, so
+                # tunnel IO and host FLOPs overlap instead of
+                # serializing.
+                guard = _ChunkDownloader(
+                    fine_sym,
+                    fine_chunks,
+                    keep_chunks=not use_host_galerkin,
+                    prefilled=1,
+                )
                 fine_guards.append(guard.wait_rows)
                 del fine_chunks
-                with tracer.stage("vms-init-galerkin"):
-                    coarse_sym = self._galerkin_finalize(
-                        coarse_parts, big1, fine_sym, wait=guard.wait_rows
-                    )
-                del coarse_parts
+                if use_host_galerkin:
+                    # P^T A_f P chunk-by-chunk as the download lands —
+                    # exact f64, zero extra tunnel bytes — on ANOTHER
+                    # daemon thread, so the main thread proceeds to the
+                    # fine-saddle LAPACK build and all three (tunnel
+                    # stream, Galerkin GEMMs, LAPACK slices) interleave.
+                    # The coarse-saddle build below waits per-chunk
+                    # through its own guard.
+                    import threading as _threading
+
+                    coarse_sym = np.empty((e, n_c, n_c))
+                    g_bounds = guard.chunk_bounds
+                    g_events = [_threading.Event() for _ in g_bounds]
+                    g_exc: list = []
+
+                    def _host_galerkin(
+                        _g=guard, _b=g_bounds, _ev=g_events,
+                        _x=g_exc, _cs=coarse_sym, _fs=fine_sym,
+                        _p=big1,
+                    ):
+                        t0 = time.perf_counter()
+                        try:
+                            for k, (lo2, hi2) in enumerate(_b):
+                                _g.wait_rows(hi2)
+                                _cs[lo2:hi2] = np.matmul(
+                                    _p.T, np.matmul(_fs[lo2:hi2], _p)
+                                )
+                                _ev[k].set()
+                        except BaseException as exc:
+                            _x.append(exc)
+                            for ev in _ev:
+                                ev.set()
+                        finally:
+                            tracer.add(
+                                "vms-init-galerkin-host(bg)",
+                                time.perf_counter() - t0,
+                            )
+
+                    _threading.Thread(
+                        target=_host_galerkin, daemon=True
+                    ).start()
+
+                    def _coarse_wait(
+                        n_rows=None, _b=g_bounds, _ev=g_events, _x=g_exc
+                    ):
+                        end = _b[-1][1] if n_rows is None else n_rows
+                        for (lo2, _h), ev in zip(_b, _ev):
+                            if lo2 < end:
+                                ev.wait()
+                        if _x:
+                            raise _x[0]
+
+                    coarse_guards.append(_coarse_wait)
+                else:
+                    with tracer.stage("vms-init-galerkin"):
+                        coarse_sym = self._galerkin_finalize(
+                            coarse_parts, big1, fine_sym,
+                            wait=guard.wait_rows,
+                        )
+                    del coarse_parts
+                    coarse_guards.append(None)
             else:
                 with tracer.stage("vms-init-fine-matrices"):
                     fine_sym = np.asarray(
@@ -392,6 +522,8 @@ class SuyashGreenOperator:
                     )
             if len(fine_guards) < len(fine_sym_buckets) + 1:
                 fine_guards.append(None)
+            if len(coarse_guards) < len(fine_sym_buckets) + 1:
+                coarse_guards.append(None)
             fine_sym_buckets.append(fine_sym)
             coarse_sym_buckets.append(coarse_sym)
 
@@ -529,6 +661,9 @@ class SuyashGreenOperator:
                 self.coarse_saddle = make_block_saddle_system(
                     disc, coarse_sym_buckets, coarse_lag_mat,
                     device_greens=True,
+                    slice_guard=(
+                        coarse_guards if any(coarse_guards) else None
+                    ),
                 )
             # The Green's function G' = A_f^{-1} - P A_c^{-1} P^T sees the
             # MAX of the two diagonal-inverse apply errors, so refinement
@@ -549,6 +684,11 @@ class SuyashGreenOperator:
             self.coarse_sym_mat = None
             return
 
+        # Direct-LU path materializes every block now: drain any
+        # still-in-flight background download / Galerkin threads first.
+        for g in list(fine_guards) + list(coarse_guards):
+            if g is not None:
+                g(None)
         fine_block = sp.block_diag(fine_sym_leaf)
         if fine_lag_mat is not None:
             fine_mat = sp.block_array(
