@@ -646,13 +646,34 @@ def test_solve_system_2d_device_mesh(device_mesh):
         atol=1e-8,
     )
 
-    # Unsupported combos fail loudly (Newton is steady-only sharded).
-    with pytest.raises(NotImplementedError, match="device_mesh"):
+    # Round 5 removed the march-mode guards: device_mesh + method="newton"
+    # + time_settings now runs through the host-driven sharded step loop
+    # (parity pinned by test_sharded_newton_march_matches_host).  The one
+    # remaining sharded-only guard is TimeDependent OPERATOR fields.
+    from mfv2d_tpu.kform import TimeDependent
+
+    def td_wind(x, y, t):
+        return np.stack((np.cos(t) + 0 * x, 0 * y), axis=-1)
+
+    u2 = mf.KFormUnknown("u2", mf.UnknownFormOrder.FORM_ORDER_2)
+    v2 = u2.weight
+    q2 = mf.KFormUnknown("q2", mf.UnknownFormOrder.FORM_ORDER_1)
+    p2 = q2.weight
+    td_system = mf.KFormSystem(
+        p2.derivative @ u2 - p2 @ q2 == p2 ^ (lambda x, y: 0.0 * x),
+        0.7 * (v2 @ q2.derivative) - (TimeDependent(td_wind) * v2 @ q2)
+        == -(v2 @ (lambda x, y: 0.0 * x)),
+    )
+    with pytest.raises(NotImplementedError, match="single-device"):
         mf.solve_system_2d(
             mf.examples.unit_square_mesh(2, 2, 2),
-            mf.SystemSettings(model.system),
-            mf.SolverSettings(device_mesh=device_mesh, method="newton"),
-            time_settings=ts,
+            mf.SystemSettings(td_system),
+            mf.SolverSettings(
+                device_mesh=device_mesh, linear_solver="gmres"
+            ),
+            time_settings=mf.TimeSettings(
+                dt=0.1, nt=2, time_march_relations={v2: u2}
+            ),
         )
 
 

@@ -508,8 +508,14 @@ def test_time_dependent_requires_time_settings():
     with pytest.raises(ValueError, match="TimeDependent"):
         mf.solve_system_2d(mesh, mf.SystemSettings(system))
 
-def test_time_dependent_operator_field_rejected():
-    """TimeDependent interior-product fields fail loudly (not silently frozen)."""
+def test_time_dependent_operator_field_guards():
+    """TD operator fields: steady solves and VMS marches still fail loudly.
+
+    Round 5 added per-step reassembly for TimeDependent interior-product
+    fields in single-device marches (see the convergence test below); the
+    remaining loud guards are a STEADY solve (no time to evaluate at) and
+    a VMS march (the fine-scale operator would need per-step rebuild).
+    """
     from mfv2d_tpu.models import transport
 
     wind = mf.TimeDependent(lambda x, y, t: np.stack((x + t, y), axis=-1))
@@ -517,11 +523,25 @@ def test_time_dependent_operator_field_rejected():
         0.1, wind, lambda x, y: 0.0 * x, lambda x, y: 0.0 * x
     )
     mesh = mf.examples.unit_square_mesh(2, 2, 2)
-    with pytest.raises(NotImplementedError, match="operator"):
+    with pytest.raises(ValueError, match="require time_settings"):
+        mf.solve_system_2d(mesh, mf.SystemSettings(model.system))
+    u, q = model.u, model.q
+    sym = mf.KFormSystem(
+        q.weight.derivative @ u - q.weight @ q == 0 * (q.weight @ q),
+        0.1 * (u.weight @ q.derivative) == 0 * (u.weight @ u),
+    )
+    with pytest.raises(NotImplementedError, match="vms"):
         mf.solve_system_2d(
-            mesh, mf.SystemSettings(model.system),
+            mesh,
+            mf.SystemSettings(model.system, over_integration_order=2),
             time_settings=mf.TimeSettings(
                 0.1, 2, {model.u.weight: model.u}
+            ),
+            vms_settings=mf.VMSSettings(
+                symmetric_system=sym,
+                nonsymmetric_system=model.system,
+                order_increase=2,
+                fine_scale_convergence=mf.ConvergenceSettings(5, 1e-8, 1e-6),
             ),
         )
 
